@@ -1,0 +1,214 @@
+"""Versioned, hash-partitioned Parquet lake table with exactly-once commits.
+
+Layout (all paths under a single root; local FS or any fuse/NFS mount —
+on a real cluster this is shared storage):
+
+    root/
+      CURRENT                      # {"version": N} — atomic pointer flip
+      manifests/v000012.json       # write-ahead manifest (source of truth)
+      data/v000012/part-00007.parquet
+
+A commit is: (1) merge tasks write the new partition files under the
+next version's data dir (tmp name + rename inside the task), (2) the
+driver writes the manifest listing every live partition file + counts +
+per-partition max LSN, fsynced + checksum-verified + renamed, (3) the
+CURRENT pointer flips. A crash before (3) leaves the previous version
+intact; orphan files are GC'd by ``vacuum``. This is the Ray-native
+equivalent of the reference's verified idempotent load — insert, verify
+count, only then advance state, restore on failure
+(``extractors/repsly/extractor.py:668-759, 1441-1488``).
+
+Partitions unaffected by a batch are carried forward by reference (their
+file entries point into older version dirs) — at 100 TB a CDC batch
+rewrites only the key ranges it touches, never the whole table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+
+from .schemas import LSN_COL, OP_COL, PID_COL
+from .state.atomic import atomic_write_json, read_json
+from .state.schema_registry import SchemaRegistry
+
+# Deterministic, process-independent 64-bit key hash (pandas siphash with
+# its fixed default key). Used everywhere a row is routed to a partition.
+
+
+def partition_ids(urls, num_partitions: int):
+    """Vectorized url -> partition id in [0, num_partitions)."""
+    s = pd.Series(urls, dtype="object")
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+    return (h % num_partitions).astype("int64")
+
+
+class LakeTable:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # ---- pointers / manifests ----
+    def current_version(self) -> int:
+        cur = read_json(os.path.join(self.root, "CURRENT"))
+        return -1 if cur is None else int(cur["version"])
+
+    def manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "manifests", f"v{version:06d}.json")
+
+    def load_manifest(self, version: int | None = None) -> dict | None:
+        v = self.current_version() if version is None else version
+        if v < 0:
+            return None
+        return read_json(self.manifest_path(v))
+
+    def data_dir(self, version: int) -> str:
+        return os.path.join(self.root, "data", f"v{version:06d}")
+
+    # ---- commit (2PC steps 2+3; step 1 = tasks wrote the files) ----
+    def commit(
+        self,
+        partitions: dict[int, dict],
+        batch_id: str,
+        applied_lsn: int,
+        schema_ops: list[dict],
+        num_partitions: int,
+        stats: dict | None = None,
+    ) -> dict:
+        prev = self.load_manifest()
+        version = self.current_version() + 1
+        applied_batch_ids = list(prev["applied_batch_ids"]) if prev else []
+        if batch_id in applied_batch_ids:
+            raise ValueError(f"batch {batch_id!r} already committed")  # guard; callers skip earlier
+        applied_batch_ids.append(batch_id)
+        # count verification before the pointer flips (reference:
+        # extractors/repsly/extractor.py:741-752): every listed file must
+        # exist and row counts must match what the merge tasks reported.
+        import pyarrow.parquet as pq
+
+        for pid, ent in partitions.items():
+            fpath = os.path.join(self.root, ent["file"])
+            md = pq.read_metadata(fpath)  # raises if missing/corrupt
+            if md.num_rows != ent["rows"]:
+                raise IOError(
+                    f"partition {pid}: wrote {md.num_rows} rows, expected {ent['rows']}"
+                )
+        manifest = {
+            "version": version,
+            "parent": version - 1,
+            "batch_id": batch_id,
+            "num_partitions": num_partitions,
+            "applied_lsn": int(applied_lsn),
+            "applied_batch_ids": applied_batch_ids,
+            "schema_ops": schema_ops,
+            "partitions": {str(pid): ent for pid, ent in sorted(partitions.items())},
+            "stats": stats or {},
+        }
+        atomic_write_json(self.manifest_path(version), manifest)
+        atomic_write_json(os.path.join(self.root, "CURRENT"), {"version": version})
+        return manifest
+
+    # ---- read ----
+    def files(self, version: int | None = None) -> list[str]:
+        m = self.load_manifest(version)
+        if not m:
+            return []
+        return [os.path.join(self.root, e["file"]) for e in m["partitions"].values()]
+
+    def files_by_epoch(self, version: int | None = None) -> dict[int, list[str]]:
+        """Live files grouped by the schema epoch (max schema-op lsn) they
+        were written under. Files within one epoch share a physical
+        schema; mixing epochs in one ``read_parquet`` would mis-unify
+        renamed columns, so readers take one group at a time."""
+        m = self.load_manifest(version)
+        if not m:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        groups: dict[int, list[str]] = {}
+        for e in m["partitions"].values():
+            groups.setdefault(int(e.get("schema_lsn", -1)), []).append(
+                os.path.join(self.root, e["file"])
+            )
+        return groups
+
+    def dataset(self, version: int | None = None, include_lineage: bool = False):
+        """Current table state as a streaming ray.data.Dataset, conformed
+        to the latest logical schema (older partition files may predate a
+        schema op; conform renames/casts/backfills per file batch)."""
+        import ray.data as rd
+
+        m = self.load_manifest(version)
+        reg_ops = m["schema_ops"]
+
+        def conform(batch: pa.Table) -> pa.Table:
+            reg = SchemaRegistry.from_dict(reg_ops)
+            # tombstones (delete winners, see stages/lww.py) are physical
+            # rows but not part of the logical table
+            if OP_COL in batch.column_names:
+                import pyarrow.compute as pc
+
+                batch = batch.filter(
+                    pc.not_equal(batch.column(OP_COL), pa.scalar("delete"))
+                )
+            extras = [c for c in (LSN_COL, PID_COL, OP_COL) if c in batch.column_names]
+            out = reg.conform(batch.drop(extras))
+            if include_lineage:
+                for c in extras:
+                    out = out.append_column(c, batch.column(c))
+            return out
+
+        ds = None
+        for _, files in sorted(self.files_by_epoch(version).items()):
+            d = rd.read_parquet(files).map_batches(conform, batch_format="pyarrow")
+            ds = d if ds is None else ds.union(d)
+        if ds is None:
+            raise FileNotFoundError(f"no data files in {self.root}")
+        return ds
+
+    def to_arrow(self, version: int | None = None, include_lineage: bool = False) -> pa.Table:
+        """Small-table convenience (tests / validation only)."""
+        import pyarrow.parquet as pq
+
+        m = self.load_manifest(version)
+        if not m:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        import pyarrow.compute as pc
+
+        reg = SchemaRegistry.from_dict(m["schema_ops"])
+        parts = []
+        for f in self.files(version):
+            t = pq.read_table(f)
+            if OP_COL in t.column_names:
+                t = t.filter(pc.not_equal(t.column(OP_COL), pa.scalar("delete")))
+            extras = [c for c in (LSN_COL, PID_COL, OP_COL) if c in t.column_names]
+            out = reg.conform(t.drop(extras))
+            if include_lineage:
+                for c in extras:
+                    out = out.append_column(c, t.column(c))
+            parts.append(out)
+        if not parts:
+            return reg.conform(pa.table({}))
+        return pa.concat_tables(parts)
+
+    # ---- maintenance ----
+    def vacuum(self, keep_versions: int = 2) -> list[str]:
+        """Delete data files not referenced by the last ``keep_versions``
+        manifests (orphans from failed commits, superseded partitions)."""
+        cur = self.current_version()
+        live: set[str] = set()
+        for v in range(max(0, cur - keep_versions + 1), cur + 1):
+            m = self.load_manifest(v)
+            if m:
+                live.update(e["file"] for e in m["partitions"].values())
+        removed = []
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _, names in os.walk(data_root):
+            for n in names:
+                full = os.path.join(dirpath, n)
+                rel = os.path.relpath(full, self.root)
+                if rel not in live:
+                    os.remove(full)
+                    removed.append(rel)
+        return removed

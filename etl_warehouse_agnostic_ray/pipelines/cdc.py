@@ -1,0 +1,282 @@
+"""The CDC apply pipeline: WAL-shaped change events -> lake upsert.
+
+Dataflow (idiomatic Ray Data, streaming with backpressure):
+
+    read_parquet(event slices, lsn > applied_lsn pushdown)
+      -> map_batches(NormalizeEvents)            # stateless, zero-copy Arrow
+      -> [affected-partition discovery]          # tiny per-batch distinct
+      ∪  read_parquet(affected base partitions)  # partition-pruned base read
+      -> groupby(_pid).map_groups(merge_partition_group)  # the one shuffle
+      -> manifest commit + checkpoint advance    # exactly-once (2PC)
+
+Only partitions whose keys were touched are re-merged; the rest carry
+forward by reference in the new manifest. At 10^10 events the shuffle
+moves (delta + affected base partitions), never the whole lake.
+
+Lifecycle parity with the reference's flagship DAG (SURVEY.md §3.1):
+extract -> load-first -> verify counts -> only-then advance state, with
+a duplicate-batch guard (``extractors/repsly/extractor.py:704-718``) and
+state restore on failure (nothing to restore here — state only moves in
+the atomic commit).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..lake import LakeTable, partition_ids
+from ..schemas import LSN_COL, OP_COL, PID_COL
+from ..stages.lww import partition_merger
+from ..stages.normalize import NormalizeEvents
+from ..state.schema_registry import SchemaRegistry
+
+
+class CDCEngine:
+    def __init__(
+        self,
+        lake_root: str,
+        num_partitions: int = 32,
+        merge_concurrency: int | None = None,
+    ):
+        self.lake = LakeTable(lake_root)
+        self.num_partitions = num_partitions
+        self.merge_concurrency = merge_concurrency
+
+    # ------------------------------------------------------------------
+    def bootstrap(self, pages, batch_id: str = "bootstrap") -> dict:
+        """Load the initial snapshot (a Dataset, Arrow table, or parquet
+        path) as lake version 0. Unique-per-url is NOT assumed — the
+        snapshot itself is LWW-compacted (base rows get _lsn = -1)."""
+        import ray.data as rd
+
+        if isinstance(pages, str):
+            ds = rd.read_parquet(pages)
+        elif isinstance(pages, pa.Table):
+            ds = rd.from_arrow(pages)
+        else:
+            ds = pages
+        P = self.num_partitions
+
+        def prep(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            out = batch.append_column(LSN_COL, pa.array([-1] * n, pa.int64()))
+            out = out.append_column(OP_COL, pa.array(["insert"] * n, pa.string()))
+            pid = partition_ids(batch.column("url").to_pandas(), P)
+            return out.append_column(PID_COL, pa.array(pid, pa.int64()))
+
+        version = self.lake.current_version() + 1
+        out_dir = self.lake.data_dir(version)
+        stats = (
+            ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(PID_COL)
+            .map_groups(
+                partition_merger(out_dir),
+                batch_format="pyarrow",
+                **self._merge_opts(),
+            )
+            .take_all()
+        )
+        partitions = self._stats_to_partitions(stats)
+        manifest = self.lake.commit(
+            partitions,
+            batch_id=batch_id,
+            applied_lsn=-1,
+            schema_ops=[],
+            num_partitions=P,
+            stats={"op": "bootstrap", "rows": sum(e["rows"] for e in partitions.values())},
+        )
+        return manifest
+
+    # ------------------------------------------------------------------
+    def apply(self, stream, batch_id: str | None = None) -> dict:
+        """Apply one batch of change events (a parquet path/dir or an
+        Arrow table). Idempotent per batch_id; resumable: only events
+        with lsn > applied_lsn are considered, so re-running after a
+        crash (or feeding overlapping slices) converges."""
+        import ray.data as rd
+
+        t0 = time.perf_counter()
+        manifest = self.lake.load_manifest()
+        if manifest is None:
+            raise RuntimeError("bootstrap() the lake before apply()")
+        if batch_id is None:
+            batch_id = f"batch-{uuid.uuid4().hex[:12]}"
+        if batch_id in manifest["applied_batch_ids"]:
+            return {"skipped": True, "reason": "duplicate batch_id", "batch_id": batch_id}
+        applied_lsn = manifest["applied_lsn"]
+        P = manifest["num_partitions"]
+
+        # --- schema-change ops: tiny pushdown read, driver-side registry ---
+        reg = SchemaRegistry.from_dict(manifest["schema_ops"])
+        schema_rows = self._read_schema_events(stream, applied_lsn)
+        for r in schema_rows:
+            reg.apply_event(r["lsn"], r["schema_kind"], r["schema_column"], r["schema_type"])
+        schema_ops = reg.to_dict()
+
+        # --- normalized delta (bounded: one CDC batch), materialized so
+        # affected-partition discovery doesn't recompute the stream ---
+        if isinstance(stream, str):
+            ev = rd.read_parquet(
+                stream, filter=pc.greater(pc.field("lsn"), pa.scalar(applied_lsn, pa.int64()))
+            )
+        elif isinstance(stream, pa.Table):
+            ev = rd.from_arrow(stream)
+        else:
+            ev = stream
+        delta = ev.map_batches(
+            NormalizeEvents(schema_ops, P, min_lsn=applied_lsn), batch_format="pyarrow"
+        ).materialize()
+
+        delta_rows = delta.count()
+        if delta_rows == 0 and not schema_rows:
+            return {"skipped": True, "reason": "no new events", "batch_id": batch_id}
+
+        # --- affected partitions: per-batch distinct pids (tiny) ---
+        def pids_of(batch: pa.Table) -> pa.Table:
+            return pa.table({"pid": pc.unique(batch.column(PID_COL))})
+
+        affected = set()
+        if delta_rows:
+            for b in delta.select_columns([PID_COL]).map_batches(
+                pids_of, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow"):
+                affected.update(b.column("pid").to_pylist())
+        max_event_lsn = int(delta.max(LSN_COL)) if delta_rows else applied_lsn
+        if schema_rows:
+            max_event_lsn = max(max_event_lsn, max(r["lsn"] for r in schema_rows))
+
+        # --- base read, pruned to affected partitions, conformed;
+        # grouped by schema epoch (see LakeTable.files_by_epoch) ---
+        version = self.lake.current_version() + 1
+        out_dir = self.lake.data_dir(version)
+        epoch_files: dict[int, list[str]] = {}
+        for pid, ent in manifest["partitions"].items():
+            if int(pid) in affected:
+                epoch_files.setdefault(int(ent.get("schema_lsn", -1)), []).append(
+                    os.path.join(self.lake.root, ent["file"])
+                )
+
+        def conform_base(batch: pa.Table) -> pa.Table:
+            # base partition files carry winners incl. delete tombstones;
+            # keep their _op/_lsn so LWW replays correctly against them
+            r = SchemaRegistry.from_dict(schema_ops)
+            lineage = {
+                c: batch.column(c)
+                for c in (LSN_COL, OP_COL, PID_COL)
+                if c in batch.column_names
+            }
+            out = r.conform(batch.drop(list(lineage)))
+            out = out.append_column(LSN_COL, lineage[LSN_COL])
+            out = out.append_column(OP_COL, lineage[OP_COL])
+            out = out.append_column(PID_COL, lineage[PID_COL])
+            return out
+
+        merged_in = delta if delta_rows else None
+        for _, files in sorted(epoch_files.items()):
+            base = rd.read_parquet(files).map_batches(conform_base, batch_format="pyarrow")
+            merged_in = base if merged_in is None else merged_in.union(base)
+
+        # --- the shuffle + per-partition LWW merge-write ---
+        if merged_in is not None:
+            stats = (
+                merged_in.groupby(PID_COL)
+                .map_groups(
+                    partition_merger(out_dir),
+                    batch_format="pyarrow",
+                    **self._merge_opts(),
+                )
+                .take_all()
+            )
+        else:  # pure schema-change batch: metadata-only commit
+            stats = []
+        cur_schema_lsn = max((o["lsn"] for o in schema_ops), default=-1)
+        new_partitions = self._stats_to_partitions(stats, schema_lsn=cur_schema_lsn)
+
+        # --- carry forward untouched partitions by reference ---
+        partitions = {
+            int(pid): ent
+            for pid, ent in manifest["partitions"].items()
+            if int(pid) not in affected
+        }
+        partitions.update(new_partitions)
+
+        committed = self.lake.commit(
+            partitions,
+            batch_id=batch_id,
+            applied_lsn=max_event_lsn,
+            schema_ops=schema_ops,
+            num_partitions=P,
+            stats={
+                "events_applied": delta_rows,
+                "schema_ops_applied": len(schema_rows),
+                "partitions_rewritten": len(new_partitions),
+                "partitions_total": len(partitions),
+                "wall_sec": round(time.perf_counter() - t0, 3),
+            },
+        )
+        return {
+            "skipped": False,
+            "batch_id": batch_id,
+            "version": committed["version"],
+            "events_applied": delta_rows,
+            "applied_lsn": max_event_lsn,
+            "partitions_rewritten": len(new_partitions),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+        }
+
+    # ------------------------------------------------------------------
+    def table(self, include_lineage: bool = False):
+        return self.lake.dataset(include_lineage=include_lineage)
+
+    def to_arrow(self, include_lineage: bool = False) -> pa.Table:
+        return self.lake.to_arrow(include_lineage=include_lineage)
+
+    # ------------------------------------------------------------------
+    def _merge_opts(self) -> dict:
+        opts = {}
+        if self.merge_concurrency:
+            opts["concurrency"] = self.merge_concurrency
+        return opts
+
+    @staticmethod
+    def _stats_to_partitions(stats_rows: list[dict], schema_lsn: int = -1) -> dict[int, dict]:
+        out = {}
+        for r in stats_rows:
+            out[int(r["pid"])] = {
+                "file": os.path.join("data", r["file"]),
+                "rows": int(r["rows"]),
+                "live_rows": int(r.get("live_rows", r["rows"])),
+                "max_lsn": int(r["max_lsn"]),
+                "bytes": int(r["bytes"]),
+                "schema_lsn": int(schema_lsn),
+            }
+        return out
+
+    @staticmethod
+    def _read_schema_events(stream, applied_lsn: int) -> list[dict]:
+        """Schema-change rows are rare (~0.2%); read them with parquet
+        predicate pushdown (row-group pruning) — never a full scan on the
+        driver."""
+        if isinstance(stream, pa.Table):
+            t = stream.filter(
+                pc.and_(
+                    pc.equal(stream.column("op"), pa.scalar("schema_change")),
+                    pc.greater(stream.column("lsn"), pa.scalar(applied_lsn, pa.int64())),
+                )
+            )
+        else:
+            dset = pads.dataset(stream, format="parquet")
+            t = dset.to_table(
+                columns=["lsn", "schema_kind", "schema_column", "schema_type"],
+                filter=(pads.field("op") == "schema_change")
+                & (pads.field("lsn") > applied_lsn),
+            )
+        rows = t.to_pylist()
+        rows.sort(key=lambda r: r["lsn"])
+        return rows

@@ -1,0 +1,99 @@
+"""Last-writer-wins compaction — the core CDC upsert.
+
+Reference semantics being matched (not copied): every silver model keeps
+``row_number() OVER (PARTITION BY business_key ORDER BY dbt_loaded_at
+DESC, record_hash DESC) = 1`` (``dbt/models/curated/repsly/
+purchase_orders.sql:15-39``) and the engine-level twin
+``ReplacingMergeTree(version)`` (``airflow/dags/acumatica_dag.py:287-301``).
+
+Here: per hash-partition of ``url``, keep the row with the maximum
+``(warc_ts, lsn)``; if that winner is a delete, the key disappears. The
+total order (warc_ts, then lsn) makes the merge deterministic and
+associative/commutative, which is what lets salted two-level merges and
+replays converge (SURVEY.md §7.5).
+
+Implemented on zero-copy Arrow: sort_indices + take + first-occurrence
+mask — no Python-per-row work, no pandas dtype round-trip (keeps
+large_binary / timestamp[us] exact).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..schemas import LSN_COL, OP_COL, PID_COL
+
+
+def lww_compact_table(tbl: pa.Table) -> pa.Table:
+    """Pure LWW compaction of one partition's (base ∪ delta) rows.
+
+    Requires columns: url, warc_ts, _lsn, _op (+payload). Returns the
+    winning row per url — INCLUDING delete winners as tombstones (null
+    payload, _op='delete'), sorted by url for a deterministic layout.
+
+    Tombstones must be retained in the partition file: with out-of-order
+    event times inside the lookback window (SURVEY.md §2.10), a later
+    LSN slice can carry an *older*-warc_ts update for a deleted key; if
+    the tombstone were dropped, that stale update would resurrect the
+    key and replay would diverge from one-shot apply. The logical table
+    view filters tombstones out (LakeTable.dataset / to_arrow).
+    """
+    if tbl.num_rows == 0:
+        return tbl
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[("url", "ascending"), ("warc_ts", "descending"), (LSN_COL, "descending")],
+    )
+    s = tbl.take(idx)
+    urls = s.column("url").to_numpy(zero_copy_only=False)
+    first = np.empty(len(urls), dtype=bool)
+    first[0] = True
+    first[1:] = urls[1:] != urls[:-1]
+    return s.filter(pa.array(first))
+
+
+def merge_partition_group(group: pa.Table, out_dir: str) -> pa.Table:
+    """map_groups fn: compacts one partition group and writes its parquet
+    file for the next lake version (2PC step 1), returning a one-row
+    stats table for the driver's manifest.
+
+    Writing inside the task keeps the wide rows off the driver and makes
+    retries idempotent (tmp file + rename; same pid → same final name).
+    """
+    pid = int(group.column(PID_COL)[0].as_py())
+    winners = lww_compact_table(group)
+    os.makedirs(out_dir, exist_ok=True)
+    fname = f"part-{pid:05d}.parquet"
+    final = os.path.join(out_dir, fname)
+    tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}-{fname}")
+    pq.write_table(winners, tmp, compression="zstd")
+    os.replace(tmp, final)
+    max_lsn = pc.max(group.column(LSN_COL)).as_py()
+    n_live = winners.num_rows - (
+        pc.sum(pc.equal(winners.column(OP_COL), pa.scalar("delete"))).as_py() or 0
+    )
+    return pa.table(
+        {
+            "pid": pa.array([pid], pa.int64()),
+            "rows": pa.array([winners.num_rows], pa.int64()),
+            "live_rows": pa.array([int(n_live)], pa.int64()),
+            "max_lsn": pa.array([int(max_lsn)], pa.int64()),
+            "bytes": pa.array([os.path.getsize(final)], pa.int64()),
+            "file": pa.array(
+                [os.path.join(os.path.basename(os.path.dirname(final)), fname)], pa.string()
+            ),
+        }
+    )
+
+
+def partition_merger(out_dir: str):
+    """Picklable map_groups callable bound to the target version dir."""
+    import functools
+
+    return functools.partial(merge_partition_group, out_dir=out_dir)

@@ -1,0 +1,170 @@
+"""End-to-end CDC replay tests against a DuckDB oracle.
+
+Oracle semantics (FIXTURES.md "Oracle / invariants"): final lake state ==
+``row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) = 1``
+over (snapshot ∪ events), deletes removed — the reference's LWW dedup
+(dbt/models/curated/repsly/purchase_orders.sql:15-25).
+"""
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from etl_warehouse_agnostic_ray import CDCEngine
+from etl_warehouse_agnostic_ray.datagen import gen_change_events, gen_pages, write_fixture
+
+N_EVENTS = 1200
+N_URLS = 150
+SEED = 42
+
+
+def oracle_final_state(pages: pa.Table, events: pa.Table) -> pa.Table:
+    """DuckDB LWW over snapshot ∪ data events; deletes removed."""
+    con = duckdb.connect()
+    con.register("pages", pages)
+    con.register("events", events)
+    return con.execute(
+        """
+        WITH unioned AS (
+          SELECT url, warc_ts, html, text, lang, -1::BIGINT AS lsn, 'insert' AS op
+          FROM pages
+          UNION ALL
+          SELECT url, warc_ts, html, text, lang, lsn, op
+          FROM events WHERE op <> 'schema_change'
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+          FROM unioned
+        )
+        SELECT url, warc_ts, html, text, lang FROM ranked
+        WHERE rn = 1 AND op <> 'delete'
+        ORDER BY url
+        """
+    ).fetch_arrow_table()
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cdcfix"))
+    write_fixture(d, N_EVENTS, N_URLS, seed=SEED, schema_change_frac=0.0)
+    return d
+
+
+def _norm(t: pa.Table, cols=("url", "warc_ts", "html", "text", "lang")) -> list[tuple]:
+    t = t.select(list(cols)).sort_by("url")
+    return list(zip(*[t.column(c).to_pylist() for c in cols]))
+
+
+def test_replay_matches_oracle(fixture_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
+    events = pa.concat_tables(
+        pq.read_table(os.path.join(fixture_dir, "change_events", f))
+        for f in sorted(os.listdir(os.path.join(fixture_dir, "change_events")))
+    )
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+    eng.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    rep = eng.apply(os.path.join(fixture_dir, "change_events"), batch_id="b1")
+    assert not rep["skipped"]
+    got = eng.to_arrow()
+    want = oracle_final_state(pages, events)
+    assert got.num_rows == want.num_rows
+    assert _norm(got) == _norm(want)
+
+
+def test_idempotent_batch_replay(fixture_dir, tmp_path):
+    """Applying the same batch twice ≡ once (duplicate batch_id guard +
+    lsn high-water mark)."""
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+    eng.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    r1 = eng.apply(os.path.join(fixture_dir, "change_events"), batch_id="b1")
+    v1 = eng.lake.current_version()
+    state1 = _norm(eng.to_arrow())
+    # same batch_id → skipped outright
+    r2 = eng.apply(os.path.join(fixture_dir, "change_events"), batch_id="b1")
+    assert r2["skipped"]
+    # different batch_id, same events → lsn filter leaves nothing to do
+    r3 = eng.apply(os.path.join(fixture_dir, "change_events"), batch_id="b2")
+    assert r3["skipped"] and r3["reason"] == "no new events"
+    assert _norm(eng.to_arrow()) == state1
+    assert eng.lake.current_version() == v1
+
+
+def test_incremental_slices_converge(fixture_dir, tmp_path):
+    """Applying the stream file-by-file (overlapping lookback redelivery
+    included) converges to the same state as one-shot apply."""
+    import pyarrow.parquet as pq
+
+    pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
+    ev_dir = os.path.join(fixture_dir, "change_events")
+    files = sorted(os.listdir(ev_dir))
+    events = pa.concat_tables(pq.read_table(os.path.join(ev_dir, f)) for f in files)
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+    eng.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    for i, f in enumerate(files):
+        eng.apply(os.path.join(ev_dir, f), batch_id=f"slice-{i}")
+    got = eng.to_arrow()
+    want = oracle_final_state(pages, events)
+    assert _norm(got) == _norm(want)
+
+
+def test_resume_mid_stream(fixture_dir, tmp_path):
+    """Crash after k slices + restart on the full stream == one-shot
+    (checkpoint high-water mark: only lsn > applied_lsn reprocessed)."""
+    import pyarrow.parquet as pq
+
+    pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
+    ev_dir = os.path.join(fixture_dir, "change_events")
+    files = sorted(os.listdir(ev_dir))
+    events = pa.concat_tables(pq.read_table(os.path.join(ev_dir, f)) for f in files)
+
+    root = str(tmp_path / "lake")
+    eng = CDCEngine(root, num_partitions=8)
+    eng.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    eng.apply(os.path.join(ev_dir, files[0]), batch_id="pre-crash")
+    # "restart": new engine instance over the same lake root, full stream
+    eng2 = CDCEngine(root, num_partitions=8)
+    eng2.apply(ev_dir, batch_id="post-crash")
+    got = eng2.to_arrow()
+    want = oracle_final_state(pages, events)
+    assert _norm(got) == _norm(want)
+
+
+def test_text_byte_identical_per_url(fixture_dir, tmp_path):
+    """FIXTURES.md invariant #2: byte-identical text per url across two
+    independent replays (different slicing)."""
+    ev_dir = os.path.join(fixture_dir, "change_events")
+    files = sorted(os.listdir(ev_dir))
+
+    a = CDCEngine(str(tmp_path / "lake_a"), num_partitions=8)
+    a.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    a.apply(ev_dir, batch_id="oneshot")
+
+    b = CDCEngine(str(tmp_path / "lake_b"), num_partitions=4)
+    b.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    for i, f in enumerate(files):
+        b.apply(os.path.join(ev_dir, f), batch_id=f"s{i}")
+
+    ta = a.to_arrow().select(["url", "text"]).sort_by("url")
+    tb = b.to_arrow().select(["url", "text"]).sort_by("url")
+    assert ta.equals(tb)
+
+
+def test_deletes_are_applied(tmp_path):
+    pages = gen_pages(50, seed=7)
+    events = gen_change_events(300, 50, seed=7, schema_change_frac=0.0)
+    n_del_winners = 0
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(pages)
+    eng.apply(events, batch_id="b1")
+    got = eng.to_arrow()
+    want = oracle_final_state(pages, events)
+    assert _norm(got) == _norm(want)
+    # sanity: the fixture actually exercises deletes
+    assert pc.sum(pc.equal(events.column("op"), pa.scalar("delete"))).as_py() > 0
+    assert got.num_rows < 50 + 300
