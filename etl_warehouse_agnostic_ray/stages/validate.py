@@ -1,0 +1,99 @@
+"""Post-load validation aggregates → run report.
+
+Reference: the post-run integrity task re-queries the warehouse per
+endpoint — row counts, duplicate keys (count(*) - count(DISTINCT key)),
+null-rate on critical fields, freshness — and fails the pipeline on
+critical issues (``airflow/dags/repsly_dag.py:39-270``; thresholds
+``config/sources/repsly.yml:137-167``). Here the same metrics run as
+Ray aggregates over the lake's logical view, with partial per-batch
+combiners so no full shuffle is needed.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _partials(batch: pa.Table, key: str, critical: list[str], fresh_col: str | None, fresh_after_us: int | None) -> pa.Table:
+    """Per-batch partial counters (combiner) — one output row."""
+    n = batch.num_rows
+    out = {
+        "rows": [n],
+        # distinct-per-batch overcounts across batches, so the exact
+        # duplicate check reduces key hashes instead: emit them
+    }
+    for c in critical:
+        out[f"null_{c}"] = [n - pc.count(batch.column(c)).as_py()]
+    if fresh_col and fresh_after_us is not None:
+        ts = pc.cast(batch.column(fresh_col), pa.int64())
+        out["fresh_rows"] = [
+            pc.sum(pc.cast(pc.greater_equal(ts, pa.scalar(fresh_after_us)), pa.int64())).as_py()
+            or 0
+        ]
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def validate_dataset(
+    ds,
+    key: str = "url",
+    critical: list[str] | None = None,
+    fresh_col: str | None = None,
+    fresh_after_us: int | None = None,
+    max_null_rate: float = 0.5,
+) -> dict:
+    """Compute the reference's validation metrics over a Dataset.
+
+    Exact duplicate-key count uses ``groupby(key).count()`` streamed and
+    reduced per-batch (counts >1) — the only shuffle, over (key,count)
+    pairs, not payloads.
+    """
+    critical = critical or []
+
+    import functools
+
+    part = ds.map_batches(
+        functools.partial(
+            _partials,
+            key=key,
+            critical=critical,
+            fresh_col=fresh_col,
+            fresh_after_us=fresh_after_us,
+        ),
+        batch_format="pyarrow",
+    )
+    totals: dict[str, int] = {}
+    for b in part.iter_batches(batch_format="pyarrow"):
+        for c in b.column_names:
+            totals[c] = totals.get(c, 0) + (pc.sum(b.column(c)).as_py() or 0)
+    rows = totals.get("rows", 0)
+
+    # exact duplicate keys: shuffle only the key column
+    dup_rows = 0
+    dup_keys = 0
+    counts = ds.select_columns([key]).groupby(key).count()
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        cnt = b.column("count()")
+        over = pc.filter(cnt, pc.greater(cnt, pa.scalar(1)))
+        dup_keys += len(over)
+        dup_rows += (pc.sum(over).as_py() or 0) - len(over)
+
+    report = {
+        "rows": rows,
+        "duplicate_keys": dup_keys,
+        "duplicate_rows": dup_rows,
+        "null_rates": {
+            c: (totals.get(f"null_{c}", 0) / rows if rows else 0.0) for c in critical
+        },
+        "issues": [],
+    }
+    if fresh_col and fresh_after_us is not None:
+        report["fresh_rows"] = totals.get("fresh_rows", 0)
+        report["stale_rows"] = rows - report["fresh_rows"]
+    if dup_keys:
+        report["issues"].append(f"{dup_keys} duplicate {key} keys ({dup_rows} extra rows)")
+    for c, r in report["null_rates"].items():
+        if r > max_null_rate:
+            report["issues"].append(f"null rate {r:.2%} on critical column {c}")
+    report["passed"] = not report["issues"]
+    return report
