@@ -1,0 +1,22 @@
+"""Large-scale training-data operators (beyond the reference's surface).
+
+Exact/near dedup, text analysis, similarity search, multimodal plumbing
+— each expressed Ray-Data-first: vectorized map_batches for per-doc
+work, a single keyed shuffle only where co-location is semantically
+required (LSH buckets, hash groups).
+"""
+
+from .dedup import (  # noqa: F401
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_signatures,
+)
+from .similarity import topk_cosine  # noqa: F401
+from .text import (  # noqa: F401
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)

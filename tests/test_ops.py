@@ -1,0 +1,179 @@
+"""Training-data ops over /root/testdata documents + embeddings."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etl_warehouse_agnostic_ray.ops.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_signatures,
+)
+from etl_warehouse_agnostic_ray.ops.multimodal import DecodeImageBatch, SampleFramesBatch
+from etl_warehouse_agnostic_ray.ops.similarity import topk_cosine
+from etl_warehouse_agnostic_ray.ops.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    return pq.read_table(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_ds(docs, ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(docs)
+
+
+@pytest.fixture(scope="module")
+def emb_ds(sf_dir, ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+class TestText:
+    def test_token_count_matches_duckdb(self, docs):
+        got = token_count(docs).column("n_tokens").to_pylist()
+        want = duckdb.sql(
+            "SELECT CASE WHEN trim(text)='' THEN 0 ELSE "
+            "array_length(regexp_split_to_array(trim(text), '\\s+')) END "
+            "FROM docs",
+        ).fetchall()
+        assert got == [w[0] for w in want]
+
+    def test_quality_matches_duckdb(self, docs):
+        got = quality_score(docs).column("quality").to_pylist()
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                """
+            SELECT round(100*(0.5*least(length(text),500)/500.0
+                + 0.4*coalesce(length(regexp_replace(text,'[^A-Za-z]','','g'))
+                      /nullif(length(text),0)::DOUBLE, 0)
+                + 0.1*(CASE WHEN regexp_matches(text,'[.!?]\\s*$') THEN 1 ELSE 0 END)),2)
+            FROM docs"""
+            ).fetchall()
+        ]
+        assert got == pytest.approx(want)
+
+    def test_lang_id_deterministic(self, docs):
+        a = lang_id(docs).column("lang_pred").to_pylist()
+        b = lang_id(docs).column("lang_pred").to_pylist()
+        assert a == b
+        assert set(a) <= {"en", "de", "fr", "es", "und"}
+
+    def test_fingerprint_equality_iff_normalized_text(self):
+        t = pa.table({"text": ["a  b", "a b", "a c", None]})
+        fp = doc_fingerprint(t).column("fingerprint").to_pylist()
+        assert fp[0] == fp[1] != fp[2]
+        assert fp[3] == 0
+
+
+class TestDedup:
+    def test_exact_dedup(self, docs_ds, docs):
+        got = exact_dedup(docs_ds).to_pandas()
+        want = duckdb.sql(
+            "SELECT count(*) FROM (SELECT min(doc_id) FROM docs GROUP BY text)"
+        ).fetchone()[0]
+        assert len(got) == want
+        # survivor = min doc_id per text
+        m = got.groupby("text")["doc_id"].min()
+        assert (got.set_index("text")["doc_id"].sort_index() == m.sort_index()).all()
+
+    def test_minhash_lsh_finds_exact_dups(self, docs_ds, docs):
+        pairs = minhash_lsh_pairs(docs_ds, jaccard_threshold=0.9).to_pandas()
+        # every exact-duplicate text pair must be found (signatures equal)
+        dup_pairs = duckdb.sql(
+            """
+            SELECT a.doc_id, b.doc_id FROM docs a JOIN docs b
+            ON a.text = b.text AND a.doc_id < b.doc_id"""
+        ).fetchall()
+        found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        missing = [p for p in dup_pairs if p not in found]
+        assert not missing
+        assert ((pairs["jaccard"] >= 0.9) | np.isclose(pairs["jaccard"], 0.9)).all()
+
+    def test_simhash_identical_text_same_sig(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table(
+            {"doc_id": [1, 2, 3], "text": ["spark ray data", "spark ray data", "zzz qqq"]}
+        )
+        out = simhash_signatures(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+        assert out.loc[1, "simhash"] == out.loc[2, "simhash"]
+        assert out.loc[1, "simhash"] != out.loc[3, "simhash"]
+
+    def test_ngram_jaccard(self):
+        assert ngram_jaccard("a b c d", "a b c d") == 1.0
+        assert ngram_jaccard("a b c d", "x y z w") == 0.0
+        assert 0.0 < ngram_jaccard("a b c d e", "a b c d x") < 1.0
+
+    def test_embedding_neardup(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal(16)
+        vecs = [base, base * 2.0, rng.standard_normal(16)]  # colinear pair
+        t = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64())),
+            }
+        )
+        pairs = embedding_neardup_pairs(rd.from_arrow(t), threshold=0.99).to_pandas()
+        assert {(0, 1)} == set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+class TestSimilarity:
+    def test_topk_matches_duckdb(self, emb_ds, sf_dir):
+        q = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        queries = np.asarray(q.column("embedding").to_pylist()[:2], dtype=np.float64)
+        got = topk_cosine(emb_ds, queries, k=5)
+        con = duckdb.connect()
+        con.register("emb", q)
+        for qi in range(2):
+            qlist = list(queries[qi])
+            want = con.execute(
+                f"""
+                SELECT vec_id FROM emb
+                ORDER BY list_cosine_similarity(embedding, {qlist}) DESC, vec_id ASC
+                LIMIT 5"""
+            ).fetchall()
+            got_ids = got.filter(
+                pa.compute.equal(got.column("query_id"), pa.scalar(qi))
+            ).column("vec_id").to_pylist()
+            assert got_ids == [w[0] for w in want]
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self):
+        t = pa.table(
+            {"doc_id": [1, 2], "image": pa.array([b"\x01" * 64, None], pa.large_binary())}
+        )
+        out = DecodeImageBatch(fake=True)(t)
+        assert out.column("width")[0].as_py() >= 1
+        assert out.column("mode").to_pylist() == ["RGB", "none"]
+        assert len(out.column("features")[0].as_py()) == 8
+
+    def test_decode_real_requires_lib(self):
+        with pytest.raises(NotImplementedError):
+            DecodeImageBatch(fake=False)
+
+    def test_frame_sampling(self):
+        t = pa.table(
+            {"key": ["v1", "v2"], "video": pa.array([b"x" * (1 << 17), b""], pa.large_binary())}
+        )
+        out = SampleFramesBatch(fake=True)(t)
+        assert out.column("key").to_pylist().count("v1") >= 2
+        assert "v2" not in out.column("key").to_pylist()
