@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC pipeline (pages + WAL-shaped change
+stream → versioned lake upsert) at sf0.001. ``queries()`` exposes one
+callable per implemented operator/pipeline from SURVEY.md §2 (+ the
+training-data ops); ``oracle_sql()`` gives the DuckDB twin for every
+SQL-expressible one.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library code these use.
 """
 
 from __future__ import annotations
@@ -18,27 +15,36 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from etl_warehouse_agnostic_ray.pipelines import queries as Q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: deterministic input_hint-shaped fixture sized
+    for sf0.001 → bootstrap → CDC replay → final logical lake table."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_warehouse_agnostic_ray import CDCEngine
+
+    d = Q.fixture_dir("/root/testdata/sf0.001")
+    root = tempfile.mkdtemp(prefix="lake_entry_", dir="/tmp")
+    try:
+        eng = CDCEngine(root, num_partitions=8)
+        eng.bootstrap(os.path.join(d, "pages.parquet"))
+        eng.apply(os.path.join(d, "change_events"), batch_id="entry-replay")
+        return eng.lake.to_arrow()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # generate the sf0.01 fixtures up front so oracle SQL that reads
+    # /tmp parquet works regardless of evaluation order
+    Q.fixture_dir("/root/testdata/sf0.01")
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    Q.fixture_dir("/root/testdata/sf0.01")
+    return dict(Q.ORACLES)

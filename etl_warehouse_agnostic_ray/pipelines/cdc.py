@@ -258,12 +258,43 @@ class CDCEngine:
             }
         return out
 
+    def init_empty(self, batch_id: str = "init") -> dict:
+        """Start a lake with no snapshot (pure change-stream ingest)."""
+        return self.lake.commit(
+            {},
+            batch_id=batch_id,
+            applied_lsn=-1,
+            schema_ops=[],
+            num_partitions=self.num_partitions,
+            stats={"op": "init_empty"},
+        )
+
     @staticmethod
     def _read_schema_events(stream, applied_lsn: int) -> list[dict]:
         """Schema-change rows are rare (~0.2%); read them with parquet
         predicate pushdown (row-group pruning) — never a full scan on the
         driver."""
+        if not isinstance(stream, (str, pa.Table)):
+            # a ray.data.Dataset: tiny filtered projection
+            if "schema_kind" not in stream.schema().names:
+                return []
+            sel = stream.select_columns(
+                ["lsn", "op", "schema_kind", "schema_column", "schema_type"]
+            ).map_batches(
+                lambda t: t.filter(
+                    pc.and_(
+                        pc.equal(t.column("op"), pa.scalar("schema_change")),
+                        pc.greater(t.column("lsn"), pa.scalar(applied_lsn, pa.int64())),
+                    )
+                ).drop(["op"]),
+                batch_format="pyarrow",
+            )
+            rows = sel.take_all()
+            rows.sort(key=lambda r: r["lsn"])
+            return rows
         if isinstance(stream, pa.Table):
+            if "schema_kind" not in stream.column_names:
+                return []
             t = stream.filter(
                 pc.and_(
                     pc.equal(stream.column("op"), pa.scalar("schema_change")),

@@ -1,0 +1,770 @@
+"""Driver-facing query registry: one entry per operator/pipeline from
+SURVEY.md §2 (+ training-data ops), each with a DuckDB oracle where the
+semantics are SQL-expressible.
+
+Every callable takes ``sf_dir`` and returns a Dataset / pyarrow Table.
+Column names are chosen to match the oracle SQL exactly (the driver
+hashes values after sorting columns by name).
+
+Ray is initialised by the caller (driver / bench / tests) — nothing
+here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .. import functions as F
+from ..datagen import write_fixture
+from ..ops.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
+from ..ops.multimodal import DecodeImageBatch
+from ..ops.similarity import topk_cosine
+from ..ops.text import doc_fingerprint, lang_id, quality_score, token_count
+from ..stages.explode import explode_json_array
+from .cdc import CDCEngine
+
+FIX_ROOT = "/tmp/graft_fix"
+
+_SF_SIZES = {  # events, urls per sf tier
+    "sf0.001": (2_000, 300),
+    "sf0.01": (20_000, 3_000),
+    "sf0.1": (200_000, 30_000),
+}
+
+
+def fixture_dir(sf_dir: str) -> str:
+    """Deterministic input_hint-shaped fixture for this sf tier
+    (pages.parquet + LSN-sliced change_events/, no schema ops so the
+    DuckDB oracle can window over it), plus a forms.parquet for the
+    JSON-explode operator. Idempotent."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n_events, n_urls = _SF_SIZES.get(name, (20_000, 3_000))
+    d = os.path.join(FIX_ROOT, name)
+    write_fixture(d, n_events, n_urls, seed=42, schema_change_frac=0.0)
+    forms_path = os.path.join(d, "forms.parquet")
+    if not os.path.exists(forms_path):
+        _write_forms(forms_path, n_rows=500)
+    return d
+
+
+def _write_forms(path: str, n_rows: int) -> None:
+    import json
+
+    form_ids, items = [], []
+    for i in range(n_rows):
+        form_ids.append(f"f{i:05d}")
+        if i % 13 == 0:
+            items.append(None)
+        elif i % 10 == 0:
+            items.append("not json {")
+        else:
+            arr = [
+                {"Field": f"field_{j}", "Value": str((i * 7 + j) % 100)}
+                for j in range(i % 4)
+            ]
+            items.append(json.dumps(arr))
+    pq.write_table(
+        pa.table({"form_id": pa.array(form_ids), "items": pa.array(items, pa.string())}),
+        path,
+    )
+
+
+def _round2(batch: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        batch = batch.set_column(
+            batch.column_names.index(c),
+            c,
+            pc.round(
+                pc.cast(batch.column(c), pa.float64()),
+                ndigits=2,
+                round_mode="half_towards_infinity",
+            ),
+        )
+    return batch
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+# ===================================================================
+# CDC pipelines (the engine itself)
+# ===================================================================
+
+
+def q_cdc_events_lww(sf_dir: str):
+    """Full engine run over a WAL mapped from the ``events`` table:
+    lsn=event_id, key=user_id, version-ts=ts, delete when
+    event_type='error'. Exercises read→normalize→shuffle→LWW-merge→
+    commit→read-back (SURVEY.md §2.8 exact LWW dedup)."""
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+
+    def to_wal(b: pa.Table) -> pa.Table:
+        op = pc.if_else(
+            pc.equal(b.column("event_type"), pa.scalar("error")),
+            pa.scalar("delete"),
+            pa.scalar("update"),
+        )
+        return pa.table(
+            {
+                "lsn": b.column("event_id"),
+                "op": op,
+                "url": pc.cast(b.column("user_id"), pa.string()),
+                "warc_ts": b.column("ts"),
+                "text": pc.cast(b.column("props"), pa.large_string()),
+                "lang": b.column("event_type"),
+            }
+        )
+
+    wal = ev.map_batches(to_wal, batch_format="pyarrow")
+    root = tempfile.mkdtemp(prefix="lake_events_", dir="/tmp")
+    try:
+        eng = CDCEngine(root, num_partitions=16)
+        eng.init_empty()
+        eng.apply(wal, batch_id="events-replay")
+        t = eng.lake.to_arrow(include_lineage=True)
+        t = t.select(["url", "warc_ts", "text", "lang", "_lsn"]).rename_columns(
+            ["url", "warc_ts", "text", "lang", "lsn"]
+        )
+        return t
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_CDC_EVENTS_LWW = """
+WITH ranked AS (
+  SELECT CAST(user_id AS VARCHAR) AS url, ts AS warc_ts, props AS text,
+         event_type AS lang, event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT url, warc_ts, text, lang, lsn FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_cdc_pages_replay(sf_dir: str):
+    """Flagship: input_hint-shaped pages + change stream → lake upsert,
+    returning the final logical table (minus html for compare size)."""
+    d = fixture_dir(sf_dir)
+    root = tempfile.mkdtemp(prefix="lake_pages_", dir="/tmp")
+    try:
+        eng = CDCEngine(root, num_partitions=16)
+        eng.bootstrap(os.path.join(d, "pages.parquet"))
+        eng.apply(os.path.join(d, "change_events"), batch_id="replay")
+        return eng.lake.to_arrow().select(["url", "warc_ts", "text", "lang"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_CDC_PAGES_REPLAY = f"""
+WITH unioned AS (
+  SELECT url, warc_ts, text, lang, CAST(-1 AS BIGINT) AS lsn, 'insert' AS op
+  FROM read_parquet('{FIX_ROOT}/sf0.01/pages.parquet')
+  UNION ALL
+  SELECT url, warc_ts, text, lang, lsn, op
+  FROM read_parquet('{FIX_ROOT}/sf0.01/change_events/*.parquet')
+  WHERE op <> 'schema_change'
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+  FROM unioned)
+SELECT url, warc_ts, text, lang FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_cdc_schema_evolution(sf_dir: str):
+    """Engine run over a stream WITH interleaved add/widen/rename ops;
+    returns the final logical schema (column name/type rows). Not
+    SQL-expressible (DDL-in-stream) → rows-only check."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n_events, n_urls = _SF_SIZES.get(name, (20_000, 3_000))
+    d = os.path.join(FIX_ROOT, name + "_schema")
+    write_fixture(d, n_events, n_urls, seed=43, schema_change_frac=0.002)
+    root = tempfile.mkdtemp(prefix="lake_schema_", dir="/tmp")
+    try:
+        eng = CDCEngine(root, num_partitions=8)
+        eng.bootstrap(os.path.join(d, "pages.parquet"))
+        eng.apply(os.path.join(d, "change_events"), batch_id="replay")
+        t = eng.lake.to_arrow()
+        return pa.table(
+            {
+                "column_name": pa.array([f.name for f in t.schema]),
+                "column_type": pa.array([str(f.type) for f in t.schema]),
+            }
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ===================================================================
+# Aggregations / sorts / set ops (SURVEY.md §2.6-2.8 generic surface)
+# ===================================================================
+
+
+def q_agg_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def add_disc(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
+        )
+        return b.append_column("disc_price", rev)
+
+    out = (
+        ds.map_batches(add_disc, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    t = _round2(t, ["sum_qty", "sum_base_price", "sum_disc_price"])
+    avg = pc.round(
+        pc.divide(pc.cast(t.column("sum_qty"), pa.float64()), pc.cast(t.column("count_order"), pa.float64())),
+        ndigits=2,
+        round_mode="half_towards_infinity",
+    )
+    return t.append_column("avg_qty", avg)
+
+
+SQL_AGG_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order,
+       round(round(sum(l_quantity), 2) / count(*), 2) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project_revenue(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def body(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), pa.scalar(np.datetime64("1996-01-01", "us"))),
+            pc.less(b.column("l_shipdate"), pa.scalar(np.datetime64("1997-01-01", "us"))),
+        )
+        f = b.filter(m)
+        rev = pc.multiply(
+            f.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), f.column("l_discount"))
+        )
+        return pa.table({"l_orderkey": f.column("l_orderkey"), "rev": rev})
+
+    out = ds.map_batches(body, batch_format="pyarrow").groupby("l_orderkey").aggregate(
+        Sum("rev", alias_name="revenue")
+    )
+    t = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+    return _round2(t, ["revenue"])
+
+
+SQL_FILTER_PROJECT_REVENUE = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey
+"""
+
+
+def q_sort_topk_orders(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_SORT_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_distinct_segments(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    return (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+SQL_DISTINCT_SEGMENTS = """
+SELECT c_mktsegment, count(*) AS n_customers FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_union_counts(sf_dir: str):
+    """ds.union (bronze append semantics, SURVEY.md §2.8): orders ∪
+    orders restricted — row multiset preserved."""
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    a = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus"])
+    b = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus"])
+    return a.union(b).groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+
+
+SQL_UNION_COUNTS = """
+SELECT o_orderstatus, count(*) AS n FROM (
+  SELECT o_orderstatus FROM orders UNION ALL SELECT o_orderstatus FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
+# ===================================================================
+# Scalar-function pipelines (SURVEY.md §2.3 / §2.9)
+# ===================================================================
+
+
+def q_case_ladder_order_tiers(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderpriority"]
+    )
+
+    def body(b: pa.Table) -> pa.Table:
+        p = b.column("o_totalprice")
+        tier = pc.case_when(
+            pc.make_struct(
+                pc.less(p, pa.scalar(50_000.0)),
+                pc.less(p, pa.scalar(150_000.0)),
+                pc.less(p, pa.scalar(300_000.0)),
+            ),
+            "small",
+            "medium",
+            "large",
+            "jumbo",
+        )
+        urgent = pc.is_in(
+            pc.utf8_slice_codeunits(b.column("o_orderpriority"), 0, 1),
+            value_set=pa.array(["1", "2"]),
+        )
+        return pa.table({"value_tier": tier, "is_urgent": urgent, "o_totalprice": p})
+
+    return (
+        ds.map_batches(body, batch_format="pyarrow")
+        .groupby(["value_tier", "is_urgent"])
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
+        .map_batches(functools.partial(_round2, cols=["total_price"]), batch_format="pyarrow")
+    )
+
+
+SQL_CASE_LADDER_ORDER_TIERS = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            WHEN o_totalprice < 300000 THEN 'large'
+            ELSE 'jumbo' END AS value_tier,
+       substring(o_orderpriority, 1, 1) IN ('1','2') AS is_urgent,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_date_derivations_events(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def body(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "event_hour": pc.cast(F.to_hour(ts), pa.int64()),
+                "event_dow": pc.cast(F.to_dow(ts), pa.int64()),
+                "tod_bucket": F.time_of_day_bucket(ts),
+            }
+        )
+
+    return (
+        ds.map_batches(body, batch_format="pyarrow")
+        .groupby(["event_type", "tod_bucket"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_DATE_DERIVATIONS_EVENTS = """
+SELECT event_type,
+       CASE WHEN hour(ts) >= 6 AND hour(ts) < 12 THEN 'morning'
+            WHEN hour(ts) >= 12 AND hour(ts) < 18 THEN 'afternoon'
+            WHEN hour(ts) >= 18 AND hour(ts) < 22 THEN 'evening'
+            ELSE 'night' END AS tod_bucket,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_string_funcs_customers(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+
+    def body(b: pa.Table) -> pa.Table:
+        num = pc.struct_field(
+            pc.extract_regex(b.column("c_name"), r"(?P<n>\d+)$"), "n"
+        )
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "cust_num": F.to_int_or_null(num),
+                "seg_lower": pc.utf8_lower(b.column("c_mktsegment")),
+                "name_clean": F.squash_whitespace(b.column("c_name")),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+SQL_STRING_FUNCS_CUSTOMERS = """
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '(\\d+)$', 1) AS BIGINT) AS cust_num,
+       lower(c_mktsegment) AS seg_lower,
+       trim(regexp_replace(regexp_replace(c_name, '[\\r\\n\\t]+', ' ', 'g'), ' {2,}', ' ', 'g')) AS name_clean
+FROM customer
+"""
+
+
+def q_json_extract_events(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+
+    def body(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "k_val": F.json_extract_string(b.column("props"), "k"),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+SQL_JSON_EXTRACT_EVENTS = """
+SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events
+"""
+
+
+def q_explode_form_items(sf_dir: str):
+    d = fixture_dir(sf_dir)
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(d, "forms.parquet"))
+    return ds.map_batches(
+        functools.partial(
+            explode_json_array,
+            col="items",
+            fields=["Field", "Value"],
+            parent_cols=["form_id"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EXPLODE_FORM_ITEMS = f"""
+SELECT form_id, i AS item_number,
+       arr[i]."Field" AS item_field, arr[i]."Value" AS item_value
+FROM (SELECT form_id,
+             json_transform(items, '[{{"Field":"VARCHAR","Value":"VARCHAR"}}]') AS arr
+      FROM read_parquet('{FIX_ROOT}/sf0.01/forms.parquet')
+      WHERE items IS NOT NULL AND json_valid(items)
+        AND json_type(items) = 'ARRAY') t
+CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+"""
+
+
+def q_watermark_max_ts(sf_dir: str):
+    """Watermark advance = max(event time) per source (SURVEY.md §2.6)."""
+    from ray.data.aggregate import Count, Max
+
+    rd = _rd()
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+        .groupby("event_type")
+        .aggregate(Max("ts", alias_name="watermark_ts"), Count(alias_name="n_events"))
+    )
+
+
+SQL_WATERMARK_MAX_TS = """
+SELECT event_type, max(ts) AS watermark_ts, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_validation_documents(sf_dir: str):
+    """The reference's post-load integrity metrics as one result row
+    (counts / duplicates / null-rate, repsly_dag.py:39-270)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rows_total": pa.array([b.num_rows], pa.int64()),
+                "null_lang": pa.array(
+                    [b.num_rows - pc.count(b.column("lang")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    rows_total = 0
+    null_lang = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        rows_total += pc.sum(b.column("rows_total")).as_py() or 0
+        null_lang += pc.sum(b.column("null_lang")).as_py() or 0
+    distinct_texts = ds.select_columns(["text"]).unique("text")
+    n_distinct = len(distinct_texts)
+    return pa.table(
+        {
+            "rows_total": pa.array([rows_total], pa.int64()),
+            "distinct_texts": pa.array([n_distinct], pa.int64()),
+            "duplicate_rows": pa.array([rows_total - n_distinct], pa.int64()),
+            "null_lang": pa.array([null_lang], pa.int64()),
+        }
+    )
+
+
+SQL_VALIDATION_DOCUMENTS = """
+SELECT count(*) AS rows_total,
+       count(DISTINCT text) AS distinct_texts,
+       count(*) - count(DISTINCT text) AS duplicate_rows,
+       count(*) - count(lang) AS null_lang
+FROM documents
+"""
+
+
+# ===================================================================
+# Training-data ops
+# ===================================================================
+
+
+def q_dedup_exact_documents(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id", "text"])
+
+
+SQL_DEDUP_EXACT_DOCUMENTS = """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+def q_text_quality_tokens(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_count, batch_format="pyarrow").map_batches(
+        quality_score, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens", "quality"])
+
+
+SQL_TEXT_QUALITY_TOKENS = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       round(100*(0.5*least(length(text), 500)/500.0
+           + 0.4*coalesce(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / nullif(length(text), 0)::DOUBLE, 0)
+           + 0.1*(CASE WHEN regexp_matches(text, '[.!?]\\s*$') THEN 1 ELSE 0 END)), 2)
+         AS quality
+FROM documents
+"""
+
+
+def q_lang_id_documents(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(lang_id, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+def q_fingerprint_documents(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(doc_fingerprint, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+def q_minhash_neardup_pairs(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.8)
+    return pairs.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("jaccard"),
+            "jaccard",
+            pc.round(t.column("jaccard"), ndigits=4),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_simhash_documents(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_signatures(ds)
+
+
+def q_embedding_topk(sf_dir: str):
+    rd = _rd()
+    q = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mask = pc.less(q.column("vec_id"), pa.scalar(3))
+    queries = np.asarray(q.filter(mask).column("embedding").to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = topk_cosine(ds, queries, k=5)
+    return t.select(["query_id", "rank", "vec_id"])
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3)
+SELECT q.query_id,
+       row_number() OVER (
+         PARTITION BY q.query_id
+         ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id ASC
+       ) AS rank,
+       e.vec_id
+FROM q CROSS JOIN embeddings e
+QUALIFY rank <= 5
+"""
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Near-duplicate pairs at cosine ≥ 0.99 over embeddings ∪ an
+    id-shifted exact copy (the base table has no near-dups — max pairwise
+    cosine ≈ 0.51 — so the expected pair set is exactly {(i, i+10000)}:
+    a deterministic, SQL-expressible check of the sign-LSH + verify path)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def shift(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pc.add(b.column("vec_id"), pa.scalar(10_000, pa.int64())),
+                "embedding": b.column("embedding"),
+            }
+        )
+
+    both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    pairs = embedding_neardup_pairs(both, threshold=0.99)
+    out = pa.concat_tables(
+        list(pairs.iter_batches(batch_format="pyarrow")) or
+        [pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                   "cosine": pa.array([], pa.float64())})]
+    )
+    return out.select(["doc_a", "doc_b"])
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT vec_id AS doc_a, vec_id + 10000 AS doc_b FROM embeddings
+"""
+
+
+def q_multimodal_decode(sf_dir: str):
+    d = fixture_dir(sf_dir)
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(d, "pages.parquet"), columns=["url", "html"])
+    out = ds.map_batches(
+        DecodeImageBatch, batch_format="pyarrow", batch_size=512, concurrency=2
+    )
+    return out.select_columns(["url", "width", "height", "mode"])
+
+
+# ===================================================================
+# registry
+# ===================================================================
+
+QUERIES = {
+    "cdc_events_lww": q_cdc_events_lww,
+    "cdc_pages_replay": q_cdc_pages_replay,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "filter_project_revenue": q_filter_project_revenue,
+    "sort_topk_orders": q_sort_topk_orders,
+    "distinct_segments": q_distinct_segments,
+    "union_counts": q_union_counts,
+    "case_ladder_order_tiers": q_case_ladder_order_tiers,
+    "date_derivations_events": q_date_derivations_events,
+    "string_funcs_customers": q_string_funcs_customers,
+    "json_extract_events": q_json_extract_events,
+    "explode_form_items": q_explode_form_items,
+    "watermark_max_ts": q_watermark_max_ts,
+    "validation_documents": q_validation_documents,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "text_quality_tokens": q_text_quality_tokens,
+    "lang_id_documents": q_lang_id_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "minhash_neardup_pairs": q_minhash_neardup_pairs,
+    "simhash_documents": q_simhash_documents,
+    "embedding_topk": q_embedding_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+ORACLES = {
+    "cdc_events_lww": SQL_CDC_EVENTS_LWW,
+    "cdc_pages_replay": SQL_CDC_PAGES_REPLAY,
+    "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
+    "filter_project_revenue": SQL_FILTER_PROJECT_REVENUE,
+    "sort_topk_orders": SQL_SORT_TOPK_ORDERS,
+    "distinct_segments": SQL_DISTINCT_SEGMENTS,
+    "union_counts": SQL_UNION_COUNTS,
+    "case_ladder_order_tiers": SQL_CASE_LADDER_ORDER_TIERS,
+    "date_derivations_events": SQL_DATE_DERIVATIONS_EVENTS,
+    "string_funcs_customers": SQL_STRING_FUNCS_CUSTOMERS,
+    "json_extract_events": SQL_JSON_EXTRACT_EVENTS,
+    "explode_form_items": SQL_EXPLODE_FORM_ITEMS,
+    "watermark_max_ts": SQL_WATERMARK_MAX_TS,
+    "validation_documents": SQL_VALIDATION_DOCUMENTS,
+    "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
+    "text_quality_tokens": SQL_TEXT_QUALITY_TOKENS,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+}

@@ -1,0 +1,84 @@
+"""Driver-contract test: every queries() entry runs; every oracle_sql()
+entry matches the Ray result (row count + schema + order-insensitive
+values) — the same comparison the external driver performs at sf0.01.
+
+Runs at sf0.001 by default (fast); set GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+to mirror the driver exactly.
+"""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as ENTRY  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()  # ray Dataset
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if str(df[c].dtype) in ("int32", "uint32", "int16"):
+            df[c] = df[c].astype("int64")
+        if df[c].dtype == bool:
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return c
+
+
+def test_entry_smoke(ray_session):
+    res = ENTRY.entry()
+    t = res if isinstance(res, pa.Table) else pa.Table.from_pandas(_to_pandas(res))
+    assert t.num_rows > 0
+    assert "url" in t.column_names and "text" in t.column_names
+
+
+def test_every_query_runs(ray_session, sf_dir):
+    qs = ENTRY.queries()
+    assert len(qs) >= 20
+    for name, fn in qs.items():
+        df = _to_pandas(fn(sf_dir))
+        assert df is not None and len(df.columns) > 0, name
+
+
+@pytest.mark.parametrize("name", sorted(ENTRY.oracle_sql()))
+def test_query_matches_oracle(name, ray_session, sf_dir, con):
+    import etl_warehouse_agnostic_ray.pipelines.queries as Q
+
+    # oracle SQL hardcodes the sf0.01 fixture path; rewrite for the test tier
+    sql = ENTRY.oracle_sql()[name].replace(
+        f"{Q.FIX_ROOT}/sf0.01", f"{Q.FIX_ROOT}/{os.path.basename(sf_dir)}"
+    )
+    got = _canon(_to_pandas(ENTRY.queries()[name](sf_dir)))
+    want = _canon(con.execute(sql).fetch_df())
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    assert list(got.columns) == list(want.columns), name
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False,
+                                  rtol=1e-9, atol=1e-9, obj=name)
