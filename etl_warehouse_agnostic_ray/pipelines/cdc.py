@@ -70,10 +70,14 @@ class CDCEngine:
         lake_root: str,
         num_partitions: int = 32,
         merge_concurrency: int | None = None,
+        salt_threshold: int | None = 4_000_000,
+        n_salts: int = 16,
     ):
         self.lake = LakeTable(lake_root)
         self.num_partitions = num_partitions
         self.merge_concurrency = merge_concurrency
+        self.salt_threshold = salt_threshold
+        self.n_salts = n_salts  # power of two (salt = lsn & (S-1))
         _use_hash_shuffle()
 
     # ------------------------------------------------------------------
@@ -167,16 +171,25 @@ class CDCEngine:
         if delta_rows == 0 and not schema_rows:
             return {"skipped": True, "reason": "no new events", "batch_id": batch_id}
 
-        # --- affected partitions: per-batch distinct pids (tiny) ---
-        def pids_of(batch: pa.Table) -> pa.Table:
-            return pa.table({"pid": pc.unique(batch.column(PID_COL))})
+        # --- affected partitions + per-pid row counts (tiny partials:
+        # ≤ P rows per batch; drives both pruning and skew detection) ---
+        def pid_counts_of(batch: pa.Table) -> pa.Table:
+            vc = batch.column(PID_COL).value_counts()
+            return pa.table(
+                {
+                    "pid": vc.field("values"),
+                    "n": pc.cast(vc.field("counts"), pa.int64()),
+                }
+            )
 
-        affected = set()
+        pid_counts: dict[int, int] = {}
         if delta_rows:
             for b in delta.select_columns([PID_COL]).map_batches(
-                pids_of, batch_format="pyarrow"
+                pid_counts_of, batch_format="pyarrow"
             ).iter_batches(batch_format="pyarrow"):
-                affected.update(b.column("pid").to_pylist())
+                for p, n in zip(b.column("pid").to_pylist(), b.column("n").to_pylist()):
+                    pid_counts[p] = pid_counts.get(p, 0) + n
+        affected = set(pid_counts)
         # high-water mark MUST come from the raw stream, not the
         # pre-compacted delta: LWW compaction can drop the max-lsn row
         # (an older-lsn, newer-warc_ts row wins its key), and a
@@ -212,6 +225,33 @@ class CDCEngine:
             out = out.append_column(OP_COL, lineage[OP_COL])
             out = out.append_column(PID_COL, lineage[PID_COL])
             return out
+
+        # --- skew mitigation: salted two-level merge for hot partitions.
+        # A partition whose delta exceeds salt_threshold rows (a viral
+        # url with ~10^4× median churn, FIXTURES.md F2) would serialize
+        # its merge task. Because LWW is associative, we first compact
+        # per (pid, salt=lsn mod S) — S-way parallel — then the final
+        # per-pid merge sees at most S winners per url. ---
+        if delta_rows and self.salt_threshold and max(pid_counts.values()) > self.salt_threshold:
+            S = self.n_salts
+
+            def add_salt(b: pa.Table) -> pa.Table:
+                salt = pc.cast(
+                    pc.bit_wise_and(b.column(LSN_COL), pa.scalar(S - 1, pa.int64())),
+                    pa.int64(),
+                )
+                return b.append_column("_salt", salt)
+
+            def compact_group(g: pa.Table) -> pa.Table:
+                from ..stages.lww import lww_compact_table
+
+                return lww_compact_table(g.drop(["_salt"]))
+
+            delta = (
+                delta.map_batches(add_salt, batch_format="pyarrow")
+                .groupby([PID_COL, "_salt"])
+                .map_groups(compact_group, batch_format="pyarrow")
+            )
 
         merged_in = delta if delta_rows else None
         for _, files in sorted(epoch_files.items()):

@@ -1,0 +1,84 @@
+"""Change-stream source: LSN-sliced Parquet WAL reader.
+
+The reference's paginated cursor readers (timestamp-cursor, id-cursor,
+offset/limit — ``extractors/repsly/extractor.py:1168-1296``,
+``extractors/leaflink/extractor.py:1167-1242``) become, in a lake
+engine, *LSN-range slicing of an append-only Parquet log*: the cursor
+is the applied-LSN checkpoint, a "page" is a file slice, and the
+stop-condition is the end of the log. Predicate pushdown replaces the
+``modified__gte`` request parameter.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+
+class ChangeStreamSource:
+    """Reads a directory of LSN-ordered parquet slices incrementally.
+
+    - ``read_from(lsn)``: streaming Dataset of events with lsn > cursor
+      (row-group pushdown — files wholly below the cursor are skipped
+      via their parquet statistics, never opened).
+    - ``batches(cursor, max_events)``: yields bounded micro-batches
+      (paths + lsn windows) for scheduled micro-batch ingest, the
+      reference's cron cadence (SURVEY.md §1.1 "batch, not streaming").
+    """
+
+    def __init__(self, stream_dir: str, columns: list[str] | None = None):
+        self.dir = stream_dir
+        self.columns = columns
+
+    def files(self) -> list[str]:
+        return sorted(
+            os.path.join(self.dir, f)
+            for f in os.listdir(self.dir)
+            if f.endswith(".parquet")
+        )
+
+    def file_lsn_ranges(self) -> list[tuple[str, int, int]]:
+        """(path, min_lsn, max_lsn) from parquet footer statistics only."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in self.files():
+            md = pq.read_metadata(f)
+            lo, hi = None, None
+            idx = md.schema.to_arrow_schema().get_field_index("lsn")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            out.append((f, lo if lo is not None else -1, hi if hi is not None else -1))
+        return out
+
+    def read_from(self, lsn: int = -1):
+        import ray.data as rd
+
+        live = [f for f, _, hi in self.file_lsn_ranges() if hi > lsn]
+        if not live:
+            return None
+        return rd.read_parquet(
+            live,
+            columns=self.columns,
+            filter=pc.greater(pc.field("lsn"), pa.scalar(lsn, pa.int64())),
+        )
+
+    def batches(self, cursor: int = -1, max_files: int = 8):
+        """Yield (batch_id, file-list) micro-batches in LSN order."""
+        pending = [(f, lo, hi) for f, lo, hi in self.file_lsn_ranges() if hi > cursor]
+        for i in range(0, len(pending), max_files):
+            chunk = pending[i : i + max_files]
+            yield (
+                f"slice-{chunk[0][1]}-{chunk[-1][2]}",
+                [f for f, _, _ in chunk],
+            )
+
+    def count_remaining(self, lsn: int = -1) -> int:
+        dset = pads.dataset(self.files(), format="parquet")
+        return dset.count_rows(filter=pads.field("lsn") > lsn)

@@ -168,3 +168,22 @@ def test_deletes_are_applied(tmp_path):
     # sanity: the fixture actually exercises deletes
     assert pc.sum(pc.equal(events.column("op"), pa.scalar("delete"))).as_py() > 0
     assert got.num_rows < 50 + 300
+
+
+def test_salted_hot_key_merge_matches_oracle(fixture_dir, tmp_path):
+    """Force the two-level salted merge (salt_threshold tiny) — must be
+    byte-identical to the unsalted path/oracle (LWW associativity)."""
+    import pyarrow.parquet as pq
+
+    pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
+    ev_dir = os.path.join(fixture_dir, "change_events")
+    events = pa.concat_tables(
+        pq.read_table(os.path.join(ev_dir, f)) for f in sorted(os.listdir(ev_dir))
+    )
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8, salt_threshold=10, n_salts=4)
+    eng.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    rep = eng.apply(ev_dir, batch_id="salted")
+    assert not rep["skipped"]
+    got = eng.to_arrow()
+    want = oracle_final_state(pages, events)
+    assert _norm(got) == _norm(want)

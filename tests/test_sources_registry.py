@@ -1,0 +1,120 @@
+"""Sources (LSN slicing / watermark windows / ragged grids) + pipeline
+registry tests."""
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etl_warehouse_agnostic_ray.datagen import write_fixture
+from etl_warehouse_agnostic_ray.pipelines.registry import (
+    STEP_REGISTRY,
+    PipelineRegistry,
+    PipelineSpec,
+    register_step,
+)
+from etl_warehouse_agnostic_ray.sources import (
+    ChangeStreamSource,
+    IncrementalTableSource,
+    RaggedGridSource,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("src"))
+    write_fixture(d, 2000, 200, seed=9, schema_change_frac=0.0, n_files=5)
+    return os.path.join(d, "change_events")
+
+
+class TestChangeStream:
+    def test_lsn_ranges_and_pruning(self, stream_dir, ray_session):
+        src = ChangeStreamSource(stream_dir)
+        ranges = src.file_lsn_ranges()
+        assert len(ranges) == 5
+        assert all(lo <= hi for _, lo, hi in ranges)
+        # cursor beyond 3rd file's max: earlier files never read
+        cursor = ranges[2][2]
+        ds = src.read_from(cursor)
+        assert ds.count() == src.count_remaining(cursor)
+        assert src.read_from(ranges[-1][2]) is None  # fully consumed
+
+    def test_micro_batches_cover_stream(self, stream_dir):
+        src = ChangeStreamSource(stream_dir)
+        batches = list(src.batches(cursor=-1, max_files=2))
+        assert sum(len(fs) for _, fs in batches) == 5
+        assert len(batches) == 3
+
+
+class TestIncremental:
+    def test_watermark_window(self, tmp_path, ray_session):
+        path = str(tmp_path / "t.parquet")
+        ts = [dt.datetime(2024, 1, 1) + dt.timedelta(hours=h) for h in range(10)]
+        pq.write_table(pa.table({"id": list(range(10)), "mtime": pa.array(ts, pa.timestamp("us"))}), path)
+        src = IncrementalTableSource(path, "mtime", lookback=dt.timedelta(hours=1))
+        assert src.read(None).count() == 10  # first run: full extract
+        wm = dt.datetime(2024, 1, 1, 5)
+        ds = src.read(wm)
+        assert ds.count() == 6  # hours 4..9 (wm − 1h lookback overlap)
+        assert IncrementalTableSource.next_watermark(ds, "mtime") == ts[-1]
+
+
+class TestRagged:
+    def test_grid(self, ray_session):
+        src = RaggedGridSource([["A", "B"], ["1", "2"], ["3"]])
+        ds = src.to_dataset()
+        assert ds.count() == 2
+        assert set(ds.schema().names) == {"a", "b", "_row_number"}
+
+
+class TestRegistry:
+    def test_topo_and_run(self, ray_session):
+        import ray.data as rd
+
+        reg = PipelineRegistry()
+        calls = []
+
+        @register_step("double_value_test")
+        def double_value(ds):
+            return ds.map_batches(
+                lambda t: t.set_column(
+                    t.column_names.index("v"), "v", pa.compute.multiply(t.column("v"), 2)
+                ),
+                batch_format="pyarrow",
+            )
+
+        reg.add(
+            PipelineSpec(
+                name="b",
+                source=lambda: rd.from_arrow(pa.table({"v": [1, 2]})),
+                steps=["double_value_test"],
+                sink=lambda ds: (calls.append("b"), ds.to_pandas())[1],
+                depends_on=["a"],
+            )
+        )
+        reg.add(
+            PipelineSpec(
+                name="a",
+                source=lambda: rd.from_arrow(pa.table({"v": [5]})),
+                sink=lambda ds: (calls.append("a"), ds.to_pandas())[1],
+            )
+        )
+        reg.add(PipelineSpec(name="off", source=lambda: None, enabled=False))
+        out = reg.run()
+        assert calls == ["a", "b"]  # dependency order
+        assert out["b"]["v"].tolist() == [2, 4]
+        assert "off" not in out
+
+    def test_unknown_step_rejected(self):
+        reg = PipelineRegistry()
+        with pytest.raises(ValueError):
+            reg.add(PipelineSpec(name="x", source=lambda: None, steps=["nope"]))
+
+    def test_cycle_detected(self):
+        reg = PipelineRegistry()
+        reg.add(PipelineSpec(name="p", source=lambda: None, depends_on=["q"]))
+        reg.add(PipelineSpec(name="q", source=lambda: None, depends_on=["p"]))
+        with pytest.raises(ValueError, match="cycle"):
+            reg.topo_order()
