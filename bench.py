@@ -82,7 +82,10 @@ def run_headline() -> dict:
         import pyarrow.dataset as pads
 
         n_events = pads.dataset(os.path.join(d, "change_events")).count_rows()
-        eng = CDCEngine(lake_root, num_partitions=max(32, NUM_CPUS * 2))
+        # fixed partition count regardless of CPU level: partitioning is
+        # a property of the TABLE, and the scaling comparison must run
+        # the identical job at both parallelism levels
+        eng = CDCEngine(lake_root, num_partitions=64)
         t0 = time.perf_counter()
         eng.bootstrap(os.path.join(d, "pages.parquet"))
         t1 = time.perf_counter()

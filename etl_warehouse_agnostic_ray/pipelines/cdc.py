@@ -106,7 +106,7 @@ class CDCEngine:
         out_dir = self.lake.data_dir(version)
         stats = (
             ds.map_batches(prep, batch_format="pyarrow")
-            .groupby(PID_COL)
+            .groupby(PID_COL, num_partitions=P)
             .map_groups(
                 partition_merger(out_dir),
                 batch_format="pyarrow",
@@ -249,7 +249,7 @@ class CDCEngine:
 
             delta = (
                 delta.map_batches(add_salt, batch_format="pyarrow")
-                .groupby([PID_COL, "_salt"])
+                .groupby([PID_COL, "_salt"], num_partitions=min(P * S, 4096))
                 .map_groups(compact_group, batch_format="pyarrow")
             )
 
@@ -261,7 +261,7 @@ class CDCEngine:
         # --- the shuffle + per-partition LWW merge-write ---
         if merged_in is not None:
             stats = (
-                merged_in.groupby(PID_COL)
+                merged_in.groupby(PID_COL, num_partitions=P)
                 .map_groups(
                     partition_merger(out_dir),
                     batch_format="pyarrow",
