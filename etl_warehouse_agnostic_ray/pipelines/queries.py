@@ -57,6 +57,9 @@ def fixture_dir(sf_dir: str) -> str:
     forms_path = os.path.join(d, "forms.parquet")
     if not os.path.exists(forms_path):
         _write_forms(forms_path, n_rows=500)
+    dirty_path = os.path.join(d, "dirty_records.parquet")
+    if not os.path.exists(dirty_path):
+        _write_dirty(dirty_path)
     return d
 
 
@@ -78,6 +81,50 @@ def _write_forms(path: str, n_rows: int) -> None:
             items.append(json.dumps(arr))
     pq.write_table(
         pa.table({"form_id": pa.array(form_ids), "items": pa.array(items, pa.string())}),
+        path,
+    )
+
+
+
+def _write_dirty(path: str, n_rows: int = 400) -> None:
+    """F3 dirty_records fixture: every scalar-normalizer edge case."""
+    ms = []
+    nums, bools, lats, lons, emails, phones, notes = [], [], [], [], [], [], []
+    ms_variants = [
+        "/Date(1665059530000+0000)/", "/Date(1665059530000)/",
+        "2023-04-06T10:30:00Z", "2023-04-06 10:30:00", "2023-04-06",
+        "garbage", "", None,
+    ]
+    num_variants = ["42", "-7", "3.14", "NULL", "nan", "<NA>", "", "12abc", None]
+    bool_variants = ["true", "1", "t", "yes", "false", "0", "no", "None", None]
+    lat_variants = ["40.7", "91", "-91", "0", "abc", "-89.9", None]
+    lon_variants = ["-74.0", "181", "0", "179.9", "x", None]
+    email_variants = ["A.User@Example.COM", "bad@", "x@y.zz", "", None]
+    phone_variants = ["(555) 123-4567", "15551234567", "555123", "5551234567", None]
+    note_variants = ["a\r\nb\t c   d ", "  trim me  ", "", None]
+    for i in range(n_rows):
+        ms.append(ms_variants[i % len(ms_variants)])
+        nums.append(num_variants[i % len(num_variants)])
+        bools.append(bool_variants[i % len(bool_variants)])
+        lats.append(lat_variants[i % len(lat_variants)])
+        lons.append(lon_variants[i % len(lon_variants)])
+        emails.append(email_variants[i % len(email_variants)])
+        phones.append(phone_variants[i % len(phone_variants)])
+        notes.append(note_variants[i % len(note_variants)])
+    pq.write_table(
+        pa.table(
+            {
+                "row_id": pa.array(list(range(n_rows)), pa.int64()),
+                "ms_json_date": pa.array(ms, pa.string()),
+                "num_str": pa.array(nums, pa.string()),
+                "bool_str": pa.array(bools, pa.string()),
+                "lat": pa.array(lats, pa.string()),
+                "lon": pa.array(lons, pa.string()),
+                "email": pa.array(emails, pa.string()),
+                "phone": pa.array(phones, pa.string()),
+                "note": pa.array(notes, pa.string()),
+            }
+        ),
         path,
     )
 
@@ -717,6 +764,70 @@ def q_multimodal_decode(sf_dir: str):
     return out.select_columns(["url", "width", "height", "mode"])
 
 
+def q_normalize_dirty_records(sf_dir: str):
+    """F3 conformance: the full scalar-normalizer surface (SURVEY.md
+    §2.3/§2.9) applied in one vectorized map_batches pass over the dirty
+    fixture — MS-JSON dates, OrNull casts, bool parse, GPS bounds,
+    email validate+domain, US phone normalize, whitespace squash —
+    value-matched against a DuckDB oracle."""
+    d = fixture_dir(sf_dir)
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(d, "dirty_records.parquet"))
+
+    def body(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "row_id": b.column("row_id"),
+                "parsed_ts": F.parse_ms_json_date(b.column("ms_json_date")),
+                "num_val": F.to_float_or_null(b.column("num_str")),
+                "int_val": F.to_int_or_null(b.column("num_str")),
+                "bool_val": F.parse_bool(b.column("bool_str")),
+                "lat_val": F.validate_lat(b.column("lat")),
+                "lon_val": F.validate_lon(b.column("lon")),
+                "email_ok": F.email_valid(b.column("email")),
+                "email_domain": F.email_domain(b.column("email")),
+                "phone_norm": F.phone_normalize_us(b.column("phone")),
+                "note_clean": F.squash_whitespace(b.column("note")),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+SQL_NORMALIZE_DIRTY_RECORDS = f"""
+SELECT row_id,
+  CASE
+    WHEN regexp_matches(ms_json_date, '^/Date\\(-?\\d+')
+      THEN to_timestamp(CAST(regexp_extract(ms_json_date, '^/Date\\((-?\\d+)', 1) AS BIGINT) / 1000.0)::TIMESTAMP
+    WHEN regexp_matches(regexp_replace(ms_json_date, 'Z$', ''), '^\\d{{4}}-\\d{{2}}-\\d{{2}}[ T]\\d{{2}}:\\d{{2}}(:\\d{{2}}(\\.\\d+)?)?$')
+      THEN CAST(replace(regexp_replace(ms_json_date, 'Z$', ''), 'T', ' ') AS TIMESTAMP)
+    WHEN regexp_matches(ms_json_date, '^\\d{{4}}-\\d{{2}}-\\d{{2}}$')
+      THEN CAST(ms_json_date || ' 00:00:00' AS TIMESTAMP)
+    ELSE NULL END AS parsed_ts,
+  CASE WHEN regexp_matches(trim(num_str), '^-?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?$')
+       THEN CAST(trim(num_str) AS DOUBLE) ELSE NULL END AS num_val,
+  CASE WHEN regexp_matches(trim(num_str), '^-?\\d+$')
+       THEN CAST(trim(num_str) AS BIGINT) ELSE NULL END AS int_val,
+  CASE WHEN lower(trim(bool_str)) IN ('true','1','t','yes','y') THEN TRUE
+       WHEN lower(trim(bool_str)) IN ('false','0','f','no','n') THEN FALSE
+       ELSE NULL END AS bool_val,
+  CASE WHEN TRY_CAST(lat AS DOUBLE) BETWEEN -90 AND 90 AND TRY_CAST(lat AS DOUBLE) <> 0
+       THEN TRY_CAST(lat AS DOUBLE) ELSE NULL END AS lat_val,
+  CASE WHEN TRY_CAST(lon AS DOUBLE) BETWEEN -180 AND 180 AND TRY_CAST(lon AS DOUBLE) <> 0
+       THEN TRY_CAST(lon AS DOUBLE) ELSE NULL END AS lon_val,
+  coalesce(regexp_matches(lower(email), '^[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}$'), FALSE) AS email_ok,
+  CASE WHEN regexp_matches(lower(email), '^[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}$')
+       THEN regexp_extract(lower(email), '@([a-z0-9.-]+)$', 1) ELSE NULL END AS email_domain,
+  CASE WHEN length(p10.d) = 10 THEN p10.d ELSE NULL END AS phone_norm,
+  trim(regexp_replace(regexp_replace(note, '[\r\n\t]+', ' ', 'g'), ' {{2,}}', ' ', 'g')) AS note_clean
+FROM read_parquet('{FIX_ROOT}/sf0.01/dirty_records.parquet'),
+LATERAL (SELECT CASE WHEN length(regexp_replace(phone, '\\D', '', 'g')) = 11
+                      AND regexp_replace(phone, '\\D', '', 'g') LIKE '1%'
+                     THEN substring(regexp_replace(phone, '\\D', '', 'g'), 2)
+                     ELSE regexp_replace(phone, '\\D', '', 'g') END AS d) p10
+"""
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -746,6 +857,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
+    "normalize_dirty_records": q_normalize_dirty_records,
 }
 
 ORACLES = {
@@ -767,4 +879,5 @@ ORACLES = {
     "text_quality_tokens": SQL_TEXT_QUALITY_TOKENS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "normalize_dirty_records": SQL_NORMALIZE_DIRTY_RECORDS,
 }

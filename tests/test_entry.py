@@ -34,14 +34,19 @@ def _to_pandas(res) -> pd.DataFrame:
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        if str(df[c].dtype).startswith("datetime64"):
+        dt = str(df[c].dtype)
+        if dt in ("bool", "boolean"):
+            df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: None
+                if v is None or (not isinstance(v, (list, tuple, bytes)) and pd.isna(v))
+                else (float(v) if isinstance(v, bool) else str(v))
+            )
+        elif dt.startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
-        if str(df[c].dtype) in ("int32", "uint32", "int16"):
-            df[c] = df[c].astype("int64")
-        if df[c].dtype == bool:
-            df[c] = df[c].astype("int64")
+        elif dt in ("int32", "uint32", "int16", "Int64", "Int32"):
+            df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
