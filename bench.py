@@ -160,9 +160,10 @@ def scaling() -> dict:
     # both parallelism levels; generated once, cached in /tmp
     from etl_warehouse_agnostic_ray.datagen import write_fixture
 
-    scaling_dir = os.path.join("/tmp/graft_fix", "scaling")
+    n_ev = int(os.environ.get("GRAFT_SCALING_EVENTS", "8000000"))
+    scaling_dir = os.path.join("/tmp/graft_fix", f"scaling{n_ev // 1_000_000}m")
     write_fixture(
-        scaling_dir, 2_000_000, 200_000, seed=42, schema_change_frac=0.0, n_files=32
+        scaling_dir, n_ev, n_ev // 16, seed=42, schema_change_frac=0.0, n_files=64
     )
 
     def run(ncpu: int) -> dict:

@@ -192,6 +192,33 @@ class LakeTable:
             return reg.conform(pa.table({}))
         return pa.concat_tables(parts)
 
+    # ---- observability ----
+    def stats(self, version: int | None = None) -> dict:
+        """Partition-health rollup — the reference's ``system.parts``
+        monitoring (``airflow/dags/repsly_dag.py:1560-1628``) from the
+        manifest alone (no data read)."""
+        m = self.load_manifest(version)
+        if not m:
+            return {"version": None, "partitions": 0}
+        parts = m["partitions"]
+        rows = sum(e["rows"] for e in parts.values())
+        live = sum(e.get("live_rows", e["rows"]) for e in parts.values())
+        sizes = [e.get("bytes", 0) for e in parts.values()]
+        return {
+            "version": m["version"],
+            "batch_id": m["batch_id"],
+            "applied_lsn": m["applied_lsn"],
+            "partitions": len(parts),
+            "rows": rows,
+            "live_rows": live,
+            "tombstones": rows - live,
+            "bytes": sum(sizes),
+            "max_partition_bytes": max(sizes, default=0),
+            "min_partition_bytes": min(sizes, default=0),
+            "schema_ops": len(m["schema_ops"]),
+            "applied_batches": len(m["applied_batch_ids"]),
+        }
+
     # ---- maintenance ----
     def vacuum(self, keep_versions: int = 2) -> list[str]:
         """Delete data files not referenced by the last ``keep_versions``

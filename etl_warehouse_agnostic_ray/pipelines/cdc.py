@@ -52,14 +52,14 @@ def _use_hash_shuffle() -> None:
             ncpu = 0
         if ncpu < 8:
             # hash shuffle's aggregator actor pool contends with map
-            # tasks on tiny clusters (measured stalls at 4 CPUs) —
-            # keep the default sort shuffle there
+            # tasks on tiny clusters (measured stalls) — keep the
+            # default sort shuffle there
             return
         ctx = DataContext.get_current()
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         # one aggregator actor per ~2 cores; the default (64) floods a
         # small node with actor processes (measured 2× slowdown)
-        ctx.max_hash_shuffle_aggregators = min(16, ncpu // 2)
+        ctx.max_hash_shuffle_aggregators = max(2, min(16, ncpu // 2))
     except ImportError:  # older ray without the knob
         pass
 
@@ -151,8 +151,83 @@ class CDCEngine:
             reg.apply_event(r["lsn"], r["schema_kind"], r["schema_column"], r["schema_type"])
         schema_ops = reg.to_dict()
 
-        # --- normalized delta (bounded: one CDC batch), materialized so
-        # affected-partition discovery doesn't recompute the stream ---
+        # --- affected partitions + per-pid row counts, from a CHEAP
+        # column-pruned scan (url + lsn only — parquet reads just those
+        # pages; the payload is untouched). Drives base-partition pruning
+        # and skew detection without materializing the delta.
+        # Shortcut: when footer statistics alone prove the delta is large
+        # (≫ P partitions' worth of keys), every partition will be
+        # touched — skip the scan and merge all partitions. Pruning only
+        # pays off for small incremental batches. ---
+        big_delta_rows: int | None = None
+        if isinstance(stream, str):
+            import pyarrow.parquet as _pq
+
+            if os.path.isdir(stream):
+                stream_files = [
+                    os.path.join(stream, f)
+                    for f in sorted(os.listdir(stream))
+                    if f.endswith(".parquet")
+                ]
+            else:
+                stream_files = [stream]
+            approx = 0
+            for fpath in stream_files:
+                md = _pq.read_metadata(fpath)
+                idx = md.schema.to_arrow_schema().get_field_index("lsn")
+                fmax = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        fmax = st.max if fmax is None else max(fmax, st.max)
+                if fmax is None or fmax > applied_lsn:
+                    approx += md.num_rows
+            if approx >= 512 * P:
+                big_delta_rows = approx
+
+        def pid_counts_of(batch: pa.Table) -> pa.Table:
+            pid = partition_ids(batch.column("url").to_pandas(), P)
+            import numpy as np
+
+            vals, counts = np.unique(pid, return_counts=True)
+            return pa.table(
+                {"pid": pa.array(vals, pa.int64()), "n": pa.array(counts, pa.int64())}
+            )
+
+        if isinstance(stream, str):
+            keys = rd.read_parquet(
+                stream,
+                columns=["url", "lsn", "op"],
+                filter=pc.greater(pc.field("lsn"), pa.scalar(applied_lsn, pa.int64())),
+            )
+        elif isinstance(stream, pa.Table):
+            keys = rd.from_arrow(stream.select(["url", "lsn", "op"]))
+        else:
+            keys = stream.select_columns(["url", "lsn", "op"])
+
+        def prune_keys(b: pa.Table) -> pa.Table:
+            m = pc.greater(b.column("lsn"), pa.scalar(applied_lsn, pa.int64()))
+            if "op" in b.column_names:
+                m = pc.and_(m, pc.not_equal(b.column("op"), pa.scalar("schema_change")))
+            return b.filter(m).select(["url"])
+
+        pid_counts: dict[int, int] = {}
+        if big_delta_rows is None:
+            for b in keys.map_batches(prune_keys, batch_format="pyarrow").map_batches(
+                pid_counts_of, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow"):
+                for p, n in zip(b.column("pid").to_pylist(), b.column("n").to_pylist()):
+                    pid_counts[p] = pid_counts.get(p, 0) + n
+            affected = set(pid_counts)
+            delta_rows = sum(pid_counts.values())
+        else:
+            affected = set(range(P))
+            delta_rows = big_delta_rows
+        if delta_rows == 0 and not schema_rows:
+            return {"skipped": True, "reason": "no new events", "batch_id": batch_id}
+
+        # --- normalized delta: LAZY — executes exactly once, streaming
+        # straight into the merge shuffle (no object-store round-trip) ---
         if isinstance(stream, str):
             ev = rd.read_parquet(
                 stream, filter=pc.greater(pc.field("lsn"), pa.scalar(applied_lsn, pa.int64()))
@@ -165,31 +240,7 @@ class CDCEngine:
             NormalizeEvents(schema_ops, P, min_lsn=applied_lsn),
             batch_format="pyarrow",
             batch_size=65536,  # bigger batches → better pre-compaction ratio
-        ).materialize()
-
-        delta_rows = delta.count()
-        if delta_rows == 0 and not schema_rows:
-            return {"skipped": True, "reason": "no new events", "batch_id": batch_id}
-
-        # --- affected partitions + per-pid row counts (tiny partials:
-        # ≤ P rows per batch; drives both pruning and skew detection) ---
-        def pid_counts_of(batch: pa.Table) -> pa.Table:
-            vc = batch.column(PID_COL).value_counts()
-            return pa.table(
-                {
-                    "pid": vc.field("values"),
-                    "n": pc.cast(vc.field("counts"), pa.int64()),
-                }
-            )
-
-        pid_counts: dict[int, int] = {}
-        if delta_rows:
-            for b in delta.select_columns([PID_COL]).map_batches(
-                pid_counts_of, batch_format="pyarrow"
-            ).iter_batches(batch_format="pyarrow"):
-                for p, n in zip(b.column("pid").to_pylist(), b.column("n").to_pylist()):
-                    pid_counts[p] = pid_counts.get(p, 0) + n
-        affected = set(pid_counts)
+        )
         # high-water mark MUST come from the raw stream, not the
         # pre-compacted delta: LWW compaction can drop the max-lsn row
         # (an older-lsn, newer-warc_ts row wins its key), and a
@@ -232,7 +283,12 @@ class CDCEngine:
         # its merge task. Because LWW is associative, we first compact
         # per (pid, salt=lsn mod S) — S-way parallel — then the final
         # per-pid merge sees at most S winners per url. ---
-        if delta_rows and self.salt_threshold and max(pid_counts.values()) > self.salt_threshold:
+        if (
+            delta_rows
+            and self.salt_threshold
+            and pid_counts
+            and max(pid_counts.values()) > self.salt_threshold
+        ):
             S = self.n_salts
 
             def add_salt(b: pa.Table) -> pa.Table:
@@ -353,6 +409,49 @@ class CDCEngine:
             return best
         m = stream.max("lsn")  # ray Dataset (column-pruned projection)
         return int(m) if m is not None and m > applied_lsn else None
+
+    def full_refresh(self, pages, batch_id: str | None = None) -> dict:
+        """Drop-and-reload semantics (the reference's full-refresh sink,
+        ``extractors/google_sheets/extractor.py:370-377``): write a brand
+        new snapshot version and flip the pointer — the previous version
+        stays readable until ``vacuum`` (safe, atomic overwrite)."""
+        import ray.data as rd
+
+        if batch_id is None:
+            batch_id = f"refresh-{uuid.uuid4().hex[:12]}"
+        if isinstance(pages, str):
+            ds = rd.read_parquet(pages)
+        elif isinstance(pages, pa.Table):
+            ds = rd.from_arrow(pages)
+        else:
+            ds = pages
+        P = self.num_partitions
+
+        def prep(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            out = batch.append_column(LSN_COL, pa.array([-1] * n, pa.int64()))
+            out = out.append_column(OP_COL, pa.array(["insert"] * n, pa.string()))
+            pid = partition_ids(batch.column("url").to_pandas(), P)
+            return out.append_column(PID_COL, pa.array(pid, pa.int64()))
+
+        version = self.lake.current_version() + 1
+        out_dir = self.lake.data_dir(version)
+        stats = (
+            ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(PID_COL, num_partitions=P)
+            .map_groups(
+                partition_merger(out_dir), batch_format="pyarrow", **self._merge_opts()
+            )
+            .take_all()
+        )
+        return self.lake.commit(
+            self._stats_to_partitions(stats),
+            batch_id=batch_id,
+            applied_lsn=-1,  # fresh snapshot: watermark resets
+            schema_ops=[],
+            num_partitions=P,
+            stats={"op": "full_refresh"},
+        )
 
     def init_empty(self, batch_id: str = "init") -> dict:
         """Start a lake with no snapshot (pure change-stream ingest)."""

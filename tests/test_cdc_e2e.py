@@ -187,3 +187,22 @@ def test_salted_hot_key_merge_matches_oracle(fixture_dir, tmp_path):
     got = eng.to_arrow()
     want = oracle_final_state(pages, events)
     assert _norm(got) == _norm(want)
+
+
+def test_full_refresh_and_stats(fixture_dir, tmp_path):
+    """Full-refresh sink (drop+reload semantics) + manifest-only
+    partition-health stats (system.parts analogue)."""
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    eng.apply(os.path.join(fixture_dir, "change_events"), batch_id="b1")
+    v_before = eng.lake.current_version()
+    new_pages = gen_pages(30, seed=99)
+    eng.full_refresh(new_pages, batch_id="refresh")
+    assert eng.lake.current_version() == v_before + 1
+    t = eng.to_arrow()
+    assert t.num_rows == 30  # old state fully replaced
+    s = eng.lake.stats()
+    assert s["rows"] == 30 and s["tombstones"] == 0
+    assert s["partitions"] == 4 and s["bytes"] > 0
+    # previous version still readable (time travel until vacuum)
+    assert eng.lake.to_arrow(version=v_before).num_rows > 30
