@@ -132,12 +132,9 @@ def main() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    try:
-        from ray.data.context import ShuffleStrategy
-
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    except ImportError:
-        pass
+    # NOTE: no global shuffle-strategy override here — the CDC engine
+    # scopes hash shuffle to its own merge executions; generic grouped
+    # aggregates are faster on the default sort shuffle at these sizes
     try:
         head = run_headline()
         queries = {} if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else run_queries()

@@ -103,3 +103,15 @@ def sanitize_column_name(name: str) -> str:
     """Spaces/dashes/dots → '_', collapse repeats, lowercase."""
     out = _SANITIZE_RE.sub("_", name.strip()).strip("_").lower()
     return re.sub(r"_{2,}", "_", out) or "_col"
+
+
+def coalesce_business_key(*arrs: pa.Array) -> pa.Array:
+    """Dedup-key normalization: first non-empty (trimmed) value across
+    candidate key columns — ``coalesce(nullif(guid,''),
+    nullif(natural_key,''))`` (``dbt/models/curated/acumatica/
+    bills.sql:66-76``). The result is the LWW shuffle key."""
+    cleaned = [trim_nullif(a) for a in arrs]
+    out = cleaned[0]
+    for c in cleaned[1:]:
+        out = pc.if_else(pc.is_valid(out), out, c)
+    return out

@@ -24,16 +24,35 @@ import pyarrow.compute as pc
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
 def _word_shingles(text: str, k: int) -> np.ndarray:
+    """k-word shingle hashes, vectorized: token → cached 64-bit hash,
+    then a sliding polynomial combine over the token-hash array (numpy),
+    instead of hashing each joined shingle string."""
     toks = text.split()
-    if len(toks) < k:
-        toks = toks + [""] * (k - len(toks))
-    joined = [" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1))]
-    return np.unique(
-        np.fromiter(
-            (hash64_str(s) for s in joined), dtype=np.uint64, count=len(joined)
-        )
-    )
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    cache = _TOKEN_HASH_CACHE
+    th = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = int(hash64_str(t))
+            if len(cache) < 1_000_000:
+                cache[t] = h
+        th[i] = h
+    if len(th) < k:
+        pad = np.zeros(k - len(th), dtype=np.uint64)
+        th = np.concatenate([th, pad])
+    n = len(th) - k + 1
+    with np.errstate(over="ignore"):
+        A = np.uint64(0x9E3779B97F4A7C15)
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(k):  # k is small (≈5); inner op fully vectorized
+            acc = acc * A + th[j : j + n]
+    return np.unique(acc)
 
 
 def hash64_str(s: str) -> np.uint64:
@@ -52,17 +71,15 @@ def hash64_str(s: str) -> np.uint64:
 
 # ---------------------------------------------------------------- exact
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep the min-id row per exact text. Returns the surviving rows.
+    """Keep the min-id row per exact text. Returns the survivors as
+    (id, text) — a NATIVE grouped aggregate (Min), no per-group Python:
+    thousands of tiny groups through map_groups cost ~10× more. At
+    100 TB, group on a 64-bit content hash instead of the text so the
+    shuffle moves 8-byte keys (collision-check inside the group)."""
+    from ray.data.aggregate import Min
 
-    groupby on the text value itself here (sf-test scale); the 100 TB
-    path adds a hash column and groups on the hash so the shuffle moves
-    8-byte keys (collision-checked inside the group)."""
-    import pandas as pd
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").head(1)
-
-    return ds.groupby(text_col).map_groups(keep_first, batch_format="pandas")
+    out = ds.groupby(text_col).aggregate(Min(id_col, alias_name=id_col))
+    return out.select_columns([id_col, text_col])
 
 
 # ------------------------------------------------------------- minhash
@@ -147,18 +164,38 @@ def minhash_lsh_pairs(
 
     buckets = sig_ds.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > 1000:  # skew guard: giant buckets are
-            # degenerate (all-identical docs) — cap pair blowup, log via size col
-            ids = ids[:1000]
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    # Coarse-group the LSH buckets (band_hash mod G) so each map_groups
+    # task handles MANY buckets with a vectorized pandas groupby inside —
+    # one task per (band, band_hash) would mean ~n_docs×bands tiny
+    # Python tasks (measured ~10× slower).
+    def add_coarse(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
 
-    pairs = buckets.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+        coarse = _pc.bit_wise_and(b.column("band_hash"), pa.scalar(255, pa.int64()))
+        return b.append_column("coarse", coarse)
+
+    def bucket_pairs_many(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for (_, _), sub in g.groupby(["band", "band_hash"], sort=False):
+            ids = np.sort(sub["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            if len(ids) > 1000:  # skew guard: degenerate all-identical bucket
+                ids = ids[:1000]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    pairs = (
+        buckets.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(bucket_pairs_many, batch_format="pandas")
     )
 
     # dedupe candidate pairs across bands, then verify with signature

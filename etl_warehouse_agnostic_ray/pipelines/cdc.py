@@ -37,31 +37,44 @@ from ..stages.normalize import NormalizeEvents
 from ..state.schema_registry import SchemaRegistry
 
 
-def _use_hash_shuffle() -> None:
-    """The merge groupby is a pure hash partition — a sort-based shuffle
-    wastes an O(n log n) global sort (measured 4× slower at 2M events).
-    Hash shuffle is also what a multi-node exchange would do."""
-    try:
-        from ray.data.context import DataContext, ShuffleStrategy
+def _hash_shuffle_ctx():
+    """Context manager: hash-shuffle strategy for the engine's keyed
+    merge groupby, restored afterwards so other workloads keep the
+    default. Sort-based map_groups measured 4× slower at 2M events; but
+    hash shuffle's aggregator actor pool contends with map tasks on tiny
+    clusters (stalls at 4 CPUs), so below 8 CPUs we leave the default.
+    The aggregator pool is capped (~1 per 2 cores; the default 64 floods
+    a single node)."""
+    from contextlib import contextmanager
 
-        import ray as _ray
-
+    @contextmanager
+    def _cm():
         try:
-            ncpu = int(_ray.cluster_resources().get("CPU", 0))
-        except Exception:
-            ncpu = 0
-        if ncpu < 8:
-            # hash shuffle's aggregator actor pool contends with map
-            # tasks on tiny clusters (measured stalls) — keep the
-            # default sort shuffle there
-            return
-        ctx = DataContext.get_current()
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        # one aggregator actor per ~2 cores; the default (64) floods a
-        # small node with actor processes (measured 2× slowdown)
-        ctx.max_hash_shuffle_aggregators = max(2, min(16, ncpu // 2))
-    except ImportError:  # older ray without the knob
-        pass
+            from ray.data.context import DataContext, ShuffleStrategy
+
+            import ray as _ray
+
+            try:
+                ncpu = int(_ray.cluster_resources().get("CPU", 0))
+            except Exception:
+                ncpu = 0
+            ctx = DataContext.get_current()
+            if ncpu < 8:
+                yield
+                return
+            prev_strategy = ctx.shuffle_strategy
+            prev_aggs = ctx.max_hash_shuffle_aggregators
+            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            ctx.max_hash_shuffle_aggregators = max(2, min(16, ncpu // 2))
+            try:
+                yield
+            finally:
+                ctx.shuffle_strategy = prev_strategy
+                ctx.max_hash_shuffle_aggregators = prev_aggs
+        except ImportError:
+            yield
+
+    return _cm()
 
 
 class CDCEngine:
@@ -78,7 +91,6 @@ class CDCEngine:
         self.merge_concurrency = merge_concurrency
         self.salt_threshold = salt_threshold
         self.n_salts = n_salts  # power of two (salt = lsn & (S-1))
-        _use_hash_shuffle()
 
     # ------------------------------------------------------------------
     def bootstrap(self, pages, batch_id: str = "bootstrap") -> dict:
@@ -104,16 +116,17 @@ class CDCEngine:
 
         version = self.lake.current_version() + 1
         out_dir = self.lake.data_dir(version)
-        stats = (
-            ds.map_batches(prep, batch_format="pyarrow")
-            .groupby(PID_COL, num_partitions=P)
-            .map_groups(
-                partition_merger(out_dir),
-                batch_format="pyarrow",
-                **self._merge_opts(),
+        with _hash_shuffle_ctx():
+            stats = (
+                ds.map_batches(prep, batch_format="pyarrow")
+                .groupby(PID_COL, num_partitions=P)
+                .map_groups(
+                    partition_merger(out_dir),
+                    batch_format="pyarrow",
+                    **self._merge_opts(),
+                )
+                .take_all()
             )
-            .take_all()
-        )
         partitions = self._stats_to_partitions(stats)
         manifest = self.lake.commit(
             partitions,
@@ -316,15 +329,16 @@ class CDCEngine:
 
         # --- the shuffle + per-partition LWW merge-write ---
         if merged_in is not None:
-            stats = (
-                merged_in.groupby(PID_COL, num_partitions=P)
-                .map_groups(
-                    partition_merger(out_dir),
-                    batch_format="pyarrow",
-                    **self._merge_opts(),
+            with _hash_shuffle_ctx():
+                stats = (
+                    merged_in.groupby(PID_COL, num_partitions=P)
+                    .map_groups(
+                        partition_merger(out_dir),
+                        batch_format="pyarrow",
+                        **self._merge_opts(),
+                    )
+                    .take_all()
                 )
-                .take_all()
-            )
         else:  # pure schema-change batch: metadata-only commit
             stats = []
         cur_schema_lsn = max((o["lsn"] for o in schema_ops), default=-1)
@@ -436,14 +450,15 @@ class CDCEngine:
 
         version = self.lake.current_version() + 1
         out_dir = self.lake.data_dir(version)
-        stats = (
-            ds.map_batches(prep, batch_format="pyarrow")
-            .groupby(PID_COL, num_partitions=P)
-            .map_groups(
-                partition_merger(out_dir), batch_format="pyarrow", **self._merge_opts()
+        with _hash_shuffle_ctx():
+            stats = (
+                ds.map_batches(prep, batch_format="pyarrow")
+                .groupby(PID_COL, num_partitions=P)
+                .map_groups(
+                    partition_merger(out_dir), batch_format="pyarrow", **self._merge_opts()
+                )
+                .take_all()
             )
-            .take_all()
-        )
         return self.lake.commit(
             self._stats_to_partitions(stats),
             batch_id=batch_id,

@@ -150,3 +150,13 @@ class TestHash:
         h2 = F.record_hash64(t, ["a", "b"])
         assert h1.equals(h2)
         assert len(set(h1.to_pylist())) == 3
+
+
+class TestBusinessKey:
+    def test_coalesce_business_key(self):
+        from etl_warehouse_agnostic_ray.functions.string_fns import coalesce_business_key
+
+        guid = s("", "  ", "g-1", None)
+        nat = s("n-0", "n-1", "n-2", None)
+        got = coalesce_business_key(guid, nat)
+        assert [v.as_py() for v in got] == ["n-0", "n-1", "g-1", None]
