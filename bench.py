@@ -163,7 +163,7 @@ def scaling() -> dict:
         scaling_dir, n_ev, n_ev // 16, seed=42, schema_change_frac=0.0, n_files=64
     )
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -179,6 +179,19 @@ def scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best-of-N per leg: single-node wall-clock noise (page cache,
+        # worker spawn, background IO) swings ±25%; best-of filters it
+        repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+        best = None
+        for _ in range(repeats):
+            r = run_once(ncpu)
+            if best is None or r["events_per_sec"] > best["events_per_sec"]:
+                best = r
+            if r["apply_sec"] > 120:  # keep total wall bounded
+                break
+        return best
 
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)

@@ -173,10 +173,12 @@ class CDCEngine:
         # touched — skip the scan and merge all partitions. Pruning only
         # pays off for small incremental batches. ---
         big_delta_rows: int | None = None
-        if isinstance(stream, str):
+        if isinstance(stream, (str, list)):
             import pyarrow.parquet as _pq
 
-            if os.path.isdir(stream):
+            if isinstance(stream, list):
+                stream_files = list(stream)
+            elif os.path.isdir(stream):
                 stream_files = [
                     os.path.join(stream, f)
                     for f in sorted(os.listdir(stream))
@@ -207,7 +209,7 @@ class CDCEngine:
                 {"pid": pa.array(vals, pa.int64()), "n": pa.array(counts, pa.int64())}
             )
 
-        if isinstance(stream, str):
+        if isinstance(stream, (str, list)):
             keys = rd.read_parquet(
                 stream,
                 columns=["url", "lsn", "op"],
@@ -241,7 +243,7 @@ class CDCEngine:
 
         # --- normalized delta: LAZY — executes exactly once, streaming
         # straight into the merge shuffle (no object-store round-trip) ---
-        if isinstance(stream, str):
+        if isinstance(stream, (str, list)):
             ev = rd.read_parquet(
                 stream, filter=pc.greater(pc.field("lsn"), pa.scalar(applied_lsn, pa.int64()))
             )
@@ -377,6 +379,22 @@ class CDCEngine:
         }
 
     # ------------------------------------------------------------------
+    def apply_stream(self, stream_dir: str, max_files_per_batch: int = 8) -> list[dict]:
+        """Consume a WAL directory to completion in LSN-ordered
+        micro-batches — the reference's scheduled extraction loop
+        (cron cadence, SURVEY.md §1.1) collapsed into a drain: each
+        micro-batch is one exactly-once apply, resumable between any
+        two of them."""
+        from ..sources.change_stream import ChangeStreamSource
+
+        src = ChangeStreamSource(stream_dir)
+        reports = []
+        cursor = self.lake.load_manifest()["applied_lsn"] if self.lake.load_manifest() else -1
+        for batch_id, files in src.batches(cursor=cursor, max_files=max_files_per_batch):
+            reports.append(self.apply(files, batch_id=batch_id))
+        return reports
+
+    # ------------------------------------------------------------------
     def table(self, include_lineage: bool = False):
         return self.lake.dataset(include_lineage=include_lineage)
 
@@ -411,7 +429,7 @@ class CDCEngine:
         if isinstance(stream, pa.Table):
             m = pc.max(stream.column("lsn")).as_py()
             return m if m is not None and m > applied_lsn else None
-        if isinstance(stream, str):
+        if isinstance(stream, (str, list)):
             dset = pads.dataset(stream, format="parquet")
             best = None
             for frag_batch in dset.to_batches(
@@ -484,7 +502,7 @@ class CDCEngine:
         """Schema-change rows are rare (~0.2%); read them with parquet
         predicate pushdown (row-group pruning) — never a full scan on the
         driver."""
-        if not isinstance(stream, (str, pa.Table)):
+        if not isinstance(stream, (str, list, pa.Table)):
             # a ray.data.Dataset: tiny filtered projection
             if "schema_kind" not in stream.schema().names:
                 return []

@@ -206,3 +206,25 @@ def test_full_refresh_and_stats(fixture_dir, tmp_path):
     assert s["partitions"] == 4 and s["bytes"] > 0
     # previous version still readable (time travel until vacuum)
     assert eng.lake.to_arrow(version=v_before).num_rows > 30
+
+
+def test_apply_stream_micro_batches(fixture_dir, tmp_path):
+    """Drain the WAL in LSN-ordered micro-batches (apply_stream) ==
+    one-shot apply; resumable between batches."""
+    import pyarrow.parquet as pq
+
+    pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
+    ev_dir = os.path.join(fixture_dir, "change_events")
+    events = pa.concat_tables(
+        pq.read_table(os.path.join(ev_dir, f)) for f in sorted(os.listdir(ev_dir))
+    )
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+    eng.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    reports = eng.apply_stream(ev_dir, max_files_per_batch=2)
+    assert len(reports) == 2  # 4 slice files / 2 per batch
+    assert all(not r["skipped"] for r in reports)
+    got = eng.to_arrow()
+    want = oracle_final_state(pages, events)
+    assert _norm(got) == _norm(want)
+    # drained: another pass is a no-op
+    assert eng.apply_stream(ev_dir) == []

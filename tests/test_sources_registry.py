@@ -118,3 +118,34 @@ class TestRegistry:
         reg.add(PipelineSpec(name="q", source=lambda: None, depends_on=["p"]))
         with pytest.raises(ValueError, match="cycle"):
             reg.topo_order()
+
+
+class TestTenants:
+    def test_per_tenant_isolation_and_gating(self, tmp_path, ray_session):
+        from etl_warehouse_agnostic_ray.datagen import gen_change_events, gen_pages
+        from etl_warehouse_agnostic_ray.pipelines.tenants import TenantedCDC
+
+        multi = TenantedCDC(
+            str(tmp_path / "tenants"),
+            ["ny", "nj"],
+            num_partitions=4,
+            gate=lambda t: t != "nj",  # nj cron-gated off
+        )
+        multi.bootstrap(
+            {"ny": gen_pages(40, seed=1), "nj": gen_pages(40, seed=2)}
+        )
+        out = multi.apply(
+            {
+                "ny": gen_change_events(200, 40, seed=1, schema_change_frac=0.0),
+                "nj": gen_change_events(200, 40, seed=2, schema_change_frac=0.0),
+            },
+            batch_id="b1",
+        )
+        assert not out["ny"]["skipped"]
+        assert out["nj"] == {"skipped": True, "reason": "gated"}
+        # isolated state: nj unchanged since bootstrap, ny advanced
+        assert multi.engine("nj").lake.load_manifest()["applied_lsn"] == -1
+        assert multi.engine("ny").lake.load_manifest()["applied_lsn"] > 0
+        # tenant data spaces are disjoint directories
+        assert (tmp_path / "tenants" / "ny" / "CURRENT").exists()
+        assert (tmp_path / "tenants" / "nj" / "CURRENT").exists()
