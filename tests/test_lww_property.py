@@ -16,13 +16,23 @@ from hypothesis import strategies as st
 from etl_warehouse_agnostic_ray.schemas import LSN_COL, OP_COL, PID_COL
 from etl_warehouse_agnostic_ray.stages.lww import lww_compact_table
 
+# WAL contract: lsn identifies an event — rows sharing (url, warc_ts,
+# lsn) are byte-identical redeliveries. The generator honors that by
+# deriving op (and the kernel's text payload) from the key triple.
+_OPS = ["insert", "update", "delete"]
+
+
+def _with_op(t):
+    u, ts, lsn = t
+    return (u, ts, lsn, _OPS[(u + ts + lsn) % 3])
+
+
 rows_strategy = st.lists(
     st.tuples(
         st.integers(0, 5),  # url index (small keyspace → collisions)
         st.integers(0, 3),  # warc_ts (ties likely)
         st.integers(0, 50),  # lsn
-        st.sampled_from(["insert", "update", "delete"]),
-    ),
+    ).map(_with_op),
     min_size=0,
     max_size=40,
 )
