@@ -65,7 +65,10 @@ def _hash_shuffle_ctx():
             prev_strategy = ctx.shuffle_strategy
             prev_aggs = ctx.max_hash_shuffle_aggregators
             ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-            ctx.max_hash_shuffle_aggregators = max(2, min(16, ncpu // 2))
+            aggs = os.environ.get("GRAFT_HASH_AGGS")
+            ctx.max_hash_shuffle_aggregators = (
+                int(aggs) if aggs else max(2, min(16, ncpu // 2))
+            )
             try:
                 yield
             finally:
@@ -147,6 +150,13 @@ class CDCEngine:
         import ray.data as rd
 
         t0 = time.perf_counter()
+        phases: dict[str, float] = {}
+
+        def _mark(name: str, since: float) -> float:
+            now = time.perf_counter()
+            phases[name] = round(now - since, 3)
+            return now
+
         manifest = self.lake.load_manifest()
         if manifest is None:
             raise RuntimeError("bootstrap() the lake before apply()")
@@ -163,6 +173,7 @@ class CDCEngine:
         for r in schema_rows:
             reg.apply_event(r["lsn"], r["schema_kind"], r["schema_column"], r["schema_type"])
         schema_ops = reg.to_dict()
+        t_ = _mark("schema_scan", t0)
 
         # --- affected partitions + per-pid row counts, from a CHEAP
         # column-pruned scan (url + lsn only — parquet reads just those
@@ -238,6 +249,7 @@ class CDCEngine:
         else:
             affected = set(range(P))
             delta_rows = big_delta_rows
+        t_ = _mark("discovery", t_)
         if delta_rows == 0 and not schema_rows:
             return {"skipped": True, "reason": "no new events", "batch_id": batch_id}
 
@@ -265,6 +277,7 @@ class CDCEngine:
             max_event_lsn = applied_lsn
         if schema_rows:
             max_event_lsn = max(max_event_lsn, max(r["lsn"] for r in schema_rows))
+        t_ = _mark("max_lsn", t_)
 
         # --- base read, pruned to affected partitions, conformed;
         # grouped by schema epoch (see LakeTable.files_by_epoch) ---
@@ -343,6 +356,7 @@ class CDCEngine:
                 )
         else:  # pure schema-change batch: metadata-only commit
             stats = []
+        t_ = _mark("merge", t_)
         cur_schema_lsn = max((o["lsn"] for o in schema_ops), default=-1)
         new_partitions = self._stats_to_partitions(stats, schema_lsn=cur_schema_lsn)
 
@@ -368,6 +382,7 @@ class CDCEngine:
                 "wall_sec": round(time.perf_counter() - t0, 3),
             },
         )
+        _mark("commit", t_)
         return {
             "skipped": False,
             "batch_id": batch_id,
@@ -375,6 +390,7 @@ class CDCEngine:
             "events_applied": delta_rows,
             "applied_lsn": max_event_lsn,
             "partitions_rewritten": len(new_partitions),
+            "phase_sec": phases,
             "wall_sec": round(time.perf_counter() - t0, 3),
         }
 
@@ -393,6 +409,31 @@ class CDCEngine:
         for batch_id, files in src.batches(cursor=cursor, max_files=max_files_per_batch):
             reports.append(self.apply(files, batch_id=batch_id))
         return reports
+
+    # ------------------------------------------------------------------
+    def validate(
+        self,
+        critical: list[str] | None = None,
+        fresh_after_us: int | None = None,
+        max_null_rate: float = 0.5,
+    ) -> dict:
+        """Post-load integrity report over the logical table — the
+        reference's validation task as a library call (row counts,
+        duplicate keys, null rates on critical columns, freshness;
+        ``airflow/dags/repsly_dag.py:39-270``) plus the manifest
+        partition-health stats."""
+        from ..stages.validate import validate_dataset
+
+        report = validate_dataset(
+            self.table(),
+            key="url",
+            critical=critical or ["text"],
+            fresh_col="warc_ts" if fresh_after_us is not None else None,
+            fresh_after_us=fresh_after_us,
+            max_null_rate=max_null_rate,
+        )
+        report["lake"] = self.lake.stats()
+        return report
 
     # ------------------------------------------------------------------
     def table(self, include_lineage: bool = False):
@@ -417,6 +458,7 @@ class CDCEngine:
                 "rows": int(r["rows"]),
                 "live_rows": int(r.get("live_rows", r["rows"])),
                 "max_lsn": int(r["max_lsn"]),
+                "watermark_ts": str(r.get("watermark_ts")),
                 "bytes": int(r["bytes"]),
                 "schema_lsn": int(schema_lsn),
             }

@@ -75,6 +75,10 @@ def merge_partition_group(group: pa.Table, out_dir: str) -> pa.Table:
     pq.write_table(winners, tmp, compression="zstd")
     os.replace(tmp, final)
     max_lsn = pc.max(group.column(LSN_COL)).as_py()
+    # per-partition watermark = max event time merged into this
+    # partition (the reference's per-endpoint watermark generalized,
+    # extractors/repsly/extractor.py:1491-1638)
+    wm = pc.max(group.column("warc_ts")).as_py()
     n_live = winners.num_rows - (
         pc.sum(pc.equal(winners.column(OP_COL), pa.scalar("delete"))).as_py() or 0
     )
@@ -83,6 +87,7 @@ def merge_partition_group(group: pa.Table, out_dir: str) -> pa.Table:
             "pid": pa.array([pid], pa.int64()),
             "rows": pa.array([winners.num_rows], pa.int64()),
             "live_rows": pa.array([int(n_live)], pa.int64()),
+            "watermark_ts": pa.array([wm], pa.timestamp("us")),
             "max_lsn": pa.array([int(max_lsn)], pa.int64()),
             "bytes": pa.array([os.path.getsize(final)], pa.int64()),
             "file": pa.array(

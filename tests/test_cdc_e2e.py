@@ -228,3 +228,19 @@ def test_apply_stream_micro_batches(fixture_dir, tmp_path):
     assert _norm(got) == _norm(want)
     # drained: another pass is a no-op
     assert eng.apply_stream(ev_dir) == []
+
+
+def test_validate_run_report(fixture_dir, tmp_path):
+    """Engine-level validation report: zero duplicate urls after LWW
+    (the core invariant), null-rate + lake partition health included."""
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    eng.apply(os.path.join(fixture_dir, "change_events"), batch_id="b1")
+    rep = eng.validate(critical=["text", "lang"])
+    assert rep["duplicate_keys"] == 0  # LWW guarantees unique url
+    assert rep["rows"] == rep["lake"]["live_rows"]
+    assert 0 <= rep["null_rates"]["text"] <= 1
+    assert rep["lake"]["partitions"] == 4
+    # per-partition lineage carries a watermark
+    m = eng.lake.load_manifest()
+    assert all("watermark_ts" in e for e in m["partitions"].values())
