@@ -177,3 +177,41 @@ class TestMultimodal:
         out = SampleFramesBatch(fake=True)(t)
         assert out.column("key").to_pylist().count("v1") >= 2
         assert "v2" not in out.column("key").to_pylist()
+
+
+class TestIVF:
+    def test_full_probe_equals_exact(self, emb_ds, sf_dir):
+        import pyarrow.parquet as pq
+        from etl_warehouse_agnostic_ray.ops.similarity import ivf_topk
+
+        q = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        queries = np.asarray(q.column("embedding").to_pylist()[:2], dtype=np.float64)
+        exact = topk_cosine(emb_ds, queries, k=5)
+        full = ivf_topk(emb_ds, queries, k=5, n_clusters=8, n_probe=8)
+        assert full.select(["query_id", "rank", "vec_id"]).equals(
+            exact.select(["query_id", "rank", "vec_id"])
+        )
+
+    def test_partial_probe_recall(self, emb_ds, sf_dir):
+        import pyarrow.parquet as pq
+        from etl_warehouse_agnostic_ray.ops.similarity import ivf_topk
+
+        q = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        queries = np.asarray(q.column("embedding").to_pylist()[:3], dtype=np.float64)
+        exact = topk_cosine(emb_ds, queries, k=5)
+        approx = ivf_topk(emb_ds, queries, k=5, n_clusters=8, n_probe=4)
+        # the query's own vector lives in its top probed cell → rank-1
+        # self-hit must always be found; overall recall should be decent
+        hits = 0
+        for qi in range(3):
+            e = set(
+                exact.filter(pa.compute.equal(exact.column("query_id"), qi))
+                .column("vec_id").to_pylist()
+            )
+            a = set(
+                approx.filter(pa.compute.equal(approx.column("query_id"), qi))
+                .column("vec_id").to_pylist()
+            )
+            assert qi in a  # self-hit
+            hits += len(e & a)
+        assert hits >= 8  # ≥ 53% recall@5 across queries at half probe
