@@ -48,7 +48,11 @@ BENCH_QUERIES = [
     "minhash_neardup_pairs",
     "simhash_documents",
     "embedding_topk",
+    "embedding_topk_ivf",
     "embedding_neardup",
+    "normalize_dirty_records",
+    "multimodal_decode",
+    "cdc_schema_evolution",
 ]
 
 

@@ -723,6 +723,20 @@ QUALIFY rank <= 5
 """
 
 
+def q_embedding_topk_ivf(sf_dir: str):
+    """IVF ANN at full probe == brute force (same oracle as
+    embedding_topk); the scale path for similarity search."""
+    from ..ops.similarity import ivf_topk
+
+    rd = _rd()
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pc.less(q.column("vec_id"), pa.scalar(3))
+    queries = np.asarray(q.filter(mask).column("embedding").to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = ivf_topk(ds, queries, k=5, n_clusters=8, n_probe=8)
+    return t.select(["query_id", "rank", "vec_id"])
+
+
 def q_embedding_neardup(sf_dir: str):
     """Near-duplicate pairs at cosine ≥ 0.99 over embeddings ∪ an
     id-shifted exact copy (the base table has no near-dups — max pairwise
@@ -855,6 +869,7 @@ QUERIES = {
     "minhash_neardup_pairs": q_minhash_neardup_pairs,
     "simhash_documents": q_simhash_documents,
     "embedding_topk": q_embedding_topk,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
     "normalize_dirty_records": q_normalize_dirty_records,
@@ -878,6 +893,7 @@ ORACLES = {
     "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
     "text_quality_tokens": SQL_TEXT_QUALITY_TOKENS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_topk_ivf": SQL_EMBEDDING_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "normalize_dirty_records": SQL_NORMALIZE_DIRTY_RECORDS,
 }
