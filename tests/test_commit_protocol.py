@@ -1,0 +1,90 @@
+"""Exactly-once commit protocol under failure: crashes between 2PC
+steps must leave the previous version intact; count verification must
+refuse to flip the pointer over corrupt writes (the reference's
+insert→verify→advance discipline, extractors/repsly/extractor.py:
+668-759, 1441-1488)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etl_warehouse_agnostic_ray import CDCEngine
+from etl_warehouse_agnostic_ray.datagen import gen_change_events, gen_pages
+from etl_warehouse_agnostic_ray.stages.bloom import DedupGuard
+
+
+@pytest.fixture()
+def lake_with_data(tmp_path, ray_session):
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(gen_pages(60, seed=5))
+    eng.apply(gen_change_events(300, 60, seed=5, schema_change_frac=0.0), batch_id="b1")
+    return eng
+
+
+def test_crash_before_manifest_leaves_old_version_live(lake_with_data, tmp_path):
+    """Simulate a merge that wrote data files but died before the
+    manifest (2PC step 1 done, step 2 not): reader still sees the old
+    committed version; vacuum removes the orphans."""
+    eng = lake_with_data
+    v = eng.lake.current_version()
+    state = eng.to_arrow().sort_by("url")
+    # fake a half-finished next version: data files, no manifest
+    orphan_dir = eng.lake.data_dir(v + 1)
+    os.makedirs(orphan_dir, exist_ok=True)
+    pq.write_table(pa.table({"url": ["junk"]}), os.path.join(orphan_dir, "part-00000.parquet"))
+
+    assert eng.lake.current_version() == v  # pointer untouched
+    assert eng.to_arrow().sort_by("url").equals(state)
+    removed = eng.lake.vacuum(keep_versions=10)
+    assert any("part-00000" in r for r in removed)
+    assert eng.to_arrow().sort_by("url").equals(state)
+
+
+def test_count_verification_refuses_corrupt_commit(lake_with_data):
+    """commit() re-reads every listed file's footer; a row-count
+    mismatch aborts BEFORE the pointer flips."""
+    eng = lake_with_data
+    v = eng.lake.current_version()
+    good = eng.lake.load_manifest()["partitions"]
+    bad = {int(p): dict(e, rows=e["rows"] + 7) for p, e in good.items()}
+    with pytest.raises(IOError, match="rows"):
+        eng.lake.commit(
+            bad,
+            batch_id="corrupt",
+            applied_lsn=999999,
+            schema_ops=[],
+            num_partitions=4,
+        )
+    assert eng.lake.current_version() == v  # no new version
+    assert "corrupt" not in eng.lake.load_manifest()["applied_batch_ids"]
+
+
+def test_missing_file_refuses_commit(lake_with_data):
+    eng = lake_with_data
+    good = eng.lake.load_manifest()["partitions"]
+    bad = {int(p): dict(e, file="data/v999999/part-99999.parquet") for p, e in good.items()}
+    with pytest.raises(Exception):
+        eng.lake.commit(
+            bad, batch_id="ghost", applied_lsn=1, schema_ops=[], num_partitions=4
+        )
+
+
+def test_dedup_guard_in_pipeline(ray_session):
+    """DedupGuard as an actor-pool stage inside a real Dataset pipeline:
+    redelivered lsns shed before the (mock) sink; totals exact."""
+    import ray.data as rd
+
+    events = gen_change_events(500, 80, seed=6, dup_frac=0.1, schema_change_frac=0.0)
+    ds = rd.from_arrow(events)
+    out = ds.map_batches(
+        DedupGuard, fn_constructor_kwargs={"applied_lsn": 99},
+        batch_format="pyarrow", concurrency=1, batch_size=200,
+    )
+    lsns = []
+    for b in out.iter_batches(batch_format="pyarrow"):
+        lsns.extend(b.column("lsn").to_pylist())
+    assert min(lsns) == 100           # HWM shed
+    assert len(lsns) == len(set(lsns))  # in-actor duplicate shed
