@@ -37,49 +37,6 @@ from ..stages.normalize import NormalizeEvents
 from ..state.schema_registry import SchemaRegistry
 
 
-def _hash_shuffle_ctx():
-    """Context manager: hash-shuffle strategy for the engine's keyed
-    merge groupby, restored afterwards so other workloads keep the
-    default. Sort-based map_groups measured 4× slower at 2M events; but
-    hash shuffle's aggregator actor pool contends with map tasks on tiny
-    clusters (stalls at 4 CPUs), so below 8 CPUs we leave the default.
-    The aggregator pool is capped (~1 per 2 cores; the default 64 floods
-    a single node)."""
-    from contextlib import contextmanager
-
-    @contextmanager
-    def _cm():
-        try:
-            from ray.data.context import DataContext, ShuffleStrategy
-
-            import ray as _ray
-
-            try:
-                ncpu = int(_ray.cluster_resources().get("CPU", 0))
-            except Exception:
-                ncpu = 0
-            ctx = DataContext.get_current()
-            if ncpu < 8:
-                yield
-                return
-            prev_strategy = ctx.shuffle_strategy
-            prev_aggs = ctx.max_hash_shuffle_aggregators
-            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-            aggs = os.environ.get("GRAFT_HASH_AGGS")
-            ctx.max_hash_shuffle_aggregators = (
-                int(aggs) if aggs else max(2, min(16, ncpu // 2))
-            )
-            try:
-                yield
-            finally:
-                ctx.shuffle_strategy = prev_strategy
-                ctx.max_hash_shuffle_aggregators = prev_aggs
-        except ImportError:
-            yield
-
-    return _cm()
-
-
 class CDCEngine:
     def __init__(
         self,
@@ -119,17 +76,16 @@ class CDCEngine:
 
         version = self.lake.current_version() + 1
         out_dir = self.lake.data_dir(version)
-        with _hash_shuffle_ctx():
-            stats = (
-                ds.map_batches(prep, batch_format="pyarrow")
-                .groupby(PID_COL, num_partitions=P)
-                .map_groups(
-                    partition_merger(out_dir),
-                    batch_format="pyarrow",
-                    **self._merge_opts(),
-                )
-                .take_all()
+        stats = (
+            ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(PID_COL, num_partitions=P)
+            .map_groups(
+                partition_merger(out_dir),
+                batch_format="pyarrow",
+                **self._merge_opts(),
             )
+            .take_all()
+        )
         partitions = self._stats_to_partitions(stats)
         manifest = self.lake.commit(
             partitions,
@@ -279,31 +235,18 @@ class CDCEngine:
             max_event_lsn = max(max_event_lsn, max(r["lsn"] for r in schema_rows))
         t_ = _mark("max_lsn", t_)
 
-        # --- base read, pruned to affected partitions, conformed;
-        # grouped by schema epoch (see LakeTable.files_by_epoch) ---
+        # --- base side: NOT shuffled. Lake partitions are one file per
+        # pid, so each merge task reads its own base partition file
+        # directly (shared storage) and conforms it in-task — only the
+        # delta moves through the exchange (half the bytes, no Union
+        # barrier; measured ~2× on the merge execution). ---
         version = self.lake.current_version() + 1
         out_dir = self.lake.data_dir(version)
-        epoch_files: dict[int, list[str]] = {}
-        for pid, ent in manifest["partitions"].items():
-            if int(pid) in affected:
-                epoch_files.setdefault(int(ent.get("schema_lsn", -1)), []).append(
-                    os.path.join(self.lake.root, ent["file"])
-                )
-
-        def conform_base(batch: pa.Table) -> pa.Table:
-            # base partition files carry winners incl. delete tombstones;
-            # keep their _op/_lsn so LWW replays correctly against them
-            r = SchemaRegistry.from_dict(schema_ops)
-            lineage = {
-                c: batch.column(c)
-                for c in (LSN_COL, OP_COL, PID_COL)
-                if c in batch.column_names
-            }
-            out = r.conform(batch.drop(list(lineage)))
-            out = out.append_column(LSN_COL, lineage[LSN_COL])
-            out = out.append_column(OP_COL, lineage[OP_COL])
-            out = out.append_column(PID_COL, lineage[PID_COL])
-            return out
+        base_file_map: dict[int, str] = {
+            int(pid): os.path.join(self.lake.root, ent["file"])
+            for pid, ent in manifest["partitions"].items()
+            if int(pid) in affected
+        }
 
         # --- skew mitigation: salted two-level merge for hot partitions.
         # A partition whose delta exceeds salt_threshold rows (a viral
@@ -337,34 +280,30 @@ class CDCEngine:
                 .map_groups(compact_group, batch_format="pyarrow")
             )
 
-        merged_in = delta if delta_rows else None
-        for _, files in sorted(epoch_files.items()):
-            base = rd.read_parquet(files).map_batches(conform_base, batch_format="pyarrow")
-            merged_in = base if merged_in is None else merged_in.union(base)
-
-        # --- the shuffle + per-partition LWW merge-write ---
-        if merged_in is not None:
-            with _hash_shuffle_ctx():
-                stats = (
-                    merged_in.groupby(PID_COL, num_partitions=P)
-                    .map_groups(
-                        partition_merger(out_dir),
-                        batch_format="pyarrow",
-                        **self._merge_opts(),
-                    )
-                    .take_all()
+        # --- the delta shuffle + per-partition LWW merge-write ---
+        if delta_rows:
+            stats = (
+                delta.groupby(PID_COL, num_partitions=P)
+                .map_groups(
+                    partition_merger(out_dir, base_file_map, schema_ops),
+                    batch_format="pyarrow",
+                    **self._merge_opts(),
                 )
+                .take_all()
+            )
         else:  # pure schema-change batch: metadata-only commit
             stats = []
         t_ = _mark("merge", t_)
         cur_schema_lsn = max((o["lsn"] for o in schema_ops), default=-1)
         new_partitions = self._stats_to_partitions(stats, schema_lsn=cur_schema_lsn)
 
-        # --- carry forward untouched partitions by reference ---
+        # --- carry forward by reference: untouched partitions, plus any
+        # "affected" pid that produced no merge group (possible under the
+        # big-delta shortcut when a partition had no delta rows) ---
         partitions = {
             int(pid): ent
             for pid, ent in manifest["partitions"].items()
-            if int(pid) not in affected
+            if int(pid) not in affected or int(pid) not in new_partitions
         }
         partitions.update(new_partitions)
 
@@ -472,15 +411,35 @@ class CDCEngine:
             m = pc.max(stream.column("lsn")).as_py()
             return m if m is not None and m > applied_lsn else None
         if isinstance(stream, (str, list)):
-            dset = pads.dataset(stream, format="parquet")
+            # footer statistics are EXACT for integer columns — the
+            # global max lsn needs no data pages at all
+            import pyarrow.parquet as _pq
+
+            if isinstance(stream, list):
+                files = list(stream)
+            elif os.path.isdir(stream):
+                files = [
+                    os.path.join(stream, f)
+                    for f in sorted(os.listdir(stream))
+                    if f.endswith(".parquet")
+                ]
+            else:
+                files = [stream]
             best = None
-            for frag_batch in dset.to_batches(
-                columns=["lsn"], filter=pads.field("lsn") > applied_lsn
-            ):
-                if frag_batch.num_rows:
-                    m = pc.max(frag_batch.column("lsn")).as_py()
-                    best = m if best is None else max(best, m)
-            return best
+            for fpath in files:
+                md = _pq.read_metadata(fpath)
+                idx = md.schema.to_arrow_schema().get_field_index("lsn")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        best = st.max if best is None else max(best, st.max)
+            if best is None:  # no stats: fall back to a column scan
+                dset = pads.dataset(files, format="parquet")
+                for frag_batch in dset.to_batches(columns=["lsn"]):
+                    if frag_batch.num_rows:
+                        m = pc.max(frag_batch.column("lsn")).as_py()
+                        best = m if best is None else max(best, m)
+            return best if best is not None and best > applied_lsn else None
         m = stream.max("lsn")  # ray Dataset (column-pruned projection)
         return int(m) if m is not None and m > applied_lsn else None
 
@@ -510,15 +469,14 @@ class CDCEngine:
 
         version = self.lake.current_version() + 1
         out_dir = self.lake.data_dir(version)
-        with _hash_shuffle_ctx():
-            stats = (
-                ds.map_batches(prep, batch_format="pyarrow")
-                .groupby(PID_COL, num_partitions=P)
-                .map_groups(
-                    partition_merger(out_dir), batch_format="pyarrow", **self._merge_opts()
-                )
-                .take_all()
+        stats = (
+            ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(PID_COL, num_partitions=P)
+            .map_groups(
+                partition_merger(out_dir), batch_format="pyarrow", **self._merge_opts()
             )
+            .take_all()
+        )
         return self.lake.commit(
             self._stats_to_partitions(stats),
             batch_id=batch_id,
