@@ -3,15 +3,16 @@
 Dataflow (idiomatic Ray Data, streaming with backpressure):
 
     read_parquet(event slices, lsn > applied_lsn pushdown)
-      -> map_batches(NormalizeEvents)            # stateless, zero-copy Arrow
-      -> [affected-partition discovery]          # tiny per-batch distinct
-      ∪  read_parquet(affected base partitions)  # partition-pruned base read
-      -> groupby(_pid).map_groups(merge_partition_group)  # the one shuffle
+      -> map_batches(NormalizeEvents)            # zero-copy Arrow; per-batch
+                                                 # LWW pre-compaction (combiner)
+      -> groupby(_pid).map_groups(merge)         # the ONE shuffle — delta only
+           each merge task reads + conforms its base partition file
+           directly (base never shuffled; no Union barrier)
       -> manifest commit + checkpoint advance    # exactly-once (2PC)
 
-Only partitions whose keys were touched are re-merged; the rest carry
-forward by reference in the new manifest. At 10^10 events the shuffle
-moves (delta + affected base partitions), never the whole lake.
+Affected partitions come from footer stats / a column-pruned key scan;
+untouched partitions carry forward by reference. At 10^10 events the
+exchange moves only the pre-compacted delta — never the lake.
 
 Lifecycle parity with the reference's flagship DAG (SURVEY.md §3.1):
 extract -> load-first -> verify counts -> only-then advance state, with
