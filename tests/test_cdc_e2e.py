@@ -244,3 +244,26 @@ def test_validate_run_report(fixture_dir, tmp_path):
     # per-partition lineage carries a watermark
     m = eng.lake.load_manifest()
     assert all("watermark_ts" in e for e in m["partitions"].values())
+
+
+def test_schema_evolution_incremental_equals_oneshot(tmp_path):
+    """Schema ops interleaved mid-stream: draining the WAL in micro-
+    batches (schema op lands mid-drain) must converge to the same final
+    table and logical schema as a one-shot apply."""
+    d = str(tmp_path / "fix")
+    write_fixture(d, 2000, 200, seed=21, schema_change_frac=0.002, n_files=5)
+    ev_dir = os.path.join(d, "change_events")
+
+    a = CDCEngine(str(tmp_path / "lake_a"), num_partitions=4)
+    a.bootstrap(os.path.join(d, "pages.parquet"))
+    a.apply(ev_dir, batch_id="oneshot")
+
+    b = CDCEngine(str(tmp_path / "lake_b"), num_partitions=4)
+    b.bootstrap(os.path.join(d, "pages.parquet"))
+    b.apply_stream(ev_dir, max_files_per_batch=1)
+
+    ta = a.to_arrow().sort_by("url")
+    tb = b.to_arrow().sort_by("url")
+    assert ta.schema.equals(tb.schema)  # rename/add/widen all applied
+    assert "language" in ta.schema.names and "fetch_status" in ta.schema.names
+    assert ta.equals(tb)
