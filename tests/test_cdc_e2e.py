@@ -267,3 +267,44 @@ def test_schema_evolution_incremental_equals_oneshot(tmp_path):
     assert ta.schema.equals(tb.schema)  # rename/add/widen all applied
     assert "language" in ta.schema.names and "fetch_status" in ta.schema.names
     assert ta.equals(tb)
+
+
+def test_wide_binary_rows(tmp_path):
+    """Wide rows (html ~256KB — realistic Common-Crawl page sizes):
+    large_binary end-to-end, blocks split by Ray, LWW + tombstones +
+    byte-identical payload after replay."""
+    import numpy as np
+
+    n_urls, n_events = 24, 60
+    rng = np.random.default_rng(17)
+    urls = [f"https://big-{i}.example/p" for i in range(n_urls)]
+    big = [rng.integers(0, 256, size=256 * 1024, dtype=np.uint8).tobytes() for _ in range(n_urls)]
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(np.arange(n_urls, dtype="int64")).cast(pa.timestamp("us")),
+            "html": pa.array(big, pa.large_binary()),
+            "text": pa.array([f"t{i}" for i in range(n_urls)], pa.large_string()),
+            "lang": pa.array(["en"] * n_urls, pa.string()),
+        }
+    )
+    ev_urls = [urls[i % n_urls] for i in range(n_events)]
+    ev_big = [rng.integers(0, 256, size=256 * 1024, dtype=np.uint8).tobytes() for _ in range(n_events)]
+    events = pa.table(
+        {
+            "lsn": pa.array(np.arange(n_events, dtype="int64")),
+            "op": pa.array(["update" if i % 5 else "delete" for i in range(n_events)], pa.string()),
+            "url": pa.array(ev_urls, pa.string()),
+            "warc_ts": pa.array(np.arange(100, 100 + n_events, dtype="int64")).cast(pa.timestamp("us")),
+            "html": pa.array([None if i % 5 == 0 else ev_big[i] for i in range(n_events)], pa.large_binary()),
+            "text": pa.array([None if i % 5 == 0 else f"e{i}" for i in range(n_events)], pa.large_string()),
+            "lang": pa.array([None if i % 5 == 0 else "en" for i in range(n_events)], pa.string()),
+        }
+    )
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(pages)
+    eng.apply(events, batch_id="wide")
+    got = eng.to_arrow()
+    want = oracle_final_state(pages, events)
+    assert _norm(got) == _norm(want)  # includes byte-exact 256KB html
+    assert str(got.schema.field("html").type) == "large_binary"
