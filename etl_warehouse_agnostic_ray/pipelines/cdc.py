@@ -531,6 +531,41 @@ class CDCEngine:
                 )
             )
         else:
+            # footer-stats precheck: if schema_kind is null in every row
+            # group (the overwhelmingly common no-DDL batch), skip the
+            # column read entirely — pure metadata
+            import pyarrow.parquet as _pq
+
+            if isinstance(stream, list):
+                _files = list(stream)
+            elif os.path.isdir(stream):
+                _files = [
+                    os.path.join(stream, f)
+                    for f in sorted(os.listdir(stream))
+                    if f.endswith(".parquet")
+                ]
+            else:
+                _files = [stream]
+            any_schema_rows = False
+            for fpath in _files:
+                md = _pq.read_metadata(fpath)
+                sch = md.schema.to_arrow_schema()
+                if "schema_kind" not in sch.names:
+                    continue
+                idx = sch.get_field_index("schema_kind")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if (
+                        st is None
+                        or st.null_count is None
+                        or st.null_count < md.row_group(rg).num_rows
+                    ):
+                        any_schema_rows = True
+                        break
+                if any_schema_rows:
+                    break
+            if not any_schema_rows:
+                return []
             dset = pads.dataset(stream, format="parquet")
             t = dset.to_table(
                 columns=["lsn", "schema_kind", "schema_column", "schema_type"],
