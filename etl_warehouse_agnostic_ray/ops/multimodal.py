@@ -52,8 +52,8 @@ class DecodeImageBatch:
             hs.append(h)
             modes.append(m)
             feats.append(f)
-        out = batch.append_column("width", pa.array(ws, pa.int32()))
-        out = out.append_column("height", pa.array(hs, pa.int32()))
+        out = batch.append_column("width", pa.array(ws, pa.int64()))
+        out = out.append_column("height", pa.array(hs, pa.int64()))
         out = out.append_column("mode", pa.array(modes, pa.string()))
         out = out.append_column(
             "features", pa.array([list(f) for f in feats], pa.list_(pa.float64()))

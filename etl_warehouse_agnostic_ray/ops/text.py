@@ -87,23 +87,15 @@ def lang_id(batch: pa.Table, col: str = "text", out: str = "lang_pred") -> pa.Ta
 
 
 def doc_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint") -> pa.Table:
-    """64-bit rolling (polynomial) hash over the normalized byte stream —
-    a stable whole-document fingerprint: equal normalized text ⇔ equal
-    fingerprint. Per-doc numpy Horner evaluation (vector within doc)."""
-    s = pc.utf8_lower(pc.cast(batch.column(col), pa.string()))
+    """64-bit polynomial hash over the normalized (lowered,
+    whitespace-squashed) byte stream — a stable whole-document
+    fingerprint: equal normalized text ⇔ equal fingerprint. One
+    vectorized pass over the batch's Arrow string buffer (no per-doc
+    loop); value-for-value SQL twin in ``pipelines/hash_sql.py``.
+    Null/empty docs fingerprint to 0."""
+    from .texthash import poly_hash_array
+
+    s = pc.utf8_lower(pc.cast(batch.column(col), pa.large_string()))
     s = pc.replace_substring_regex(s, r"\s+", " ")
-    vals = s.to_pylist()
-    B = np.uint64(1099511628211)
-    outv = np.zeros(len(vals), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, v in enumerate(vals):
-            if not v:
-                continue
-            data = np.frombuffer(v.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            # h = Σ data[j] · B^(n-1-j) (mod 2^64) — vectorized Horner:
-            # powers via cumprod with natural uint64 wraparound
-            pw = np.full(len(data), B, dtype=np.uint64)
-            pw[0] = 1
-            pw = np.cumprod(pw, dtype=np.uint64)[::-1]
-            outv[i] = np.uint64(np.sum(data * pw, dtype=np.uint64))
+    outv = poly_hash_array(s)
     return batch.append_column(out, pa.array(outv.view(np.int64)))

@@ -28,11 +28,13 @@ from ..ops.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
+    simhash_neardup_pairs,
     simhash_signatures,
 )
 from ..ops.multimodal import DecodeImageBatch
 from ..ops.similarity import topk_cosine
-from ..ops.text import doc_fingerprint, lang_id, quality_score, token_count
+from ..ops.text import _LANG_PROFILES, doc_fingerprint, lang_id, quality_score, token_count
+from . import hash_sql
 from ..stages.explode import explode_json_array
 from .cdc import CDCEngine
 
@@ -235,9 +237,12 @@ SELECT url, warc_ts, text, lang FROM ranked WHERE rn = 1 AND op <> 'delete'
 
 
 def q_cdc_schema_evolution(sf_dir: str):
-    """Engine run over a stream WITH interleaved add/widen/rename ops;
-    returns the final logical schema (column name/type rows). Not
-    SQL-expressible (DDL-in-stream) → rows-only check."""
+    """Engine run over a stream WITH interleaved add/widen/rename ops
+    (the fixture's deterministic DDL: add fetch_status int32 → widen to
+    int64 → rename lang→language). Returns the final logical DATA —
+    verified against a DuckDB oracle that replays the same DDL + LWW
+    window over the raw stream (VERDICT r1 task 1c: data-level oracle
+    instead of a rows-only schema listing)."""
     name = os.path.basename(os.path.normpath(sf_dir))
     n_events, n_urls = _SF_SIZES.get(name, (20_000, 3_000))
     d = os.path.join(FIX_ROOT, name + "_schema")
@@ -247,15 +252,28 @@ def q_cdc_schema_evolution(sf_dir: str):
         eng = CDCEngine(root, num_partitions=8)
         eng.bootstrap(os.path.join(d, "pages.parquet"))
         eng.apply(os.path.join(d, "change_events"), batch_id="replay")
-        t = eng.lake.to_arrow()
-        return pa.table(
-            {
-                "column_name": pa.array([f.name for f in t.schema]),
-                "column_type": pa.array([str(f.type) for f in t.schema]),
-            }
+        return eng.lake.to_arrow().select(
+            ["url", "warc_ts", "text", "language", "fetch_status"]
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_CDC_SCHEMA_EVOLUTION = f"""
+WITH unioned AS (
+  SELECT url, warc_ts, text, lang AS language, CAST(NULL AS BIGINT) AS fetch_status,
+         CAST(-1 AS BIGINT) AS lsn, 'insert' AS op
+  FROM read_parquet('{FIX_ROOT}/sf0.01_schema/pages.parquet')
+  UNION ALL
+  SELECT url, warc_ts, text, lang AS language, CAST(fetch_status AS BIGINT), lsn, op
+  FROM read_parquet('{FIX_ROOT}/sf0.01_schema/change_events/*.parquet')
+  WHERE op <> 'schema_change'
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+  FROM unioned)
+SELECT url, warc_ts, text, language, fetch_status
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
 
 
 # ===================================================================
@@ -670,6 +688,9 @@ def q_lang_id_documents(sf_dir: str):
     )
 
 
+SQL_LANG_ID_DOCUMENTS = hash_sql.lang_id_sql("documents", _LANG_PROFILES)
+
+
 def q_fingerprint_documents(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -678,24 +699,41 @@ def q_fingerprint_documents(sf_dir: str):
     )
 
 
+SQL_FINGERPRINT_DOCUMENTS = hash_sql.fingerprint_sql("documents")
+
+
 def q_minhash_neardup_pairs(sf_dir: str):
+    """LSH near-dup pairs at signature-jaccard ≥ 0.8 — the DuckDB twin
+    replays the WHOLE algorithm (shingles → 64 minhashes → band buckets
+    → pair verify) in HUGEINT arithmetic, so values match exactly."""
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.8)
-    return pairs.map_batches(
-        lambda t: t.set_column(
-            t.column_names.index("jaccard"),
-            "jaccard",
-            pc.round(t.column("jaccard"), ndigits=4),
-        ),
-        batch_format="pyarrow",
-    )
+    return minhash_lsh_pairs(ds, jaccard_threshold=0.8)
+
+
+SQL_MINHASH_NEARDUP_PAIRS = hash_sql.minhash_pairs_sql(
+    "documents", jaccard_threshold=0.8
+)
 
 
 def q_simhash_documents(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_signatures(ds)
+
+
+SQL_SIMHASH_DOCUMENTS = hash_sql.simhash_documents_sql("documents")
+
+
+def q_simhash_neardup_pairs(sf_dir: str):
+    """Pigeonhole-blocked Hamming-≤3 SimHash pairs; recall is exact, so
+    the all-pairs bit_count(xor) self-join in SQL matches exactly."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_neardup_pairs(ds, max_hamming=3)
+
+
+SQL_SIMHASH_NEARDUP_PAIRS = hash_sql.simhash_pairs_sql("documents", max_hamming=3)
 
 
 def q_embedding_topk(sf_dir: str):
@@ -769,6 +807,9 @@ SELECT vec_id AS doc_a, vec_id + 10000 AS doc_b FROM embeddings
 
 
 def q_multimodal_decode(sf_dir: str):
+    """Actor-pool decode plumbing over the binary html payload; the
+    deterministic fake-decode arithmetic (byte-sum dims) is replayed by
+    a DuckDB oracle over the same blob column."""
     d = fixture_dir(sf_dir)
     rd = _rd()
     ds = rd.read_parquet(os.path.join(d, "pages.parquet"), columns=["url", "html"])
@@ -776,6 +817,11 @@ def q_multimodal_decode(sf_dir: str):
         DecodeImageBatch, batch_format="pyarrow", batch_size=512, concurrency=2
     )
     return out.select_columns(["url", "width", "height", "mode"])
+
+
+SQL_MULTIMODAL_DECODE = hash_sql.multimodal_decode_sql(
+    f"{FIX_ROOT}/sf0.01/pages.parquet"
+)
 
 
 def q_normalize_dirty_records(sf_dir: str):
@@ -868,6 +914,7 @@ QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_neardup_pairs": q_minhash_neardup_pairs,
     "simhash_documents": q_simhash_documents,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_neardup": q_embedding_neardup,
@@ -878,6 +925,13 @@ QUERIES = {
 ORACLES = {
     "cdc_events_lww": SQL_CDC_EVENTS_LWW,
     "cdc_pages_replay": SQL_CDC_PAGES_REPLAY,
+    "cdc_schema_evolution": SQL_CDC_SCHEMA_EVOLUTION,
+    "lang_id_documents": SQL_LANG_ID_DOCUMENTS,
+    "fingerprint_documents": SQL_FINGERPRINT_DOCUMENTS,
+    "minhash_neardup_pairs": SQL_MINHASH_NEARDUP_PAIRS,
+    "simhash_documents": SQL_SIMHASH_DOCUMENTS,
+    "simhash_neardup_pairs": SQL_SIMHASH_NEARDUP_PAIRS,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
     "filter_project_revenue": SQL_FILTER_PROJECT_REVENUE,
     "sort_topk_orders": SQL_SORT_TOPK_ORDERS,

@@ -102,7 +102,7 @@ class TestDedup:
         found = set(zip(pairs["doc_a"], pairs["doc_b"]))
         missing = [p for p in dup_pairs if p not in found]
         assert not missing
-        assert ((pairs["jaccard"] >= 0.9) | np.isclose(pairs["jaccard"], 0.9)).all()
+        assert (pairs["n_equal"] >= int(np.ceil(0.9 * 64 - 1e-9))).all()
 
     def test_simhash_identical_text_same_sig(self, ray_session):
         import ray.data as rd
@@ -113,6 +113,59 @@ class TestDedup:
         out = simhash_signatures(rd.from_arrow(t)).to_pandas().set_index("doc_id")
         assert out.loc[1, "simhash"] == out.loc[2, "simhash"]
         assert out.loc[1, "simhash"] != out.loc[3, "simhash"]
+
+    def test_simhash_pairs_exact_vs_bruteforce(self, docs_ds, docs):
+        from etl_warehouse_agnostic_ray.ops.dedup import simhash_neardup_pairs
+        from etl_warehouse_agnostic_ray.ops.texthash import popcount64, simhash_batch
+
+        got = simhash_neardup_pairs(docs_ds, max_hamming=3).to_pandas()
+        sh = simhash_batch(docs.column("text"))
+        ids = docs.column("doc_id").to_numpy()
+        want = set()
+        for i in range(len(ids)):
+            ham = popcount64(np.bitwise_xor(sh[i + 1 :], sh[i]))
+            for j in np.nonzero(ham <= 3)[0]:
+                a, b = sorted((int(ids[i]), int(ids[i + 1 + j])))
+                want.add((a, b, int(ham[j])))
+        assert set(zip(got["doc_a"], got["doc_b"], got["hamming"])) == want
+
+    def test_minhash_bucket_cap_accounted(self, ray_session):
+        """Adversarial all-identical bucket: caps bound the O(b²) blowup
+        and the drop count is surfaced (no-silent-caps rule)."""
+        import ray.data as rd
+
+        t = pa.table(
+            {"doc_id": pa.array(range(50), pa.int64()),
+             "text": ["identical text for every row here"] * 50}
+        )
+        raw = minhash_lsh_pairs(
+            rd.from_arrow(t), jaccard_threshold=0.9, bucket_cap=10,
+            include_drop_stats=True,
+        ).to_pandas()
+        sentinels = raw[raw["doc_a"] == -1]
+        assert len(sentinels) > 0 and (sentinels["doc_b"] == -40).all()
+        capped = minhash_lsh_pairs(
+            rd.from_arrow(t), jaccard_threshold=0.9, bucket_cap=10
+        ).to_pandas()
+        assert len(capped) == 45  # C(10,2), emitted once (first band only)
+
+    def test_embedding_bucket_cap_accounted(self, ray_session):
+        import ray.data as rd
+
+        vec = [1.0] * 8
+        t = pa.table(
+            {"vec_id": pa.array(range(30), pa.int64()),
+             "embedding": pa.array([vec] * 30, pa.list_(pa.float64()))}
+        )
+        raw = embedding_neardup_pairs(
+            rd.from_arrow(t), threshold=0.9, bucket_cap=10, include_drop_stats=True
+        ).to_pandas()
+        sentinels = raw[raw["doc_a"] == -1]
+        assert len(sentinels) == 1 and sentinels["doc_b"].iloc[0] == -20
+        capped = embedding_neardup_pairs(
+            rd.from_arrow(t), threshold=0.9, bucket_cap=10
+        ).to_pandas()
+        assert len(capped) == 45
 
     def test_ngram_jaccard(self):
         assert ngram_jaccard("a b c d", "a b c d") == 1.0
