@@ -27,22 +27,39 @@ from __future__ import annotations
 
 import os
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
 
 from .schemas import LSN_COL, OP_COL, PID_COL
 from .state.atomic import atomic_write_json, read_json
 from .state.schema_registry import SchemaRegistry
 
-# Deterministic, process-independent 64-bit key hash (pandas siphash with
-# its fixed default key). Used everywhere a row is routed to a partition.
+# Deterministic, process-independent 64-bit key hash over the Arrow
+# string buffer (ops/texthash poly64 + a splitmix finalizer for bucket
+# spread). Used everywhere a row is routed to a partition. Stays
+# zero-copy Arrow — no pandas object-dtype round-trip in the hot path.
 
 
 def partition_ids(urls, num_partitions: int):
-    """Vectorized url -> partition id in [0, num_partitions)."""
-    s = pd.Series(urls, dtype="object")
-    h = pd.util.hash_pandas_object(s, index=False).to_numpy()
-    return (h % num_partitions).astype("int64")
+    """Vectorized url -> partition id in [0, num_partitions).
+
+    ``urls`` may be an Arrow (Chunked)Array or any sequence of strings.
+    """
+    from .ops.texthash import poly_hash_array
+
+    if not isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        urls = pa.array(list(urls), pa.large_string())
+    h = poly_hash_array(urls)
+    # splitmix64-style finalizer: poly64's low bits are dominated by the
+    # key's tail bytes; two xor-shift multiplies spread them uniformly
+    with np.errstate(over="ignore"):
+        h = h.copy()
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return (h % np.uint64(num_partitions)).astype("int64")
 
 
 class LakeTable:
@@ -77,10 +94,18 @@ class LakeTable:
         schema_ops: list[dict],
         num_partitions: int,
         stats: dict | None = None,
+        reset_batch_ids: bool = False,
     ) -> dict:
+        """``reset_batch_ids=True`` starts a fresh duplicate-batch
+        namespace — used by watermark-resetting commits (bootstrap /
+        full_refresh): after a refresh the lake no longer contains the
+        old batches' events, so re-applying a previously-used batch_id
+        must NOT be skipped as a duplicate."""
         prev = self.load_manifest()
         version = self.current_version() + 1
-        applied_batch_ids = list(prev["applied_batch_ids"]) if prev else []
+        applied_batch_ids = (
+            [] if reset_batch_ids else (list(prev["applied_batch_ids"]) if prev else [])
+        )
         if batch_id in applied_batch_ids:
             raise ValueError(f"batch {batch_id!r} already committed")  # guard; callers skip earlier
         applied_batch_ids.append(batch_id)

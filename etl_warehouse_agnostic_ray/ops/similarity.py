@@ -15,6 +15,12 @@ import heapq
 import numpy as np
 import pyarrow as pa
 
+from .texthash import list_col_to_matrix
+
+_PARTIAL_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("vec_id", pa.int64()), ("cosine", pa.float64())]
+)
+
 
 def _topk_partials(
     batch: pa.Table,
@@ -25,8 +31,10 @@ def _topk_partials(
 ) -> pa.Table:
     import ray
 
+    if batch.num_rows == 0:  # Ray Data can deliver empty blocks
+        return _PARTIAL_SCHEMA.empty_table()
     Q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
-    V = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+    V = list_col_to_matrix(batch.column(vec_col))
     nrm = np.linalg.norm(V, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0
     S = (V / nrm) @ Q.T  # (n, q)
@@ -165,10 +173,12 @@ def ivf_topk(
     probe_ref = ray.put(probe)
 
     def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
         Cm = ray.get(Cref)
         Qm = ray.get(Qref)
         pr = ray.get(probe_ref)
-        V = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        V = list_col_to_matrix(batch.column(vec_col))
         nrm = np.linalg.norm(V, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         Vn = V / nrm

@@ -72,7 +72,7 @@ class CDCEngine:
             n = batch.num_rows
             out = batch.append_column(LSN_COL, pa.array([-1] * n, pa.int64()))
             out = out.append_column(OP_COL, pa.array(["insert"] * n, pa.string()))
-            pid = partition_ids(batch.column("url").to_pandas(), P)
+            pid = partition_ids(batch.column("url"), P)
             return out.append_column(PID_COL, pa.array(pid, pa.int64()))
 
         version = self.lake.current_version() + 1
@@ -95,6 +95,7 @@ class CDCEngine:
             schema_ops=[],
             num_partitions=P,
             stats={"op": "bootstrap", "rows": sum(e["rows"] for e in partitions.values())},
+            reset_batch_ids=True,
         )
         return manifest
 
@@ -169,7 +170,7 @@ class CDCEngine:
                 big_delta_rows = approx
 
         def pid_counts_of(batch: pa.Table) -> pa.Table:
-            pid = partition_ids(batch.column("url").to_pandas(), P)
+            pid = partition_ids(batch.column("url"), P)
             import numpy as np
 
             vals, counts = np.unique(pid, return_counts=True)
@@ -255,12 +256,22 @@ class CDCEngine:
         # its merge task. Because LWW is associative, we first compact
         # per (pid, salt=lsn mod S) — S-way parallel — then the final
         # per-pid merge sees at most S winners per url. ---
-        if (
+        # pid_counts is empty when the big-delta footer shortcut fired —
+        # exactly the regime where a viral-url hot partition would
+        # serialize its merge task. Fall back to the average-rows-per-
+        # partition signal there so skew mitigation stays armed.
+        hot = bool(
             delta_rows
             and self.salt_threshold
-            and pid_counts
-            and max(pid_counts.values()) > self.salt_threshold
-        ):
+            and (
+                (pid_counts and max(pid_counts.values()) > self.salt_threshold)
+                or (
+                    big_delta_rows is not None
+                    and delta_rows / max(P, 1) > self.salt_threshold
+                )
+            )
+        )
+        if hot:
             S = self.n_salts
 
             def add_salt(b: pa.Table) -> pa.Table:
@@ -465,7 +476,7 @@ class CDCEngine:
             n = batch.num_rows
             out = batch.append_column(LSN_COL, pa.array([-1] * n, pa.int64()))
             out = out.append_column(OP_COL, pa.array(["insert"] * n, pa.string()))
-            pid = partition_ids(batch.column("url").to_pandas(), P)
+            pid = partition_ids(batch.column("url"), P)
             return out.append_column(PID_COL, pa.array(pid, pa.int64()))
 
         version = self.lake.current_version() + 1
@@ -485,6 +496,7 @@ class CDCEngine:
             schema_ops=[],
             num_partitions=P,
             stats={"op": "full_refresh"},
+            reset_batch_ids=True,
         )
 
     def init_empty(self, batch_id: str = "init") -> dict:
@@ -496,6 +508,7 @@ class CDCEngine:
             schema_ops=[],
             num_partitions=self.num_partitions,
             stats={"op": "init_empty"},
+            reset_batch_ids=True,
         )
 
     @staticmethod

@@ -40,8 +40,12 @@ class ChangeStreamSource:
             if f.endswith(".parquet")
         )
 
-    def file_lsn_ranges(self) -> list[tuple[str, int, int]]:
-        """(path, min_lsn, max_lsn) from parquet footer statistics only."""
+    def file_lsn_ranges(self) -> list[tuple[str, int | None, int | None]]:
+        """(path, min_lsn, max_lsn) from parquet footer statistics only.
+        Files whose lsn column carries NO statistics report (None, None)
+        — callers must treat them as "could contain anything" and read
+        them (dropping them would silently lose data written with
+        statistics disabled)."""
         import pyarrow.parquet as pq
 
         out = []
@@ -54,13 +58,14 @@ class ChangeStreamSource:
                 if st is not None and st.has_min_max:
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-            out.append((f, lo if lo is not None else -1, hi if hi is not None else -1))
+            out.append((f, lo, hi))
         return out
 
     def read_from(self, lsn: int = -1):
         import ray.data as rd
 
-        live = [f for f, _, hi in self.file_lsn_ranges() if hi > lsn]
+        # missing stats (hi is None) => must read — conservative include
+        live = [f for f, _, hi in self.file_lsn_ranges() if hi is None or hi > lsn]
         if not live:
             return None
         return rd.read_parquet(
@@ -70,14 +75,18 @@ class ChangeStreamSource:
         )
 
     def batches(self, cursor: int = -1, max_files: int = 8):
-        """Yield (batch_id, file-list) micro-batches in LSN order."""
-        pending = [(f, lo, hi) for f, lo, hi in self.file_lsn_ranges() if hi > cursor]
+        """Yield (batch_id, file-list) micro-batches in LSN order.
+        Stat-less files are included (conservatively live)."""
+        pending = [
+            (f, lo, hi)
+            for f, lo, hi in self.file_lsn_ranges()
+            if hi is None or hi > cursor
+        ]
         for i in range(0, len(pending), max_files):
             chunk = pending[i : i + max_files]
-            yield (
-                f"slice-{chunk[0][1]}-{chunk[-1][2]}",
-                [f for f, _, _ in chunk],
-            )
+            lo0 = chunk[0][1] if chunk[0][1] is not None else "x"
+            hiN = chunk[-1][2] if chunk[-1][2] is not None else "x"
+            yield (f"slice-{lo0}-{hiN}", [f for f, _, _ in chunk])
 
     def count_remaining(self, lsn: int = -1) -> int:
         dset = pads.dataset(self.files(), format="parquet")

@@ -29,6 +29,18 @@ import pyarrow.parquet as pq
 
 from ..schemas import LSN_COL, OP_COL, PID_COL
 
+MERGE_STATS_SCHEMA = pa.schema(
+    [
+        ("pid", pa.int64()),
+        ("rows", pa.int64()),
+        ("live_rows", pa.int64()),
+        ("watermark_ts", pa.timestamp("us")),
+        ("max_lsn", pa.int64()),
+        ("bytes", pa.int64()),
+        ("file", pa.string()),
+    ]
+)
+
 
 def lww_compact_table(tbl: pa.Table) -> pa.Table:
     """Pure LWW compaction of one partition's (base ∪ delta) rows.
@@ -78,6 +90,11 @@ def merge_partition_group(
     Writing inside the task keeps the wide rows off the driver and makes
     retries idempotent (tmp file + rename; same pid → same final name).
     """
+    if group.num_rows == 0:
+        # typed empty stats block — keeps every block of the stats
+        # dataset on ONE schema (Ray warns on schema divergence when an
+        # empty untyped block mixes into take_all)
+        return MERGE_STATS_SCHEMA.empty_table()
     pid = int(group.column(PID_COL)[0].as_py())
     base_path = (base_files or {}).get(pid)
     if base_path is not None:
@@ -100,7 +117,15 @@ def merge_partition_group(
     final = os.path.join(out_dir, fname)
     tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}-{fname}")
     pq.write_table(winners, tmp, compression="zstd")
+    # durability before the pointer flip can reference this file: fsync
+    # the bytes AND the directory entry, so a power loss after commit
+    # cannot leave CURRENT pointing at a vanished/zero-length partition
+    with open(tmp, "rb") as fh:
+        os.fsync(fh.fileno())
     os.replace(tmp, final)
+    from ..state.atomic import fsync_dir
+
+    fsync_dir(out_dir)
     max_lsn = pc.max(group.column(LSN_COL)).as_py()
     # per-partition watermark = max event time merged into this
     # partition (the reference's per-endpoint watermark generalized,

@@ -70,7 +70,7 @@ class NormalizeEvents:
         out = pa.table(cols)
         out = out.append_column(LSN_COL, b.column("lsn"))
         out = out.append_column(OP_COL, b.column("op"))
-        pid = partition_ids(b.column("url").to_pandas(), self.num_partitions)
+        pid = partition_ids(b.column("url"), self.num_partitions)
         out = out.append_column(PID_COL, pa.array(pid, pa.int64()))
         if self.precompact and out.num_rows:
             from .lww import lww_compact_table

@@ -13,6 +13,23 @@ import os
 import tempfile
 
 
+def fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a completed rename inside it survives power
+    loss (a renamed entry is only durable once its directory's metadata
+    is flushed). No-op on platforms/filesystems without O_DIRECTORY
+    semantics."""
+    try:
+        fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def atomic_write_json(path: str, obj: dict) -> None:
     payload = json.dumps(obj, sort_keys=True, default=str).encode("utf-8")
     digest = hashlib.md5(payload).hexdigest()
@@ -28,6 +45,7 @@ def atomic_write_json(path: str, obj: dict) -> None:
             if hashlib.md5(fh.read()).hexdigest() != digest:
                 raise IOError(f"checksum mismatch writing {path}")
         os.replace(tmp, path)
+        fsync_dir(d)  # make the rename itself durable, not just the bytes
     finally:
         if os.path.exists(tmp):
             try:

@@ -72,6 +72,19 @@ def test_missing_file_refuses_commit(lake_with_data):
         )
 
 
+def test_full_refresh_resets_duplicate_batch_namespace(lake_with_data):
+    """After a watermark-resetting full refresh the refreshed lake no
+    longer contains batch b1's events, so re-applying under the SAME
+    batch_id must run (not be skipped as a duplicate)."""
+    eng = lake_with_data
+    eng.full_refresh(gen_pages(60, seed=5), batch_id="fr")
+    r = eng.apply(
+        gen_change_events(300, 60, seed=5, schema_change_frac=0.0), batch_id="b1"
+    )
+    assert not r.get("skipped"), r
+    assert r["events_applied"] > 0
+
+
 def test_dedup_guard_in_pipeline(ray_session):
     """DedupGuard as an actor-pool stage inside a real Dataset pipeline:
     redelivered lsns shed before the (mock) sink; totals exact."""

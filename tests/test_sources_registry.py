@@ -47,6 +47,24 @@ class TestChangeStream:
         assert sum(len(fs) for _, fs in batches) == 5
         assert len(batches) == 3
 
+    def test_statless_file_conservatively_included(self, tmp_path, ray_session):
+        """A parquet slice written with statistics disabled must still be
+        read — missing footer min/max means 'could contain anything',
+        not 'empty' (silent-data-loss guard)."""
+        d = str(tmp_path / "nostat")
+        os.makedirs(d)
+        t = pa.table({"lsn": pa.array([5, 6, 7], pa.int64()),
+                      "url": ["a", "b", "c"]})
+        pq.write_table(t, os.path.join(d, "events-0.parquet"),
+                       write_statistics=False)
+        src = ChangeStreamSource(d)
+        (f, lo, hi), = src.file_lsn_ranges()
+        assert lo is None and hi is None
+        ds = src.read_from(0)
+        assert ds is not None and ds.count() == 3
+        batches = list(src.batches(cursor=0))
+        assert sum(len(fs) for _, fs in batches) == 1
+
 
 class TestIncremental:
     def test_watermark_window(self, tmp_path, ray_session):
