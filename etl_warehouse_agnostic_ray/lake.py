@@ -63,14 +63,26 @@ def partition_ids(urls, num_partitions: int):
 
 
 class LakeTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, filesystem=None):
+        """``filesystem``: an optional ``pyarrow.fs.FileSystem`` — the
+        reference's warehouse-plugin seam (``config/warehouse_config.py:
+        25-45``) re-expressed storage-side: the same lake code runs on
+        local disk (default, with atomic rename + fsync), NFS/Fuse
+        mounts, or any pyarrow filesystem (S3/GCS/HDFS) by injection.
+        The object is pickled into merge tasks, so it must be a plain
+        pyarrow filesystem (they serialize cleanly)."""
         self.root = root
-        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        self.fs = filesystem
+        if filesystem is None:
+            os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+            os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        else:
+            filesystem.create_dir(os.path.join(root, "manifests"), recursive=True)
+            filesystem.create_dir(os.path.join(root, "data"), recursive=True)
 
     # ---- pointers / manifests ----
     def current_version(self) -> int:
-        cur = read_json(os.path.join(self.root, "CURRENT"))
+        cur = read_json(os.path.join(self.root, "CURRENT"), fs=self.fs)
         return -1 if cur is None else int(cur["version"])
 
     def manifest_path(self, version: int) -> str:
@@ -80,7 +92,7 @@ class LakeTable:
         v = self.current_version() if version is None else version
         if v < 0:
             return None
-        return read_json(self.manifest_path(v))
+        return read_json(self.manifest_path(v), fs=self.fs)
 
     def data_dir(self, version: int) -> str:
         return os.path.join(self.root, "data", f"v{version:06d}")
@@ -116,7 +128,7 @@ class LakeTable:
 
         for pid, ent in partitions.items():
             fpath = os.path.join(self.root, ent["file"])
-            md = pq.read_metadata(fpath)  # raises if missing/corrupt
+            md = pq.read_metadata(fpath, filesystem=self.fs)  # raises if missing/corrupt
             if md.num_rows != ent["rows"]:
                 raise IOError(
                     f"partition {pid}: wrote {md.num_rows} rows, expected {ent['rows']}"
@@ -132,8 +144,8 @@ class LakeTable:
             "partitions": {str(pid): ent for pid, ent in sorted(partitions.items())},
             "stats": stats or {},
         }
-        atomic_write_json(self.manifest_path(version), manifest)
-        atomic_write_json(os.path.join(self.root, "CURRENT"), {"version": version})
+        atomic_write_json(self.manifest_path(version), manifest, fs=self.fs)
+        atomic_write_json(os.path.join(self.root, "CURRENT"), {"version": version}, fs=self.fs)
         return manifest
 
     # ---- read ----
@@ -186,7 +198,9 @@ class LakeTable:
 
         ds = None
         for _, files in sorted(self.files_by_epoch(version).items()):
-            d = rd.read_parquet(files).map_batches(conform, batch_format="pyarrow")
+            d = rd.read_parquet(files, filesystem=self.fs).map_batches(
+                conform, batch_format="pyarrow"
+            )
             ds = d if ds is None else ds.union(d)
         if ds is None:
             raise FileNotFoundError(f"no data files in {self.root}")
@@ -204,7 +218,7 @@ class LakeTable:
         reg = SchemaRegistry.from_dict(m["schema_ops"])
         parts = []
         for f in self.files(version):
-            t = pq.read_table(f)
+            t = pq.read_table(f, filesystem=self.fs)
             if OP_COL in t.column_names:
                 t = t.filter(pc.not_equal(t.column(OP_COL), pa.scalar("delete")))
             extras = [c for c in (LSN_COL, PID_COL, OP_COL) if c in t.column_names]
@@ -256,6 +270,20 @@ class LakeTable:
                 live.update(e["file"] for e in m["partitions"].values())
         removed = []
         data_root = os.path.join(self.root, "data")
+        if self.fs is not None:
+            from pyarrow.fs import FileSelector, FileType
+
+            infos = self.fs.get_file_info(
+                FileSelector(data_root, recursive=True, allow_not_found=True)
+            )
+            for info in infos:
+                if info.type != FileType.File:
+                    continue
+                rel = os.path.relpath(info.path, self.root)
+                if rel not in live:
+                    self.fs.delete_file(info.path)
+                    removed.append(rel)
+            return removed
         for dirpath, _, names in os.walk(data_root):
             for n in names:
                 full = os.path.join(dirpath, n)

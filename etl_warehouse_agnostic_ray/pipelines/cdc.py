@@ -46,8 +46,13 @@ class CDCEngine:
         merge_concurrency: int | None = None,
         salt_threshold: int | None = 4_000_000,
         n_salts: int = 16,
+        filesystem=None,
     ):
-        self.lake = LakeTable(lake_root)
+        """``filesystem``: optional pyarrow.fs.FileSystem for the LAKE
+        side (manifests + partition files) — see LakeTable. The change
+        STREAM inputs stay plain paths/Datasets (point read_parquet at
+        whatever filesystem holds them)."""
+        self.lake = LakeTable(lake_root, filesystem=filesystem)
         self.num_partitions = num_partitions
         self.merge_concurrency = merge_concurrency
         self.salt_threshold = salt_threshold
@@ -81,7 +86,7 @@ class CDCEngine:
             ds.map_batches(prep, batch_format="pyarrow")
             .groupby(PID_COL, num_partitions=P)
             .map_groups(
-                partition_merger(out_dir),
+                partition_merger(out_dir, filesystem=self.lake.fs),
                 batch_format="pyarrow",
                 **self._merge_opts(),
             )
@@ -297,7 +302,9 @@ class CDCEngine:
             stats = (
                 delta.groupby(PID_COL, num_partitions=P)
                 .map_groups(
-                    partition_merger(out_dir, base_file_map, schema_ops),
+                    partition_merger(
+                        out_dir, base_file_map, schema_ops, filesystem=self.lake.fs
+                    ),
                     batch_format="pyarrow",
                     **self._merge_opts(),
                 )
@@ -485,7 +492,9 @@ class CDCEngine:
             ds.map_batches(prep, batch_format="pyarrow")
             .groupby(PID_COL, num_partitions=P)
             .map_groups(
-                partition_merger(out_dir), batch_format="pyarrow", **self._merge_opts()
+                partition_merger(out_dir, filesystem=self.lake.fs),
+                batch_format="pyarrow",
+                **self._merge_opts(),
             )
             .take_all()
         )

@@ -643,6 +643,38 @@ FROM documents
 """
 
 
+def q_silver_orders(sf_dir: str):
+    """The worked silver model (pipelines/silver.py): dedup → casts →
+    quality flags → CASE ladders → date derivations, composed as
+    registered steps through PipelineRegistry — the dbt-model extension
+    surface, value-verified (purchase_orders.sql:15-389 analogue)."""
+    from .silver import silver_orders
+
+    return silver_orders(sf_dir)
+
+
+SQL_SILVER_ORDERS = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY o_orderdate DESC) AS rn
+  FROM orders)
+SELECT o_orderkey, o_custkey,
+  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'fulfilled'
+       WHEN 'P' THEN 'pending' ELSE 'unknown' END AS order_status,
+  CASE WHEN o_totalprice < 50000 THEN 'small'
+       WHEN o_totalprice < 150000 THEN 'medium'
+       WHEN o_totalprice < 300000 THEN 'large'
+       ELSE 'jumbo' END AS value_tier,
+  substring(o_orderpriority, 1, 1) IN ('1','2') AS is_urgent,
+  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS priority_rank,
+  o_totalprice > 0 AS is_valid_price,
+  year(o_orderdate) AS order_year,
+  month(o_orderdate) AS order_month,
+  isodow(o_orderdate) AS order_dow,
+  round(o_totalprice, 2) AS total_price
+FROM ranked WHERE rn = 1
+"""
+
+
 # ===================================================================
 # Training-data ops
 # ===================================================================
@@ -908,6 +940,7 @@ QUERIES = {
     "explode_form_items": q_explode_form_items,
     "watermark_max_ts": q_watermark_max_ts,
     "validation_documents": q_validation_documents,
+    "silver_orders": q_silver_orders,
     "dedup_exact_documents": q_dedup_exact_documents,
     "text_quality_tokens": q_text_quality_tokens,
     "lang_id_documents": q_lang_id_documents,
@@ -944,6 +977,7 @@ ORACLES = {
     "explode_form_items": SQL_EXPLODE_FORM_ITEMS,
     "watermark_max_ts": SQL_WATERMARK_MAX_TS,
     "validation_documents": SQL_VALIDATION_DOCUMENTS,
+    "silver_orders": SQL_SILVER_ORDERS,
     "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
     "text_quality_tokens": SQL_TEXT_QUALITY_TOKENS,
     "embedding_topk": SQL_EMBEDDING_TOPK,

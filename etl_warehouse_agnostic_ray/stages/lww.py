@@ -75,6 +75,7 @@ def merge_partition_group(
     out_dir: str,
     base_files: dict[int, str] | None = None,
     schema_ops: list[dict] | None = None,
+    filesystem=None,
 ) -> pa.Table:
     """map_groups fn: compacts one partition's delta group against its
     base partition file and writes the next version's parquet file
@@ -100,7 +101,7 @@ def merge_partition_group(
     if base_path is not None:
         from ..state.schema_registry import SchemaRegistry
 
-        base = pq.read_table(base_path)
+        base = pq.read_table(base_path, filesystem=filesystem)
         reg = SchemaRegistry.from_dict(schema_ops or [])
         lineage = {
             c: base.column(c)
@@ -112,20 +113,27 @@ def merge_partition_group(
             conformed = conformed.append_column(c, lineage[c])
         group = pa.concat_tables([group, conformed])
     winners = lww_compact_table(group)
-    os.makedirs(out_dir, exist_ok=True)
     fname = f"part-{pid:05d}.parquet"
     final = os.path.join(out_dir, fname)
     tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}-{fname}")
-    pq.write_table(winners, tmp, compression="zstd")
-    # durability before the pointer flip can reference this file: fsync
-    # the bytes AND the directory entry, so a power loss after commit
-    # cannot leave CURRENT pointing at a vanished/zero-length partition
-    with open(tmp, "rb") as fh:
-        os.fsync(fh.fileno())
-    os.replace(tmp, final)
-    from ..state.atomic import fsync_dir
+    if filesystem is not None:
+        filesystem.create_dir(out_dir, recursive=True)
+        pq.write_table(winners, tmp, compression="zstd", filesystem=filesystem)
+        filesystem.move(tmp, final)
+        size = filesystem.get_file_info(final).size
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(winners, tmp, compression="zstd")
+        # durability before the pointer flip can reference this file:
+        # fsync the bytes AND the directory entry, so a power loss after
+        # commit cannot leave CURRENT pointing at a vanished partition
+        with open(tmp, "rb") as fh:
+            os.fsync(fh.fileno())
+        os.replace(tmp, final)
+        from ..state.atomic import fsync_dir
 
-    fsync_dir(out_dir)
+        fsync_dir(out_dir)
+        size = os.path.getsize(final)
     max_lsn = pc.max(group.column(LSN_COL)).as_py()
     # per-partition watermark = max event time merged into this
     # partition (the reference's per-endpoint watermark generalized,
@@ -141,7 +149,7 @@ def merge_partition_group(
             "live_rows": pa.array([int(n_live)], pa.int64()),
             "watermark_ts": pa.array([wm], pa.timestamp("us")),
             "max_lsn": pa.array([int(max_lsn)], pa.int64()),
-            "bytes": pa.array([os.path.getsize(final)], pa.int64()),
+            "bytes": pa.array([int(size)], pa.int64()),
             "file": pa.array(
                 [os.path.join(os.path.basename(os.path.dirname(final)), fname)], pa.string()
             ),
@@ -153,9 +161,11 @@ def partition_merger(
     out_dir: str,
     base_files: dict[int, str] | None = None,
     schema_ops: list[dict] | None = None,
+    filesystem=None,
 ):
-    """Picklable map_groups callable bound to the target version dir and
-    (optionally) the per-pid base partition files."""
+    """Picklable map_groups callable bound to the target version dir,
+    (optionally) the per-pid base partition files, and the lake's
+    pyarrow filesystem (None = local fast path)."""
     import functools
 
     return functools.partial(
@@ -163,4 +173,5 @@ def partition_merger(
         out_dir=out_dir,
         base_files=base_files,
         schema_ops=schema_ops,
+        filesystem=filesystem,
     )

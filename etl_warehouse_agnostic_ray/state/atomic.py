@@ -30,7 +30,29 @@ def fsync_dir(path: str) -> None:
         os.close(fd)
 
 
-def atomic_write_json(path: str, obj: dict) -> None:
+def atomic_write_json(path: str, obj: dict, fs=None) -> None:
+    """Write-verify-rename a JSON state file.
+
+    ``fs`` (a ``pyarrow.fs.FileSystem``) routes the write through that
+    filesystem: tmp object + checksum read-back + ``fs.move``. On object
+    stores move is copy+delete (not atomic) — the commit protocol
+    tolerates that because readers go through the CURRENT pointer and a
+    manifest is checksum-verified before the pointer references it; the
+    local-FS default keeps true atomic rename + dir fsync.
+    """
+    if fs is not None:
+        payload = json.dumps(obj, sort_keys=True, default=str).encode("utf-8")
+        digest = hashlib.md5(payload).hexdigest()
+        d = os.path.dirname(path)
+        fs.create_dir(d, recursive=True)
+        tmp = os.path.join(d, f".tmp-{os.urandom(8).hex()}.json")
+        with fs.open_output_stream(tmp) as out:
+            out.write(payload)
+        with fs.open_input_stream(tmp) as rd:  # verify before rename
+            if hashlib.md5(rd.read()).hexdigest() != digest:
+                raise IOError(f"checksum mismatch writing {path}")
+        fs.move(tmp, path)
+        return
     payload = json.dumps(obj, sort_keys=True, default=str).encode("utf-8")
     digest = hashlib.md5(payload).hexdigest()
     d = os.path.dirname(path)
@@ -54,7 +76,14 @@ def atomic_write_json(path: str, obj: dict) -> None:
                 pass
 
 
-def read_json(path: str) -> dict | None:
+def read_json(path: str, fs=None) -> dict | None:
+    if fs is not None:
+        from pyarrow.fs import FileType
+
+        if fs.get_file_info(path).type == FileType.NotFound:
+            return None
+        with fs.open_input_stream(path) as rd:
+            return json.loads(rd.read().decode("utf-8"))
     if not os.path.exists(path):
         return None
     with open(path, "rb") as fh:

@@ -138,6 +138,53 @@ class TestRegistry:
             reg.topo_order()
 
 
+class TestSilverModel:
+    def test_silver_orders_through_registry(self, ray_session):
+        """The worked dbt-model analogue: registered steps compose into
+        a silver model via PipelineSpec and produce the projected
+        columns; dedup keeps one row per business key."""
+        from etl_warehouse_agnostic_ray.pipelines.silver import (
+            SILVER_ORDERS_COLUMNS,
+            silver_orders,
+        )
+
+        out = silver_orders("/root/testdata/sf0.001").to_pandas()
+        assert list(out.columns) == SILVER_ORDERS_COLUMNS
+        assert out["o_orderkey"].is_unique
+        assert set(out["order_status"]) <= {"open", "fulfilled", "pending", "unknown"}
+        assert set(out["value_tier"]) <= {"small", "medium", "large", "jumbo"}
+        assert out["order_dow"].between(1, 7).all()
+
+    def test_silver_model_is_drop_in(self, ray_session):
+        """A user extends the same registry with another model reusing
+        the registered steps — no engine changes needed."""
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.pipelines.silver import (
+            build_silver_orders_registry,
+        )
+
+        reg = build_silver_orders_registry(
+            lambda: rd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+        )
+        reg.add(
+            PipelineSpec(
+                name="urgent_orders",
+                source=lambda: rd.read_parquet(
+                    "/root/testdata/sf0.001/orders.parquet"
+                ),
+                steps=["orders.categorize"],
+                sink=lambda ds: ds.filter(lambda r: r["is_urgent"]).count(),
+                depends_on=["silver_orders"],
+            )
+        )
+        res = reg.run()
+        assert res["urgent_orders"] > 0
+        assert reg.topo_order().index("silver_orders") < reg.topo_order().index(
+            "urgent_orders"
+        )
+
+
 class TestTenants:
     def test_per_tenant_isolation_and_gating(self, tmp_path, ray_session):
         from etl_warehouse_agnostic_ray.datagen import gen_change_events, gen_pages
