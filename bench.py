@@ -45,8 +45,11 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "text_quality_tokens",
     "lang_id_documents",
+    "fingerprint_documents",
     "minhash_neardup_pairs",
     "simhash_documents",
+    "simhash_neardup_pairs",
+    "silver_orders",
     "embedding_topk",
     "embedding_topk_ivf",
     "embedding_neardup",
@@ -136,6 +139,14 @@ def main() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Ray's sort exchange emits schema-less empty blocks for empty
+    # partitions (arrow_block.py:394); our stages are all typed, so the
+    # once-per-operator divergence warning is pure noise in bench logs
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
     # NOTE: no global shuffle-strategy override here — the CDC engine
     # scopes hash shuffle to its own merge executions; generic grouped
     # aggregates are faster on the default sort shuffle at these sizes

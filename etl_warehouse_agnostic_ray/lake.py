@@ -34,10 +34,18 @@ from .schemas import LSN_COL, OP_COL, PID_COL
 from .state.atomic import atomic_write_json, read_json
 from .state.schema_registry import SchemaRegistry
 
-# Deterministic, process-independent 64-bit key hash over the Arrow
-# string buffer (ops/texthash poly64 + a splitmix finalizer for bucket
-# spread). Used everywhere a row is routed to a partition. Stays
-# zero-copy Arrow — no pandas object-dtype round-trip in the hot path.
+# Deterministic, process-independent 64-bit ROUTING hash over the Arrow
+# string buffer. Partition routing needs O(rows) work and uniform
+# spread — not collision-resistance: it samples a bounded window of each
+# key (first 8 + middle 8 + last 8 bytes + length) with masked numpy
+# gathers, then a splitmix64 finalizer. Keys equal on all four samples
+# collide, which merely co-locates them in one partition (no
+# correctness impact). A full per-byte hash here costs O(total_bytes)
+# intermediates per batch and measurably throttles the normalize stage
+# on long-url corpora; content identity uses ops/texthash.poly64
+# instead. Zero-copy Arrow — no pandas object round-trip.
+
+_SAMPLE_BYTES = 8
 
 
 def partition_ids(urls, num_partitions: int):
@@ -45,15 +53,32 @@ def partition_ids(urls, num_partitions: int):
 
     ``urls`` may be an Arrow (Chunked)Array or any sequence of strings.
     """
-    from .ops.texthash import poly_hash_array
+    from .ops.texthash import string_bytes
 
     if not isinstance(urls, (pa.Array, pa.ChunkedArray)):
         urls = pa.array(list(urls), pa.large_string())
-    h = poly_hash_array(urls)
-    # splitmix64-style finalizer: poly64's low bits are dominated by the
-    # key's tail bytes; two xor-shift multiplies spread them uniformly
+    data, offsets = string_bytes(urls)
+    starts, ends = offsets[:-1], offsets[1:]
+    lens = (ends - starts).astype(np.int64)
+    n = len(lens)
+    mids = starts + (lens // 2)
+    pref = np.zeros(n, dtype=np.uint64)
+    midw = np.zeros(n, dtype=np.uint64)
+    suff = np.zeros(n, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        h = h.copy()
+        for i in range(_SAMPLE_BYTES):
+            m = lens > i
+            pref[m] = (pref[m] << np.uint64(8)) | data[starts[m] + i]
+            suff[m] = (suff[m] << np.uint64(8)) | data[ends[m] - 1 - i]
+            m2 = mids + i < ends
+            midw[m2] = (midw[m2] << np.uint64(8)) | data[mids[m2] + i]
+        h = (
+            pref * np.uint64(0x9E3779B97F4A7C15)
+            ^ midw * np.uint64(0xC2B2AE3D27D4EB4F)
+            ^ suff * np.uint64(0x165667B19E3779F9)
+            ^ lens.astype(np.uint64) * np.uint64(0x27D4EB2F165667C5)
+        )
+        # splitmix64 finalizer for uniform bucket spread
         h ^= h >> np.uint64(30)
         h *= np.uint64(0xBF58476D1CE4E5B9)
         h ^= h >> np.uint64(27)
@@ -251,6 +276,10 @@ class LakeTable:
             "rows": rows,
             "live_rows": live,
             "tombstones": rows - live,
+            # completeness = silver(live)/physical rows — the reference's
+            # silver-vs-raw layer ratio check (repsly_dag.py completeness
+            # task) from the manifest alone
+            "completeness_ratio": round(live / rows, 6) if rows else None,
             "bytes": sum(sizes),
             "max_partition_bytes": max(sizes, default=0),
             "min_partition_bytes": min(sizes, default=0),
