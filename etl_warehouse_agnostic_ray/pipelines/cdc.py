@@ -130,9 +130,15 @@ class CDCEngine:
         applied_lsn = manifest["applied_lsn"]
         P = manifest["num_partitions"]
 
+        # --- ONE footer pass per file (was three serial loops: schema
+        # precheck, big-delta check, max-lsn) — fixed driver cost at
+        # many-file micro-batches cut ~3x ---
+        stream_files = self._resolve_stream_files(stream)
+        footstats = self._scan_footers(stream_files) if stream_files is not None else None
+
         # --- schema-change ops: tiny pushdown read, driver-side registry ---
         reg = SchemaRegistry.from_dict(manifest["schema_ops"])
-        schema_rows = self._read_schema_events(stream, applied_lsn)
+        schema_rows = self._read_schema_events(stream, applied_lsn, footstats)
         for r in schema_rows:
             reg.apply_event(r["lsn"], r["schema_kind"], r["schema_column"], r["schema_type"])
         schema_ops = reg.to_dict()
@@ -147,30 +153,12 @@ class CDCEngine:
         # touched — skip the scan and merge all partitions. Pruning only
         # pays off for small incremental batches. ---
         big_delta_rows: int | None = None
-        if isinstance(stream, (str, list)):
-            import pyarrow.parquet as _pq
-
-            if isinstance(stream, list):
-                stream_files = list(stream)
-            elif os.path.isdir(stream):
-                stream_files = [
-                    os.path.join(stream, f)
-                    for f in sorted(os.listdir(stream))
-                    if f.endswith(".parquet")
-                ]
-            else:
-                stream_files = [stream]
-            approx = 0
-            for fpath in stream_files:
-                md = _pq.read_metadata(fpath)
-                idx = md.schema.to_arrow_schema().get_field_index("lsn")
-                fmax = None
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is not None and st.has_min_max:
-                        fmax = st.max if fmax is None else max(fmax, st.max)
-                if fmax is None or fmax > applied_lsn:
-                    approx += md.num_rows
+        if footstats is not None:
+            approx = sum(
+                f["num_rows"]
+                for f in footstats
+                if f["lsn_max"] is None or f["lsn_max"] > applied_lsn
+            )
             if approx >= 512 * P:
                 big_delta_rows = approx
 
@@ -235,7 +223,7 @@ class CDCEngine:
         # pre-compacted delta: LWW compaction can drop the max-lsn row
         # (an older-lsn, newer-warc_ts row wins its key), and a
         # regressed watermark would re-apply events forever
-        max_event_lsn = self._max_lsn(stream, applied_lsn)
+        max_event_lsn = self._max_lsn(stream, applied_lsn, footstats)
         if max_event_lsn is None:
             max_event_lsn = applied_lsn
         if schema_rows:
@@ -423,41 +411,91 @@ class CDCEngine:
         return out
 
     @staticmethod
-    def _max_lsn(stream, applied_lsn: int) -> int | None:
-        """Max lsn in the stream beyond the HWM — a column-pruned scan
-        (one int64 column; parquet reads only that column's pages)."""
-        if isinstance(stream, pa.Table):
-            m = pc.max(stream.column("lsn")).as_py()
-            return m if m is not None and m > applied_lsn else None
-        if isinstance(stream, (str, list)):
-            # footer statistics are EXACT for integer columns — the
-            # global max lsn needs no data pages at all
-            import pyarrow.parquet as _pq
-
-            if isinstance(stream, list):
-                files = list(stream)
-            elif os.path.isdir(stream):
-                files = [
+    def _resolve_stream_files(stream) -> list[str] | None:
+        """File list for a path-like stream; None for Table/Dataset."""
+        if isinstance(stream, list):
+            return list(stream)
+        if isinstance(stream, str):
+            if os.path.isdir(stream):
+                return [
                     os.path.join(stream, f)
                     for f in sorted(os.listdir(stream))
                     if f.endswith(".parquet")
                 ]
-            else:
-                files = [stream]
+            return [stream]
+        return None
+
+    @staticmethod
+    def _scan_footers(files: list[str]) -> list[dict]:
+        """ONE parquet-footer read per file, shared by the schema-event
+        precheck, the big-delta shortcut and the max-lsn HWM (previously
+        three separate serial loops — the dominant fixed driver cost on
+        many-file micro-batches at low CPU counts).
+
+        Per file: num_rows, exact lsn min/max from row-group statistics
+        (None when stats are absent → callers treat as "unknown, must
+        read"), and whether any row group can contain schema_change rows
+        (schema_kind not all-null by its null-count statistic)."""
+        import pyarrow.parquet as _pq
+
+        out = []
+        for fpath in files:
+            md = _pq.read_metadata(fpath)
+            sch = md.schema.to_arrow_schema()
+            lsn_idx = sch.get_field_index("lsn")
+            sk_idx = sch.get_field_index("schema_kind") if "schema_kind" in sch.names else -1
+            lo = hi = None
+            schema_possible = False
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(lsn_idx).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if sk_idx >= 0 and not schema_possible:
+                    sst = md.row_group(rg).column(sk_idx).statistics
+                    if (
+                        sst is None
+                        or sst.null_count is None
+                        or sst.null_count < md.row_group(rg).num_rows
+                    ):
+                        schema_possible = True
+            out.append(
+                {
+                    "path": fpath,
+                    "num_rows": md.num_rows,
+                    "lsn_min": lo,
+                    "lsn_max": hi,
+                    "schema_possible": schema_possible if sk_idx >= 0 else False,
+                }
+            )
+        return out
+
+    @staticmethod
+    def _max_lsn(stream, applied_lsn: int, footstats: list[dict] | None = None) -> int | None:
+        """Max lsn in the stream beyond the HWM. Footer statistics are
+        EXACT for integer columns, so for path streams this needs no
+        data pages at all (stat-less files fall back to a column-pruned
+        scan of just those files)."""
+        if isinstance(stream, pa.Table):
+            m = pc.max(stream.column("lsn")).as_py()
+            return m if m is not None and m > applied_lsn else None
+        if footstats is None and isinstance(stream, (str, list)):
+            footstats = CDCEngine._scan_footers(CDCEngine._resolve_stream_files(stream))
+        if footstats is not None:
             best = None
-            for fpath in files:
-                md = _pq.read_metadata(fpath)
-                idx = md.schema.to_arrow_schema().get_field_index("lsn")
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is not None and st.has_min_max:
-                        best = st.max if best is None else max(best, st.max)
-            if best is None:  # no stats: fall back to a column scan
-                dset = pads.dataset(files, format="parquet")
+            statless = []
+            for f in footstats:
+                if f["lsn_max"] is None:
+                    if f["num_rows"]:
+                        statless.append(f["path"])
+                elif best is None or f["lsn_max"] > best:
+                    best = f["lsn_max"]
+            if statless:  # must-read files without stats
+                dset = pads.dataset(statless, format="parquet")
                 for frag_batch in dset.to_batches(columns=["lsn"]):
                     if frag_batch.num_rows:
                         m = pc.max(frag_batch.column("lsn")).as_py()
-                        best = m if best is None else max(best, m)
+                        best = m if best is None or m > best else best
             return best if best is not None and best > applied_lsn else None
         m = stream.max("lsn")  # ray Dataset (column-pruned projection)
         return int(m) if m is not None and m > applied_lsn else None
@@ -521,7 +559,9 @@ class CDCEngine:
         )
 
     @staticmethod
-    def _read_schema_events(stream, applied_lsn: int) -> list[dict]:
+    def _read_schema_events(
+        stream, applied_lsn: int, footstats: list[dict] | None = None
+    ) -> list[dict]:
         """Schema-change rows are rare (~0.2%); read them with parquet
         predicate pushdown (row-group pruning) — never a full scan on the
         driver."""
@@ -555,38 +595,13 @@ class CDCEngine:
         else:
             # footer-stats precheck: if schema_kind is null in every row
             # group (the overwhelmingly common no-DDL batch), skip the
-            # column read entirely — pure metadata
-            import pyarrow.parquet as _pq
-
-            if isinstance(stream, list):
-                _files = list(stream)
-            elif os.path.isdir(stream):
-                _files = [
-                    os.path.join(stream, f)
-                    for f in sorted(os.listdir(stream))
-                    if f.endswith(".parquet")
-                ]
-            else:
-                _files = [stream]
-            any_schema_rows = False
-            for fpath in _files:
-                md = _pq.read_metadata(fpath)
-                sch = md.schema.to_arrow_schema()
-                if "schema_kind" not in sch.names:
-                    continue
-                idx = sch.get_field_index("schema_kind")
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if (
-                        st is None
-                        or st.null_count is None
-                        or st.null_count < md.row_group(rg).num_rows
-                    ):
-                        any_schema_rows = True
-                        break
-                if any_schema_rows:
-                    break
-            if not any_schema_rows:
+            # column read entirely — pure metadata, shared with the
+            # apply() footer pass via ``footstats``
+            if footstats is None:
+                footstats = CDCEngine._scan_footers(
+                    CDCEngine._resolve_stream_files(stream)
+                )
+            if not any(f["schema_possible"] for f in footstats):
                 return []
             dset = pads.dataset(stream, format="parquet")
             t = dset.to_table(
