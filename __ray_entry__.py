@@ -38,13 +38,24 @@ def entry() -> Any:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
-    # generate the sf0.01 fixtures up front so oracle SQL that reads
-    # /tmp parquet works regardless of evaluation order
+def _ensure_fixtures() -> None:
+    """Generate every /tmp fixture an oracle SQL reads, up front, so the
+    driver may evaluate queries and oracles in any order."""
+    from etl_warehouse_agnostic_ray.datagen import write_fixture
+
     Q.fixture_dir("/root/testdata/sf0.01")
+    n_events, n_urls = Q._SF_SIZES["sf0.01"]
+    write_fixture(
+        f"{Q.FIX_ROOT}/sf0.01_schema", n_events, n_urls, seed=43,
+        schema_change_frac=0.002,
+    )
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    _ensure_fixtures()
     return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    Q.fixture_dir("/root/testdata/sf0.01")
+    _ensure_fixtures()
     return dict(Q.ORACLES)

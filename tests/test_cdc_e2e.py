@@ -76,6 +76,23 @@ def test_replay_matches_oracle(fixture_dir, tmp_path):
     assert _norm(got) == _norm(want)
 
 
+def test_apply_accepts_ray_dataset_stream(fixture_dir, tmp_path):
+    """apply() over a live ray.data.Dataset stream (not paths) must
+    produce the same lake as the path-based apply — the Dataset branch
+    exercises select_columns / max / filtered-projection discovery."""
+    import ray.data as rd
+
+    ev_dir = os.path.join(fixture_dir, "change_events")
+    a = CDCEngine(str(tmp_path / "lake_ds"), num_partitions=8)
+    a.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    a.apply(rd.read_parquet(ev_dir), batch_id="ds")
+
+    b = CDCEngine(str(tmp_path / "lake_path"), num_partitions=8)
+    b.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    b.apply(ev_dir, batch_id="path")
+    assert _norm(a.to_arrow()) == _norm(b.to_arrow())
+
+
 def test_idempotent_batch_replay(fixture_dir, tmp_path):
     """Applying the same batch twice ≡ once (duplicate batch_id guard +
     lsn high-water mark)."""
