@@ -192,6 +192,7 @@ def minhash_lsh_pairs(
     seed: int = 13,
     bucket_cap: int = 1000,
     join_partitions: int = 8,
+    broadcast_limit: int = 1_000_000,
     include_drop_stats: bool = False,
 ):
     """Candidate generation + verification. Returns a Dataset of
@@ -204,9 +205,15 @@ def minhash_lsh_pairs(
     band_hash, doc_id, all-band-hash blob) → bucket groupby → in-bucket
     pairs (capped, drops accounted; each pair emitted only from the
     FIRST colliding band, so candidates are globally unique without a
-    dedupe shuffle) → DISTRIBUTED join of pairs against the signature
-    dataset on doc_id (twice) → vectorized equal-count filter. Nothing
-    is materialized on the driver.
+    dedupe shuffle) → signature verify → vectorized equal-count filter.
+
+    Verification is hybrid: when the corpus is at most
+    ``broadcast_limit`` docs the signature matrix (n_perm·8 bytes/doc)
+    is ``ray.put`` ONCE and looked up in-task (the small-side broadcast
+    pattern — one object-store copy, zero per-task pickling); above the
+    limit it becomes a distributed hash join of pairs against the
+    signature dataset on doc_id (twice) with nothing materialized on
+    the driver.
     """
     rows_per_band = n_perm // bands
     min_equal = int(np.ceil(jaccard_threshold * n_perm - 1e-9))
@@ -305,50 +312,81 @@ def minhash_lsh_pairs(
         .map_groups(bucket_pairs_many, batch_format="pandas")
     )
 
-    # --- verification: hash-join pairs against signatures on doc id ---
-    # (replaces the r1 driver-side take_all + closure-captured dict)
-    with_a = uniq.join(
-        sig_ds,
-        join_type="inner",
-        num_partitions=join_partitions,
-        on=("doc_a",),
-        right_on=("doc_id",),
-    )
-    with_ab = with_a.join(
-        sig_ds,
-        join_type="inner",
-        num_partitions=join_partitions,
-        on=("doc_b",),
-        right_on=("doc_id",),
-        left_suffix="_a",
-        right_suffix="_b",
+    _EMPTY_VERIFY = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_equal", pa.int64())]
     )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        names = batch.column_names
-        sa_col = "sig_a" if "sig_a" in names else "sig"
-        sb_col = "sig_b"
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "n_equal": pa.array([], pa.int64()),
-                }
-            )
-        sa = _sig_matrix(batch.column(sa_col))
-        sb = _sig_matrix(batch.column(sb_col))
-        n_eq = (sa == sb).sum(axis=1).astype(np.int64)
+    def _emit(doc_a, doc_b, n_eq: np.ndarray) -> pa.Table:
         t = pa.table(
-            {
-                "doc_a": batch.column("doc_a"),
-                "doc_b": batch.column("doc_b"),
-                "n_equal": pa.array(n_eq),
-            }
+            {"doc_a": doc_a, "doc_b": doc_b, "n_equal": pa.array(n_eq)}
         )
         return t.filter(pc.greater_equal(t.column("n_equal"), pa.scalar(min_equal)))
 
-    verified = with_ab.map_batches(verify, batch_format="pyarrow")
+    n_docs = sig_ds.count()
+    if n_docs <= broadcast_limit:
+        # small-side broadcast: ONE ray.put of (sorted ids, sig matrix);
+        # verify tasks look pairs up by searchsorted — no shuffle at all
+        import ray
+
+        ids_parts, sig_parts = [], []
+        for b in sig_ds.iter_batches(batch_format="pyarrow"):
+            ids_parts.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+            sig_parts.append(_sig_matrix(b.column("sig")))
+        ids_all = np.concatenate(ids_parts) if ids_parts else np.zeros(0, np.int64)
+        sig_all = (
+            np.concatenate(sig_parts) if sig_parts else np.zeros((0, n_perm), np.uint64)
+        )
+        order = np.argsort(ids_all)
+        sig_ref = ray.put((ids_all[order], sig_all[order]))
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _EMPTY_VERIFY.empty_table()
+            ids_sorted, sigs_sorted = ray.get(sig_ref)
+            a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            sa = sigs_sorted[np.searchsorted(ids_sorted, a)]
+            sb = sigs_sorted[np.searchsorted(ids_sorted, b)]
+            n_eq = (sa == sb).sum(axis=1).astype(np.int64)
+            return _emit(batch.column("doc_a"), batch.column("doc_b"), n_eq)
+
+        verified = uniq.map_batches(
+            lambda t: t.filter(
+                pc.not_equal(t.column("doc_a"), pa.scalar(_SENTINEL, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        ).map_batches(verify_bcast, batch_format="pyarrow")
+    else:
+        # scale path: hash-join pairs against signatures on doc id
+        # (replaces the r1 driver-side take_all + closure-captured dict)
+        with_a = uniq.join(
+            sig_ds,
+            join_type="inner",
+            num_partitions=join_partitions,
+            on=("doc_a",),
+            right_on=("doc_id",),
+        )
+        with_ab = with_a.join(
+            sig_ds,
+            join_type="inner",
+            num_partitions=join_partitions,
+            on=("doc_b",),
+            right_on=("doc_id",),
+            left_suffix="_a",
+            right_suffix="_b",
+        )
+
+        def verify_join(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _EMPTY_VERIFY.empty_table()
+            names = batch.column_names
+            sa_col = "sig_a" if "sig_a" in names else "sig"
+            sa = _sig_matrix(batch.column(sa_col))
+            sb = _sig_matrix(batch.column("sig_b"))
+            n_eq = (sa == sb).sum(axis=1).astype(np.int64)
+            return _emit(batch.column("doc_a"), batch.column("doc_b"), n_eq)
+
+        verified = with_ab.map_batches(verify_join, batch_format="pyarrow")
     if include_drop_stats:
         # sentinel pairs never match a real doc_id in the join; re-attach
         # them from the candidate set so callers can audit drops

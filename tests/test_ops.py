@@ -114,6 +114,16 @@ class TestDedup:
         assert out.loc[1, "simhash"] == out.loc[2, "simhash"]
         assert out.loc[1, "simhash"] != out.loc[3, "simhash"]
 
+    def test_minhash_verify_paths_equivalent(self, docs_ds):
+        """Broadcast (small-side ray.put) and distributed-join verify
+        paths must produce identical pairs."""
+        a = minhash_lsh_pairs(docs_ds, jaccard_threshold=0.8).to_pandas()
+        b = minhash_lsh_pairs(
+            docs_ds, jaccard_threshold=0.8, broadcast_limit=0
+        ).to_pandas()
+        key = lambda df: set(zip(df["doc_a"], df["doc_b"], df["n_equal"]))
+        assert key(a) == key(b)
+
     def test_simhash_pairs_exact_vs_bruteforce(self, docs_ds, docs):
         from etl_warehouse_agnostic_ray.ops.dedup import simhash_neardup_pairs
         from etl_warehouse_agnostic_ray.ops.texthash import popcount64, simhash_batch
