@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "lang_id_documents",
     "fingerprint_documents",
     "minhash_neardup_pairs",
+    "ngram_jaccard_pairs",
     "simhash_documents",
     "simhash_neardup_pairs",
     "silver_orders",

@@ -543,6 +543,129 @@ def simhash_neardup_pairs(
 
 
 # ------------------------------------------------------- ngram jaccard
+def ngram_jaccard_pairs(
+    ds,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = 4000,
+):
+    """EXACT word n-gram Jaccard pairs: (doc_a, doc_b, n_common,
+    n_union) for all pairs with jaccard ≥ threshold (kept integral —
+    2·n_common ≥ ... — so the DuckDB oracle matches value-for-value).
+
+    Distributed shape: distinct n-gram hashes per doc (vectorized
+    shingle kernel) → explode (gram_hash, doc_id) → bucket by gram →
+    per-bucket co-occurring pairs → repartition + pair-count shuffle
+    (the intersection size) → per-doc gram counts broadcast via
+    ray.put → |A∪B| = |A|+|B|−|A∩B| filter. Unlike minhash this is
+    exact, at the price of a pair row per shared gram — use it as the
+    precise verifier tier; gram buckets above ``bucket_cap`` docs are
+    stop-gram-like and are dropped with a warning (they only add
+    pairs every doc shares)."""
+    import ray
+
+    from .texthash import shingle_hashes
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"gram": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()),
+                 "n_grams": pa.array([], pa.int64())}
+            )
+        vals, _, starts = shingle_hashes(batch.column(text_col), k=n)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        counts = np.diff(starts)
+        return pa.table(
+            {
+                "gram": pa.array(vals.view(np.int64)),
+                id_col: pa.array(np.repeat(ids, counts)),
+                "n_grams": pa.array(np.repeat(counts.astype(np.int64), counts)),
+            }
+        )
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow", batch_size=1024).materialize()
+
+    # per-doc gram counts (small side): one int per doc, broadcast once
+    from ray.data.aggregate import Max
+
+    cnt_rows = grams.groupby(id_col).aggregate(Max("n_grams", alias_name="n_grams"))
+    ids_l, cnts_l = [], []
+    for b in cnt_rows.iter_batches(batch_format="pyarrow"):
+        ids_l.append(b.column(id_col).to_numpy(zero_copy_only=False))
+        cnts_l.append(b.column("n_grams").to_numpy(zero_copy_only=False))
+    ids_all = np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64)
+    cnts_all = np.concatenate(cnts_l) if cnts_l else np.zeros(0, np.int64)
+    order = np.argsort(ids_all)
+    counts_ref = ray.put((ids_all[order], cnts_all[order]))
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "coarse", pc.bit_wise_and(b.column("gram"), pa.scalar(255, pa.int64()))
+        )
+
+    def cooccur_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, sub in g.groupby("gram", sort=False):
+            if len(sub) < 2:
+                continue
+            if len(sub) > bucket_cap:
+                logger.warning(
+                    "ngram jaccard: dropping stop-gram shared by %d docs "
+                    "(bucket_cap=%d)", len(sub), bucket_cap
+                )
+                continue
+            ids = np.sort(sub[id_col].to_numpy())
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    pair_rows = (
+        grams.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(cooccur_pairs, batch_format="pandas")
+    )
+    # intersection size = how many gram buckets emitted the pair.
+    # repartition first: map_groups leaves hundreds of tiny blocks and
+    # the following sort-shuffle count is pathological on those.
+    inter = pair_rows.repartition(16).groupby(["doc_a", "doc_b"]).count()
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                 ("n_common", pa.int64()), ("n_union", pa.int64())]
+            ).empty_table()
+        ids_sorted, cnts_sorted = ray.get(counts_ref)
+        a = b.column("doc_a").to_numpy(zero_copy_only=False)
+        bb = b.column("doc_b").to_numpy(zero_copy_only=False)
+        common = b.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = cnts_sorted[np.searchsorted(ids_sorted, a)]
+        cb = cnts_sorted[np.searchsorted(ids_sorted, bb)]
+        union = ca + cb - common
+        t = pa.table(
+            {"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b"),
+             "n_common": pa.array(common), "n_union": pa.array(union)}
+        )
+        m = pc.greater_equal(
+            pc.cast(t.column("n_common"), pa.float64()),
+            pc.multiply(pc.cast(t.column("n_union"), pa.float64()), pa.scalar(threshold)),
+        )
+        return t.filter(m)
+
+    return inter.map_batches(finalize, batch_format="pyarrow")
+
+
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     """Word n-gram Jaccard between two documents (exact verifier used on
     candidate pairs)."""

@@ -108,6 +108,49 @@ def _shingle_fold(k: int) -> str:
     return expr
 
 
+def shingle_cte(doc_src: str, k: int) -> str:
+    """CTE chain ending in ``shingle(doc_id, s)`` — DISTINCT k-token
+    shingle hashes per doc (ops/texthash.shingle_hashes twin, including
+    the zero-padding of docs shorter than k)."""
+    leads = ",\n         ".join(
+        f"coalesce(lead(h, {i}) OVER w, 0) AS h{i}" for i in range(1, k)
+    )
+    return f"""src AS (SELECT doc_id, text FROM {doc_src}),
+tl AS (SELECT doc_id,
+         CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+       FROM src),
+tokpos AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM tl),
+th AS (SELECT doc_id, pos, {poly64_expr('tok')} AS h FROM tokpos),
+win AS (SELECT doc_id, pos, h,
+         {leads},
+         count(*) OVER (PARTITION BY doc_id) AS n_tok
+        FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+shingle AS (SELECT DISTINCT doc_id, {_shingle_fold(k)} AS s
+            FROM win WHERE pos <= greatest(n_tok - {k - 1}, 1))"""
+
+
+def ngram_jaccard_pairs_sql(
+    doc_src: str = "documents", n: int = 3, threshold: float = 0.5
+) -> str:
+    """Exact n-gram Jaccard pairs twin (ops/dedup.ngram_jaccard_pairs):
+    shared-gram counts via a self-join on the shingle hashes, union by
+    inclusion-exclusion, integral output columns."""
+    return f"""
+WITH {shingle_cte(doc_src, n)},
+counts AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+          FROM shingle a JOIN shingle b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       (ca.n + cb.n - i.n_common)::BIGINT AS n_union
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.doc_a
+JOIN counts cb ON cb.doc_id = i.doc_b
+WHERE i.n_common >= {threshold} * (ca.n + cb.n - i.n_common)
+"""
+
+
 def minhash_pairs_sql(
     doc_src: str = "documents",
     n_perm: int = 64,
@@ -124,24 +167,9 @@ def minhash_pairs_sql(
         f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)" for p in range(n_perm)
     )
     rpb = n_perm // bands
-    leads = ",\n         ".join(
-        f"coalesce(lead(h, {i}) OVER w, 0) AS h{i}" for i in range(1, k)
-    )
     min_equal = int(np.ceil(jaccard_threshold * n_perm - 1e-9))
     return f"""
-WITH src AS (SELECT doc_id, text FROM {doc_src}),
-tl AS (SELECT doc_id,
-         CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
-       FROM src),
-tokpos AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM tl),
-th AS (SELECT doc_id, pos, {poly64_expr('tok')} AS h FROM tokpos),
-win AS (SELECT doc_id, pos, h,
-         {leads},
-         count(*) OVER (PARTITION BY doc_id) AS n_tok
-        FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-shingle AS (SELECT DISTINCT doc_id, {_shingle_fold(k)} AS s
-            FROM win WHERE pos <= greatest(n_tok - {k - 1}, 1)),
+WITH {shingle_cte(doc_src, k)},
 perms(p, pa, pb) AS (VALUES {perm_rows}),
 mh AS (SELECT doc_id, p,
         min((((s * pa) % {M64} + pb) % {M64}) % {M61}) AS v

@@ -748,6 +748,22 @@ SQL_MINHASH_NEARDUP_PAIRS = hash_sql.minhash_pairs_sql(
 )
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT word-trigram Jaccard near-dup pairs (the precise verifier
+    tier of the dedup family) — value-matched against a DuckDB shingle
+    self-join."""
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, n=3, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD_PAIRS = hash_sql.ngram_jaccard_pairs_sql(
+    "documents", n=3, threshold=0.5
+)
+
+
 def q_simhash_documents(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -946,6 +962,7 @@ QUERIES = {
     "lang_id_documents": q_lang_id_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_neardup_pairs": q_minhash_neardup_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_documents": q_simhash_documents,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "embedding_topk": q_embedding_topk,
@@ -962,6 +979,7 @@ ORACLES = {
     "lang_id_documents": SQL_LANG_ID_DOCUMENTS,
     "fingerprint_documents": SQL_FINGERPRINT_DOCUMENTS,
     "minhash_neardup_pairs": SQL_MINHASH_NEARDUP_PAIRS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "simhash_documents": SQL_SIMHASH_DOCUMENTS,
     "simhash_neardup_pairs": SQL_SIMHASH_NEARDUP_PAIRS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
