@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "simhash_documents",
     "simhash_neardup_pairs",
     "silver_orders",
+    "corpus_clean",
     "embedding_topk",
     "embedding_topk_ivf",
     "embedding_neardup",

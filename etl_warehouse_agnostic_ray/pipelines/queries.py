@@ -784,6 +784,48 @@ def q_simhash_neardup_pairs(sf_dir: str):
 SQL_SIMHASH_NEARDUP_PAIRS = hash_sql.simhash_pairs_sql("documents", max_hamming=3)
 
 
+def q_corpus_clean(sf_dir: str):
+    """The composed training-data cleaning pipeline — what a user runs
+    end-to-end at 100 TB: language ID → quality floor → exact dedup,
+    chained lazily so blocks stream through all three stages. Oracle
+    replays each formula in SQL (lang argmax ladder, quality arithmetic,
+    min-id-per-text dedup) over the same filter."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = ds.map_batches(lang_id, batch_format="pyarrow").map_batches(
+        quality_score, batch_format="pyarrow"
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(b.column("lang_pred"), pa.scalar("en")),
+            pc.greater_equal(b.column("quality"), pa.scalar(55.0)),
+        )
+        return b.filter(m).select(["doc_id", "text"])
+
+    filtered = scored.map_batches(keep, batch_format="pyarrow")
+    return exact_dedup(filtered).select_columns(["doc_id", "text"])
+
+
+SQL_CORPUS_CLEAN = f"""
+WITH lang AS ({hash_sql.lang_id_sql('documents', _LANG_PROFILES).strip()}),
+q AS (
+  SELECT doc_id,
+         round(100*(0.5*least(length(text), 500)/500.0
+             + 0.4*coalesce(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / nullif(length(text), 0)::DOUBLE, 0)
+             + 0.1*(CASE WHEN regexp_matches(text, '[.!?]\\s*$') THEN 1 ELSE 0 END)), 2)
+           AS quality
+  FROM documents),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN lang l ON l.doc_id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id
+  WHERE l.lang_pred = 'en' AND q.quality >= 55.0)
+SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text
+"""
+
+
 def q_embedding_topk(sf_dir: str):
     rd = _rd()
     q = pq.read_table(
@@ -965,6 +1007,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_documents": q_simhash_documents,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "corpus_clean": q_corpus_clean,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_neardup": q_embedding_neardup,
@@ -982,6 +1025,7 @@ ORACLES = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "simhash_documents": SQL_SIMHASH_DOCUMENTS,
     "simhash_neardup_pairs": SQL_SIMHASH_NEARDUP_PAIRS,
+    "corpus_clean": SQL_CORPUS_CLEAN,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
     "filter_project_revenue": SQL_FILTER_PROJECT_REVENUE,
