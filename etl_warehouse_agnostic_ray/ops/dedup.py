@@ -58,6 +58,55 @@ logger = logging.getLogger(__name__)
 _SENTINEL = -1
 
 
+def _sorted_run_pairs(
+    keys: list[np.ndarray], order_by: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Enumerate all within-bucket (a < b) index pairs WITHOUT a Python
+    loop over buckets (a pandas groupby over ~10⁵ tiny buckets costs
+    minutes; this is pure numpy).
+
+    Lexsorts rows by (*keys, order_by), detects equal-key runs, caps
+    each run at ``cap`` rows (keeping the smallest ``order_by`` values),
+    then enumerates pairs by grouping runs of equal length and indexing
+    a (runs, n) matrix with one triu per distinct length. Returns
+    (ia, ib, perm, n_dropped): ia/ib index into the ORIGINAL arrays via
+    the returned lexsort permutation already applied (i.e. they are
+    original-row indices), n_dropped counts cap-truncated rows.
+    """
+    n = len(order_by)
+    if n < 2:
+        return (
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            np.arange(n, dtype=np.int64),
+            0,
+        )
+    perm = np.lexsort((order_by, *reversed(keys)))
+    ks = [k[perm] for k in keys]
+    first = np.zeros(n, dtype=bool)
+    first[0] = True
+    for k in ks:
+        first[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(first)
+    lengths = np.diff(np.append(starts, n))
+    capped = np.minimum(lengths, cap)
+    dropped = int((lengths - capped).sum())
+    out_a, out_b = [], []
+    for ln in np.unique(capped):
+        if ln < 2:
+            continue
+        rs = starts[capped == ln]
+        mat = rs[:, None] + np.arange(ln, dtype=np.int64)[None, :]
+        iu, ju = np.triu_indices(int(ln), k=1)
+        out_a.append(mat[:, iu].ravel())
+        out_b.append(mat[:, ju].ravel())
+    if not out_a:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), perm, dropped
+    ia_s = np.concatenate(out_a)
+    ib_s = np.concatenate(out_b)
+    return perm[ia_s], perm[ib_s], perm, dropped
+
+
 def hash64_str(s: str) -> np.uint64:
     """Canonical 64-bit string hash (poly64, see ops/texthash.py)."""
     return poly_hash_array(pa.array([s], pa.large_string()))[0]
@@ -267,29 +316,28 @@ def minhash_lsh_pairs(
         return b.append_column("coarse", coarse)
 
     def bucket_pairs_many(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, drops = [], [], 0
-        for (band, _), sub in g.groupby(["band", "band_hash"], sort=False):
-            if len(sub) < 2:
-                continue
-            ids = sub["doc_id"].to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            blobs = sub["bh_all"].to_numpy()[order]
-            if len(ids) > bucket_cap:
-                drops += len(ids) - bucket_cap
-                ids, blobs = ids[:bucket_cap], blobs[:bucket_cap]
-            bh_mat = np.frombuffer(b"".join(blobs), dtype="<u8").reshape(
-                len(ids), bands
-            )
-            ia, ib = np.triu_indices(len(ids), k=1)
+        band_np = g["band"].to_numpy()
+        hash_np = g["band_hash"].to_numpy()
+        ids_np = g["doc_id"].to_numpy()
+        ia, ib, _, drops = _sorted_run_pairs(
+            [band_np, hash_np], ids_np, bucket_cap
+        )
+        if len(ia):
+            bh_mat = np.frombuffer(
+                b"".join(g["bh_all"].to_numpy()), dtype="<u8"
+            ).reshape(len(g), bands)
             # first-band dedupe: skip pairs already emitted by an
-            # earlier band (their band hashes also collide there)
+            # earlier band (their band hashes also collide there) —
+            # vectorized per distinct band value (≤ bands iterations)
             keep = np.ones(len(ia), dtype=bool)
-            for j in range(int(band)):
-                keep &= bh_mat[ia, j] != bh_mat[ib, j]
-            if keep.any():
-                out_a.append(ids[ia][keep])
-                out_b.append(ids[ib][keep])
+            pair_band = band_np[ia]
+            for bv in np.unique(pair_band):
+                m = pair_band == bv
+                for j in range(int(bv)):
+                    keep[m] &= bh_mat[ia[m], j] != bh_mat[ib[m], j]
+            ia, ib = ia[keep], ib[keep]
+        out_a = [ids_np[ia]]
+        out_b = [ids_np[ib]]
         if drops:
             logger.warning(
                 "minhash LSH: truncated %d doc ids in oversize buckets "
@@ -297,11 +345,6 @@ def minhash_lsh_pairs(
             )
             out_a.append(np.array([_SENTINEL], dtype=np.int64))
             out_b.append(np.array([-drops], dtype=np.int64))
-        if not out_a:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64")}
-            )
         return pd.DataFrame(
             {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
         )
@@ -479,32 +522,31 @@ def simhash_neardup_pairs(
         return b.append_column("coarse", coarse)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_h, drops = [], [], [], 0
-        for (blk, _), sub in g.groupby(["block", "block_val"], sort=False):
-            if len(sub) < 2:
-                continue
-            ids = sub["doc_id"].to_numpy()
-            sigs = sub["simhash"].to_numpy().view(np.uint64)
-            order = np.argsort(ids)
-            ids, sigs = ids[order], sigs[order]
-            if len(ids) > bucket_cap:
-                drops += len(ids) - bucket_cap
-                ids, sigs = ids[:bucket_cap], sigs[:bucket_cap]
-            ia, ib = np.triu_indices(len(ids), k=1)
-            ham = popcount64(np.bitwise_xor(sigs[ia], sigs[ib]))
+        blk_np = g["block"].to_numpy()
+        val_np = g["block_val"].to_numpy()
+        ids_np = g["doc_id"].to_numpy()
+        sig_np = g["simhash"].to_numpy().view(np.uint64)
+        ia, ib, _, drops = _sorted_run_pairs([blk_np, val_np], ids_np, bucket_cap)
+        ham = np.zeros(0, dtype=np.int64)
+        if len(ia):
+            ham = popcount64(np.bitwise_xor(sig_np[ia], sig_np[ib]))
             m = ham <= max_hamming
-            ia, ib, ham = ia[m], ib[m], ham[m]
+            ia, ib, ham = ia[m], ib[m], ham[m].astype(np.int64)
             # first-block dedupe: a pair also colliding in an earlier
             # block was already emitted there — skip it here. Pairs come
             # out globally unique with no cross-block dedupe shuffle.
             keep = np.ones(len(ia), dtype=bool)
-            for j in range(int(blk)):
-                keep &= ((sigs[ia] >> shifts[j]) & masks[j]) != (
-                    (sigs[ib] >> shifts[j]) & masks[j]
-                )
-            out_a.append(ids[ia][keep])
-            out_b.append(ids[ib][keep])
-            out_h.append(ham[keep].astype(np.int64))
+            pair_blk = blk_np[ia]
+            for bv in np.unique(pair_blk):
+                msk = pair_blk == bv
+                for j in range(int(bv)):
+                    keep[msk] &= ((sig_np[ia[msk]] >> shifts[j]) & masks[j]) != (
+                        (sig_np[ib[msk]] >> shifts[j]) & masks[j]
+                    )
+            ia, ib, ham = ia[keep], ib[keep], ham[keep]
+        out_a = [ids_np[ia]]
+        out_b = [ids_np[ib]]
+        out_h = [ham]
         if drops:
             logger.warning(
                 "simhash blocking: truncated %d doc ids in oversize buckets "
@@ -513,12 +555,6 @@ def simhash_neardup_pairs(
             out_a.append(np.array([_SENTINEL], dtype=np.int64))
             out_b.append(np.array([-drops], dtype=np.int64))
             out_h.append(np.array([-1], dtype=np.int64))
-        if not out_a:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64"),
-                 "hamming": pd.Series([], dtype="int64")}
-            )
         return pd.DataFrame(
             {
                 "doc_a": np.concatenate(out_a),
@@ -588,12 +624,27 @@ def ngram_jaccard_pairs(
 
     grams = ds.map_batches(gram_rows, batch_format="pyarrow", batch_size=1024).materialize()
 
-    # per-doc gram counts (small side): one int per doc, broadcast once
-    from ray.data.aggregate import Max
+    # per-doc gram counts (small side): every doc's gram rows live in
+    # one block (gram_rows never splits a doc), so one row per doc per
+    # batch concatenated on the driver IS the count map — no groupby
+    def doc_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "n_grams": pa.array([], pa.int64())}
+            )
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        return pa.table(
+            {id_col: pa.array(ids[first]),
+             "n_grams": b.column("n_grams").filter(pa.array(first))}
+        )
 
-    cnt_rows = grams.groupby(id_col).aggregate(Max("n_grams", alias_name="n_grams"))
     ids_l, cnts_l = [], []
-    for b in cnt_rows.iter_batches(batch_format="pyarrow"):
+    for b in grams.map_batches(doc_counts, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
         ids_l.append(b.column(id_col).to_numpy(zero_copy_only=False))
         cnts_l.append(b.column("n_grams").to_numpy(zero_copy_only=False))
     ids_all = np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64)
@@ -607,63 +658,77 @@ def ngram_jaccard_pairs(
         )
 
     def cooccur_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, sub in g.groupby("gram", sort=False):
-            if len(sub) < 2:
-                continue
-            if len(sub) > bucket_cap:
-                logger.warning(
-                    "ngram jaccard: dropping stop-gram shared by %d docs "
-                    "(bucket_cap=%d)", len(sub), bucket_cap
-                )
-                continue
-            ids = np.sort(sub[id_col].to_numpy())
-            ia, ib = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
-        if not out_a:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64")}
+        grams_np = g["gram"].to_numpy()
+        ids_np = g[id_col].to_numpy()
+        # NOTE: unlike the LSH ops, a cap here DROPS pairs from the
+        # exact answer, so it only guards stop-grams; count and warn.
+        over = bucket_cap  # runs past the cap are excluded wholesale
+        ia, ib, _, dropped = _sorted_run_pairs([grams_np], ids_np, over + 1)
+        if dropped:
+            # a truncated stop-gram run is partially enumerated; drop
+            # those runs' pairs entirely for determinism: recompute keep
+            # mask by bucket size
+            order = np.argsort(grams_np, kind="stable")
+            gs = grams_np[order]
+            first = np.ones(len(gs), dtype=bool)
+            first[1:] = gs[1:] != gs[:-1]
+            sizes = np.diff(np.append(np.flatnonzero(first), len(gs)))
+            big = set(gs[np.flatnonzero(first)[sizes > over]].tolist())
+            logger.warning(
+                "ngram jaccard: dropping %d stop-grams shared by > %d docs",
+                len(big), over,
             )
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
-        )
+            keep = ~np.isin(grams_np[ia], np.fromiter(big, dtype=np.int64))
+            ia, ib = ia[keep], ib[keep]
+        return pd.DataFrame({"doc_a": ids_np[ia], "doc_b": ids_np[ib]})
 
     pair_rows = (
         grams.map_batches(add_coarse, batch_format="pyarrow")
         .groupby("coarse")
         .map_groups(cooccur_pairs, batch_format="pandas")
     )
-    # intersection size = how many gram buckets emitted the pair.
-    # repartition first: map_groups leaves hundreds of tiny blocks and
-    # the following sort-shuffle count is pathological on those.
-    inter = pair_rows.repartition(16).groupby(["doc_a", "doc_b"]).count()
 
-    def finalize(b: pa.Table) -> pa.Table:
+    # intersection size = how many gram buckets emitted the pair. A
+    # native groupby(doc_a, doc_b).count() costs O(distinct pairs) in
+    # per-group Python (~3.5k groups/s — measured 320 s at 10⁶ pairs);
+    # instead hash-partition pairs coarsely and count each partition
+    # with ONE vectorized lexsort+run-length pass.
+    def add_pk(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.schema(
-                [("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                 ("n_common", pa.int64()), ("n_union", pa.int64())]
-            ).empty_table()
-        ids_sorted, cnts_sorted = ray.get(counts_ref)
-        a = b.column("doc_a").to_numpy(zero_copy_only=False)
-        bb = b.column("doc_b").to_numpy(zero_copy_only=False)
-        common = b.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
-        ca = cnts_sorted[np.searchsorted(ids_sorted, a)]
-        cb = cnts_sorted[np.searchsorted(ids_sorted, bb)]
-        union = ca + cb - common
-        t = pa.table(
-            {"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b"),
-             "n_common": pa.array(common), "n_union": pa.array(union)}
+            return b.append_column("pk", pa.array([], pa.int64()))
+        a = b.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = a * np.uint64(0x9E3779B97F4A7C15) ^ bb * np.uint64(0xC2B2AE3D27D4EB4F)
+        return b.append_column(
+            "pk", pa.array((h & np.uint64(255)).astype(np.int64))
         )
-        m = pc.greater_equal(
-            pc.cast(t.column("n_common"), pa.float64()),
-            pc.multiply(pc.cast(t.column("n_union"), pa.float64()), pa.scalar(threshold)),
-        )
-        return t.filter(m)
 
-    return inter.map_batches(finalize, batch_format="pyarrow")
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["doc_a"].to_numpy()
+        b = g["doc_b"].to_numpy()
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.ones(len(a_s), dtype=bool)
+        first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        starts = np.flatnonzero(first)
+        common = np.diff(np.append(starts, len(a_s))).astype(np.int64)
+        ids_sorted, cnts_sorted = ray.get(counts_ref)
+        ua, ub = a_s[first], b_s[first]
+        ca = cnts_sorted[np.searchsorted(ids_sorted, ua)]
+        cb = cnts_sorted[np.searchsorted(ids_sorted, ub)]
+        union = (ca + cb - common).astype(np.int64)
+        keep = common >= threshold * union
+        return pd.DataFrame(
+            {"doc_a": ua[keep], "doc_b": ub[keep],
+             "n_common": common[keep], "n_union": union[keep]}
+        )
+
+    return (
+        pair_rows.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(count_pairs, batch_format="pandas")
+    )
 
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:

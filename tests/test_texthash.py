@@ -134,6 +134,46 @@ def test_tokenize_ws_matches_python_split():
         assert toks[offs[i] : offs[i + 1]] == (c or "").split()
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.text(max_size=200)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_poly_hash_fuzz(values):
+        arr = pa.array(values, pa.large_string())
+        got = [int(g) for g in TH.poly_hash_array(arr)]
+        assert got == [ref_poly(v) for v in values]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            # cap the alphabet below exotic case-mapping territory where
+            # utf8proc (Arrow) and Python str.lower could diverge
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(max_codepoint=0x04FF), max_size=120
+                ),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_simhash_fuzz(values):
+        arr = pa.array(values, pa.large_string())
+        got = [int(g) for g in TH.simhash_batch(arr)]
+        assert got == [ref_simhash(v) for v in values]
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_popcount64():
     x = np.array([0, 1, 0xFFFFFFFFFFFFFFFF, 0x8000000000000001], dtype=np.uint64)
     assert list(TH.popcount64(x)) == [0, 1, 64, 2]
