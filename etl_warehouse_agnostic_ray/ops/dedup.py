@@ -125,12 +125,14 @@ def exact_dedup(
     The shuffle key is a PAIR of independent 64-bit content hashes
     (collision probability ~n²/2¹²⁸ — vanishing at any corpus size), so
     the exchange moves 16-byte keys instead of document bodies (VERDICT
-    r1 finding 2 fixed). Text is recovered by a broadcast survivor-id
-    filter when the survivor set is small enough for the driver, else a
-    distributed hash join on id.
+    r1 finding 2 fixed). The min-id-per-hash reduction is a coarse hash
+    partition + ONE vectorized lexsort/run pass per partition — never a
+    native per-group aggregate, which costs O(distinct texts) driver-
+    side Python (~3.5k groups/s: fatal on a mostly-unique corpus). Text
+    is recovered by a broadcast survivor-id filter when the survivor
+    set is small enough for the driver, else a distributed hash join.
     """
     import ray
-    from ray.data.aggregate import Min
 
     def add_hashes(b: pa.Table) -> pa.Table:
         h1 = poly_hash_array(b.column(text_col))
@@ -140,14 +142,24 @@ def exact_dedup(
                 id_col: b.column(id_col),
                 "_h1": pa.array(h1.view(np.int64)),
                 "_h2": pa.array(h2.view(np.int64)),
+                "_pk": pa.array((h1 & np.uint64(1023)).astype(np.int64)),
             }
         )
 
+    def min_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        h1 = g["_h1"].to_numpy()
+        h2 = g["_h2"].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, h2, h1))
+        h1s, h2s, ids_s = h1[order], h2[order], ids[order]
+        first = np.ones(len(ids_s), dtype=bool)
+        first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        return pd.DataFrame({id_col: ids_s[first]})
+
     survivors = (
         ds.map_batches(add_hashes, batch_format="pyarrow")
-        .groupby(["_h1", "_h2"])
-        .aggregate(Min(id_col, alias_name=id_col))
-        .select_columns([id_col])
+        .groupby("_pk")
+        .map_groups(min_per_hash, batch_format="pandas")
     ).materialize()
 
     n_surv = survivors.count()

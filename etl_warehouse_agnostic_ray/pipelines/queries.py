@@ -334,7 +334,11 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_filter_project_revenue(sf_dir: str):
-    from ray.data.aggregate import Sum
+    """Per-order revenue — an UNBOUNDED-group aggregate (one group per
+    order), so it uses the coarse-partition + vectorized in-group
+    reduction pattern rather than a native per-group aggregate (which
+    costs O(groups) Python — minutes at 10⁶+ orders)."""
+    import pandas as pd
 
     rd = _rd()
     ds = rd.read_parquet(
@@ -351,10 +355,26 @@ def q_filter_project_revenue(sf_dir: str):
         rev = pc.multiply(
             f.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), f.column("l_discount"))
         )
-        return pa.table({"l_orderkey": f.column("l_orderkey"), "rev": rev})
+        pk = pc.bit_wise_and(f.column("l_orderkey"), pa.scalar(255, pa.int64()))
+        return pa.table(
+            {"l_orderkey": f.column("l_orderkey"), "rev": rev, "pk": pk}
+        )
 
-    out = ds.map_batches(body, batch_format="pyarrow").groupby("l_orderkey").aggregate(
-        Sum("rev", alias_name="revenue")
+    def sum_per_order(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["l_orderkey"].to_numpy()
+        v = g["rev"].to_numpy()
+        order = np.argsort(k, kind="stable")
+        ks, vs = k[order], v[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(vs, starts) if len(vs) else vs
+        return pd.DataFrame({"l_orderkey": ks[first], "revenue": sums})
+
+    out = (
+        ds.map_batches(body, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(sum_per_order, batch_format="pandas")
     )
     t = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
     return _round2(t, ["revenue"])
