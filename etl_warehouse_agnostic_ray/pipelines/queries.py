@@ -642,8 +642,41 @@ def q_validation_documents(sf_dir: str):
     ):
         rows_total += pc.sum(b.column("rows_total")).as_py() or 0
         null_lang += pc.sum(b.column("null_lang")).as_py() or 0
-    distinct_texts = ds.select_columns(["text"]).unique("text")
-    n_distinct = len(distinct_texts)
+    # distinct-text count via 128-bit content hashes + coarse partition
+    # + vectorized per-partition distinct (ds.unique on the payload
+    # would shuffle every text byte AND pay the O(groups) aggregate)
+    from ..ops.texthash import POLY_B2, poly_hash_array
+
+    def hash_rows(b: pa.Table) -> pa.Table:
+        h1 = poly_hash_array(b.column("text"))
+        h2 = poly_hash_array(b.column("text"), base=POLY_B2)
+        return pa.table(
+            {
+                "_h1": pa.array(h1.view(np.int64)),
+                "_h2": pa.array(h2.view(np.int64)),
+                "_pk": pa.array((h1 & np.uint64(255)).astype(np.int64)),
+            }
+        )
+
+    def distinct_in_part(g):
+        import pandas as pd
+
+        h1 = g["_h1"].to_numpy()
+        h2 = g["_h2"].to_numpy()
+        order = np.lexsort((h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        first = np.ones(len(h1s), dtype=bool)
+        first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        return pd.DataFrame({"n": [int(first.sum())]})
+
+    n_distinct = 0
+    for b in (
+        ds.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(distinct_in_part, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        n_distinct += pc.sum(b.column("n")).as_py() or 0
     return pa.table(
         {
             "rows_total": pa.array([rows_total], pa.int64()),
