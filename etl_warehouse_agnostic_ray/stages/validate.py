@@ -68,15 +68,46 @@ def validate_dataset(
             totals[c] = totals.get(c, 0) + (pc.sum(b.column(c)).as_py() or 0)
     rows = totals.get("rows", 0)
 
-    # exact duplicate keys: shuffle only the key column
+    # exact duplicate keys: shuffle only 8-byte key hashes, coarse
+    # partitioned, counted with one vectorized sort/run pass per
+    # partition (a native groupby(key).count() pays O(distinct keys)
+    # per-group Python AND ships the key payload)
+    import numpy as np
+
+    from ..ops.texthash import poly_hash_array
+
+    def key_hashes(b: pa.Table) -> pa.Table:
+        h = poly_hash_array(pc.cast(b.column(key), pa.large_string()))
+        return pa.table(
+            {
+                "_h": pa.array(h.view(np.int64)),
+                "_pk": pa.array((h & np.uint64(255)).astype(np.int64)),
+            }
+        )
+
+    def dup_stats(g) -> "pa.Table":
+        import pandas as pd
+
+        h = np.sort(g["_h"].to_numpy())
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(h)))
+        over = sizes[sizes > 1]
+        return pd.DataFrame(
+            {"dup_keys": [len(over)], "dup_rows": [int((over - 1).sum())]}
+        )
+
     dup_rows = 0
     dup_keys = 0
-    counts = ds.select_columns([key]).groupby(key).count()
-    for b in counts.iter_batches(batch_format="pyarrow"):
-        cnt = b.column("count()")
-        over = pc.filter(cnt, pc.greater(cnt, pa.scalar(1)))
-        dup_keys += len(over)
-        dup_rows += (pc.sum(over).as_py() or 0) - len(over)
+    for b in (
+        ds.map_batches(key_hashes, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(dup_stats, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        dup_keys += pc.sum(b.column("dup_keys")).as_py() or 0
+        dup_rows += pc.sum(b.column("dup_rows")).as_py() or 0
 
     report = {
         "rows": rows,
