@@ -61,6 +61,46 @@ class DecodeImageBatch:
         return out
 
 
+class ExtractAudioFeaturesBatch:
+    """audio-binary → fixed-dim feature vector + duration estimate
+    (actor-pool stage; real decoder stubbed like DecodeImageBatch:
+    torchaudio/ffmpeg absent from the container, so ``fake=True``
+    derives a deterministic spectrum-like vector from strided byte
+    means — the Ray-side plumbing is real and tested)."""
+
+    def __init__(self, fake: bool = True, n_mels: int = 16, sample_rate: int = 16_000):
+        self.n_mels = n_mels
+        self.sample_rate = sample_rate
+        if not fake:
+            try:  # pragma: no cover - libs absent in this container
+                import torchaudio  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real audio decode needs torchaudio/ffmpeg; use fake=True here"
+                ) from e
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = (
+            batch.column("audio") if "audio" in batch.column_names else batch.column("html")
+        )
+        n = batch.num_rows
+        feats = np.zeros((n, self.n_mels), dtype=np.float64)
+        dur = np.zeros(n, dtype=np.float64)
+        for i, data in enumerate(payload.to_pylist()):  # codec work is per-row
+            if not data:
+                continue
+            b = np.frombuffer(data, dtype=np.uint8)
+            # strided band means — a deterministic stand-in for mel bands
+            pad = (-len(b)) % self.n_mels
+            m = np.pad(b, (0, pad)).reshape(self.n_mels, -1)
+            feats[i] = m.mean(axis=1) / 255.0
+            dur[i] = len(b) / (2.0 * self.sample_rate)  # 16-bit mono estimate
+        out = batch.append_column(
+            "features", pa.array(list(feats), pa.list_(pa.float64()))
+        )
+        return out.append_column("duration_sec", pa.array(dur))
+
+
 class SampleFramesBatch:
     """video-binary → one row per sampled frame index (flat_map shape:
     output rows ≥ input rows). Deterministic stride sampling on the

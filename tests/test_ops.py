@@ -233,6 +233,22 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             DecodeImageBatch(fake=False)
 
+    def test_audio_features_plumbing(self):
+        from etl_warehouse_agnostic_ray.ops.multimodal import ExtractAudioFeaturesBatch
+
+        t = pa.table(
+            {"doc_id": [1, 2],
+             "audio": pa.array([bytes(range(64)) * 100, None], pa.large_binary())}
+        )
+        out = ExtractAudioFeaturesBatch(fake=True, n_mels=16)(t)
+        f0 = out.column("features")[0].as_py()
+        assert len(f0) == 16 and any(v > 0 for v in f0)
+        assert out.column("features")[1].as_py() == [0.0] * 16
+        assert out.column("duration_sec")[0].as_py() > 0
+        # deterministic
+        again = ExtractAudioFeaturesBatch(fake=True, n_mels=16)(t)
+        assert out.equals(again)
+
     def test_frame_sampling(self):
         t = pa.table(
             {"key": ["v1", "v2"], "video": pa.array([b"x" * (1 << 17), b""], pa.large_binary())}

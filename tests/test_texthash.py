@@ -174,6 +174,36 @@ except ImportError:  # pragma: no cover
     pass
 
 
+def test_sorted_run_pairs_vs_bruteforce():
+    """The shared bucket-pair enumerator must equal the brute-force
+    per-bucket triu across random multi-key inputs, including caps."""
+    from etl_warehouse_agnostic_ray.ops.dedup import _sorted_run_pairs
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(0, 200))
+        k1 = rng.integers(0, 6, n)
+        k2 = rng.integers(0, 4, n)
+        ids = rng.permutation(10_000)[:n].astype(np.int64)
+        cap = int(rng.integers(2, 12))
+        ia, ib, _, dropped = _sorted_run_pairs([k1, k2], ids, cap)
+        got = set(zip(ids[ia], ids[ib]))
+        want = set()
+        want_drop = 0
+        import itertools
+
+        for key in set(zip(k1, k2)):
+            bucket = sorted(
+                ids[i] for i in range(n) if (k1[i], k2[i]) == key
+            )
+            want_drop += max(0, len(bucket) - cap)
+            for a, b in itertools.combinations(bucket[:cap], 2):
+                want.add((a, b))
+        assert got == want, f"trial {trial}"
+        assert dropped == want_drop
+        assert all(a < b for a, b in got)
+
+
 def test_popcount64():
     x = np.array([0, 1, 0xFFFFFFFFFFFFFFFF, 0x8000000000000001], dtype=np.uint64)
     assert list(TH.popcount64(x)) == [0, 1, 64, 2]
