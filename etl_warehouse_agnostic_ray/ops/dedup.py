@@ -808,41 +808,50 @@ def embedding_neardup_pairs(
         functools.partial(bucketize, planes=planes), batch_format="pyarrow"
     )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "cosine": pd.Series([], dtype="float64")}
+    def add_coarse(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "coarse", pc.bit_wise_and(b.column("bucket"), pa.scalar(255, pa.int64()))
         )
-        if len(g) < 2:
-            return empty
+
+    def pairs_in_buckets(g: pd.DataFrame) -> pd.DataFrame:
+        """Handles MANY buckets per task (coarse grouping): pairs come
+        from the shared run enumerator, cosines from one row-wise
+        product — no per-bucket Python or per-bucket matmul."""
         ids = g[id_col].to_numpy()
-        V = np.asarray(list(g["vec"]), dtype=np.float64)
-        order = np.argsort(ids)
-        ids, V = ids[order], V[order]
-        dropped = 0
-        if len(ids) > bucket_cap:
-            dropped = len(ids) - bucket_cap
-            ids, V = ids[:bucket_cap], V[:bucket_cap]
-        S = V @ V.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        m = S[ia, ib] >= threshold
-        out = pd.DataFrame(
-            {"doc_a": ids[ia][m], "doc_b": ids[ib][m], "cosine": S[ia, ib][m]}
-        )
+        buckets = g["bucket"].to_numpy()
+        ia, ib, _, dropped = _sorted_run_pairs([buckets], ids, bucket_cap)
+        out_parts = []
+        if len(ia):
+            V = np.stack(g["vec"].to_numpy())
+            cos = np.einsum("ij,ij->i", V[ia], V[ib])
+            m = cos >= threshold
+            out_parts.append(
+                pd.DataFrame(
+                    {"doc_a": ids[ia][m], "doc_b": ids[ib][m], "cosine": cos[m]}
+                )
+            )
         if dropped:
             logger.warning(
-                "embedding sign-LSH: truncated %d ids in an oversize bucket "
+                "embedding sign-LSH: truncated %d ids in oversize buckets "
                 "(bucket_cap=%d)", dropped, bucket_cap
             )
-            out = pd.concat(
-                [out, pd.DataFrame({"doc_a": [_SENTINEL], "doc_b": [-dropped],
-                                    "cosine": [float("nan")]})],
-                ignore_index=True,
+            out_parts.append(
+                pd.DataFrame({"doc_a": [_SENTINEL], "doc_b": [-dropped],
+                              "cosine": [float("nan")]})
             )
-        return out
+        if not out_parts:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out_parts, ignore_index=True)
 
-    pairs = bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    pairs = (
+        bucketed.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(pairs_in_buckets, batch_format="pandas")
+    )
     if include_drop_stats:
         return pairs
 
