@@ -180,25 +180,51 @@ class LakeTable:
             return []
         return [os.path.join(self.root, e["file"]) for e in m["partitions"].values()]
 
-    def files_by_epoch(self, version: int | None = None) -> dict[int, list[str]]:
+    def files_by_epoch(
+        self, version: int | None = None, pids: set[int] | None = None
+    ) -> dict[int, list[str]]:
         """Live files grouped by the schema epoch (max schema-op lsn) they
         were written under. Files within one epoch share a physical
         schema; mixing epochs in one ``read_parquet`` would mis-unify
-        renamed columns, so readers take one group at a time."""
+        renamed columns, so readers take one group at a time.
+        ``pids`` restricts to those partition ids."""
         m = self.load_manifest(version)
         if not m:
             raise FileNotFoundError(f"no committed version in {self.root}")
         groups: dict[int, list[str]] = {}
-        for e in m["partitions"].values():
+        for pid, e in m["partitions"].items():
+            if pids is not None and int(pid) not in pids:
+                continue
             groups.setdefault(int(e.get("schema_lsn", -1)), []).append(
                 os.path.join(self.root, e["file"])
             )
         return groups
 
-    def dataset(self, version: int | None = None, include_lineage: bool = False):
+    def changed_partition_ids(self, v_from: int, v_to: int | None = None) -> set[int]:
+        """Partition ids whose live file changed between two versions —
+        the change-feed seam: a downstream consumer re-reads ONLY these
+        (manifest diff, no data IO)."""
+        m_new = self.load_manifest(v_to)
+        if not m_new:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        m_old = self.load_manifest(v_from) if v_from >= 0 else None
+        old = {} if m_old is None else m_old["partitions"]
+        changed = set()
+        for pid, ent in m_new["partitions"].items():
+            if old.get(pid, {}).get("file") != ent["file"]:
+                changed.add(int(pid))
+        return changed
+
+    def dataset(
+        self,
+        version: int | None = None,
+        include_lineage: bool = False,
+        pids: set[int] | None = None,
+    ):
         """Current table state as a streaming ray.data.Dataset, conformed
         to the latest logical schema (older partition files may predate a
-        schema op; conform renames/casts/backfills per file batch)."""
+        schema op; conform renames/casts/backfills per file batch).
+        ``pids`` restricts the read to those partitions (change feed)."""
         import ray.data as rd
 
         m = self.load_manifest(version)
@@ -222,7 +248,7 @@ class LakeTable:
             return out
 
         ds = None
-        for _, files in sorted(self.files_by_epoch(version).items()):
+        for _, files in sorted(self.files_by_epoch(version, pids=pids).items()):
             d = rd.read_parquet(files, filesystem=self.fs).map_batches(
                 conform, batch_format="pyarrow"
             )

@@ -546,6 +546,109 @@ class CDCEngine:
             reset_batch_ids=True,
         )
 
+    def changes_since(self, version: int, include_lineage: bool = False):
+        """Change feed: the current state of every partition REWRITTEN
+        since ``version`` — a downstream consumer incrementally refreshes
+        by replacing exactly these partitions (manifest diff picks them;
+        only their files are read). Returns a conformed Dataset; empty
+        typed Dataset when nothing changed."""
+        changed = self.lake.changed_partition_ids(version)
+        if not changed:
+            import ray.data as rd
+
+            m = self.lake.load_manifest()
+            reg = SchemaRegistry.from_dict(m["schema_ops"])
+            return rd.from_arrow(reg.conform(pa.table({})))
+        return self.lake.dataset(include_lineage=include_lineage, pids=changed)
+
+    def compact(self, batch_id: str | None = None) -> dict:
+        """Physically rewrite partitions whose files predate the current
+        schema epoch, conforming them to the latest logical schema (the
+        engine otherwise conforms stale epochs lazily on read and only
+        rewrites a partition when a delta next touches it). ClickHouse
+        ``OPTIMIZE`` analogue, scoped to schema-stale partitions; a
+        no-op commit is skipped. LWW-idempotent: re-compacting an
+        already-compacted partition is byte-stable."""
+        manifest = self.lake.load_manifest()
+        if manifest is None:
+            raise RuntimeError("bootstrap() the lake before compact()")
+        cur_schema_lsn = max((o["lsn"] for o in manifest["schema_ops"]), default=-1)
+        stale = {
+            int(pid): ent
+            for pid, ent in manifest["partitions"].items()
+            if int(ent.get("schema_lsn", -1)) < cur_schema_lsn
+        }
+        if not stale:
+            return {"skipped": True, "reason": "no stale-epoch partitions"}
+        if batch_id is None:
+            batch_id = f"compact-{uuid.uuid4().hex[:12]}"
+        import ray.data as rd
+
+        schema_ops = manifest["schema_ops"]
+        # group stale files by THEIR epoch: files from different epochs
+        # have different physical schemas and must not share one
+        # read_parquet (column mis-unification), same rule as
+        # LakeTable.dataset
+        by_epoch: dict[int, list[str]] = {}
+        for ent in stale.values():
+            by_epoch.setdefault(int(ent.get("schema_lsn", -1)), []).append(
+                os.path.join(self.lake.root, ent["file"])
+            )
+
+        def conform_keep_lineage(batch: pa.Table) -> pa.Table:
+            reg = SchemaRegistry.from_dict(schema_ops)
+            lineage = {
+                c: batch.column(c)
+                for c in (LSN_COL, OP_COL, PID_COL)
+                if c in batch.column_names
+            }
+            out = reg.conform(batch.drop(list(lineage)))
+            for c, col in lineage.items():
+                out = out.append_column(c, col)
+            return out
+
+        version = self.lake.current_version() + 1
+        out_dir = self.lake.data_dir(version)
+        ds = None
+        for _, epoch_files in sorted(by_epoch.items()):
+            d = rd.read_parquet(epoch_files, filesystem=self.lake.fs).map_batches(
+                conform_keep_lineage, batch_format="pyarrow"
+            )
+            ds = d if ds is None else ds.union(d)
+        stats = (
+            ds.groupby(PID_COL, num_partitions=max(1, len(stale)))
+            .map_groups(
+                partition_merger(out_dir, filesystem=self.lake.fs),
+                batch_format="pyarrow",
+                **self._merge_opts(),
+            )
+            .take_all()
+        )
+        new_parts = self._stats_to_partitions(stats, schema_lsn=cur_schema_lsn)
+        # preserve each rewritten partition's recorded max_lsn: compaction
+        # must not advance lineage (no new events were applied)
+        for pid, ent in new_parts.items():
+            ent["max_lsn"] = stale[pid]["max_lsn"]
+        partitions = {
+            int(pid): ent
+            for pid, ent in manifest["partitions"].items()
+            if int(pid) not in new_parts
+        }
+        partitions.update(new_parts)
+        self.lake.commit(
+            partitions,
+            batch_id=batch_id,
+            applied_lsn=manifest["applied_lsn"],
+            schema_ops=schema_ops,
+            num_partitions=manifest["num_partitions"],
+            stats={"op": "compact", "partitions_rewritten": len(new_parts)},
+        )
+        return {
+            "skipped": False,
+            "batch_id": batch_id,
+            "partitions_rewritten": len(new_parts),
+        }
+
     def init_empty(self, batch_id: str = "init") -> dict:
         """Start a lake with no snapshot (pure change-stream ingest)."""
         return self.lake.commit(

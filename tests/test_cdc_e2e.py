@@ -286,6 +286,71 @@ def test_schema_evolution_incremental_equals_oneshot(tmp_path):
     assert ta.equals(tb)
 
 
+def test_compact_conforms_stale_epochs(tmp_path):
+    """compact() physically rewrites partitions left on an old schema
+    epoch; logical state is byte-identical before/after, every partition
+    lands on the current epoch, and a second compact is a no-op."""
+    pages = gen_pages(80, seed=7)
+    events = gen_change_events(600, 80, seed=7, schema_change_frac=0.01)
+    # a delta with the DDL ops plus ONE url's events: most bootstrap
+    # partitions stay untouched on the old (-1) epoch
+    one_url = pages.column("url")[0].as_py()
+    mask = pa.compute.or_(
+        pa.compute.equal(events.column("op"), pa.scalar("schema_change")),
+        pa.compute.equal(events.column("url"), pa.scalar(one_url)),
+    )
+    delta = events.filter(mask)
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+    eng.bootstrap(pages)
+    eng.apply(delta, batch_id="b1")
+    m = eng.lake.load_manifest()
+    cur_epoch = max(o["lsn"] for o in m["schema_ops"])
+    stale = [p for p, e in m["partitions"].items() if e["schema_lsn"] < cur_epoch]
+    assert stale, "fixture should leave some partitions on an old epoch"
+    before = eng.to_arrow().sort_by("url")
+
+    rep = eng.compact(batch_id="c1")
+    assert rep["partitions_rewritten"] == len(stale)
+    after = eng.to_arrow().sort_by("url")
+    assert before.equals(after)
+    m2 = eng.lake.load_manifest()
+    assert all(e["schema_lsn"] == cur_epoch for e in m2["partitions"].values())
+    # per-partition lineage must not advance
+    for pid in stale:
+        assert m2["partitions"][pid]["max_lsn"] == m["partitions"][pid]["max_lsn"]
+    assert eng.compact().get("skipped")
+
+
+def test_changes_since_feed(tmp_path):
+    """changes_since(v) streams exactly the partitions rewritten after
+    v — the downstream incremental-refresh contract."""
+    pages = gen_pages(60, seed=8)
+    all_events = gen_change_events(400, 60, seed=8, schema_change_frac=0.0)
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+    eng.bootstrap(pages)
+    v0 = eng.lake.current_version()
+    # a delta touching only one url's partition
+    one_url = pages.column("url")[0].as_py()
+    small = all_events.filter(
+        pa.compute.equal(all_events.column("url"), pa.scalar(one_url))
+    )
+    assert small.num_rows > 0
+    eng.apply(small, batch_id="b1")
+    changed = eng.lake.changed_partition_ids(v0)
+    assert 0 < len(changed) <= 8
+    feed = eng.changes_since(v0).to_pandas()
+    want = eng.lake.dataset(pids=changed).to_pandas()
+    assert sorted(feed["url"]) == sorted(want["url"])
+    # rows outside changed partitions are NOT in the feed
+    full = eng.to_arrow()
+    assert len(feed) < full.num_rows
+    # no further changes → empty typed feed
+    v1 = eng.lake.current_version()
+    empty = eng.changes_since(v1)
+    assert empty.count() == 0
+    assert "url" in empty.schema().names
+
+
 def test_wide_binary_rows(tmp_path):
     """Wide rows (html ~256KB — realistic Common-Crawl page sizes):
     large_binary end-to-end, blocks split by Ray, LWW + tombstones +
