@@ -43,7 +43,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .texthash import (
-    MERSENNE61,
     POLY_B2,
     band_hashes,
     list_col_to_matrix,
