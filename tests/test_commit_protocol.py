@@ -95,8 +95,9 @@ def test_injected_pyarrow_filesystem_end_to_end(tmp_path, ray_session):
     a = eng_fs.to_arrow().sort_by("url")
     b = eng_os.to_arrow().sort_by("url")
     assert a.equals(b)
-    # streaming read + maintenance through the fs too
+    # streaming read + maintenance + change feed through the fs too
     assert eng_fs.table().count() == a.num_rows
+    assert eng_fs.changes_since(0).count() > 0
     eng_fs.lake.vacuum(keep_versions=1)
     assert eng_fs.to_arrow().sort_by("url").equals(b)
 
