@@ -362,12 +362,16 @@ class CDCEngine:
         critical: list[str] | None = None,
         fresh_after_us: int | None = None,
         max_null_rate: float = 0.5,
+        min_completeness: float | None = 0.8,
     ) -> dict:
         """Post-load integrity report over the logical table — the
         reference's validation task as a library call (row counts,
         duplicate keys, null rates on critical columns, freshness;
         ``airflow/dags/repsly_dag.py:39-270``) plus the manifest
-        partition-health stats."""
+        partition-health stats. ``min_completeness`` gates the
+        silver/raw layer ratio (live rows ÷ physical rows — the
+        reference's ≥ 80 % health check,
+        ``airflow/dags/repsly_dag.py:1352-1494``)."""
         from ..stages.validate import validate_dataset
 
         report = validate_dataset(
@@ -379,6 +383,13 @@ class CDCEngine:
             max_null_rate=max_null_rate,
         )
         report["lake"] = self.lake.stats()
+        ratio = report["lake"].get("completeness_ratio")
+        if min_completeness is not None and ratio is not None and ratio < min_completeness:
+            report["issues"].append(
+                f"completeness {ratio:.2%} below {min_completeness:.0%} "
+                "(tombstone-heavy table — compact or investigate delete volume)"
+            )
+            report["passed"] = False
         return report
 
     # ------------------------------------------------------------------
