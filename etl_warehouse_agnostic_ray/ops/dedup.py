@@ -265,7 +265,11 @@ def minhash_lsh_pairs(
     band_hash, doc_id, all-band-hash blob) → bucket groupby → in-bucket
     pairs (capped, drops accounted; each pair emitted only from the
     FIRST colliding band, so candidates are globally unique without a
-    dedupe shuffle) → signature verify → vectorized equal-count filter.
+    dedupe shuffle — note the cap interplay: when a band's bucket
+    truncates, pairs touching its truncated ids are also suppressed in
+    later bands, so the cap is a skew guard for degenerate buckets, not
+    a sampler; sentinels + a warning surface every truncation) →
+    signature verify → vectorized equal-count filter.
 
     Verification is hybrid: when the corpus is at most
     ``broadcast_limit`` docs the signature matrix (n_perm·8 bytes/doc)
@@ -365,6 +369,10 @@ def minhash_lsh_pairs(
         .groupby("coarse")
         .map_groups(bucket_pairs_many, batch_format="pandas")
     )
+    if include_drop_stats:
+        # consumed twice (verify + sentinel extraction) — materialize so
+        # the candidate-generation pipeline doesn't execute twice
+        uniq = uniq.materialize()
 
     _EMPTY_VERIFY = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_equal", pa.int64())]
@@ -492,6 +500,14 @@ def simhash_neardup_pairs(
     bit_count(xor(...)) self-join verify it value-for-value). The
     8-byte signature travels in the bucket rows, so verification is
     in-bucket — no join stage.
+
+    Exactness contract: holds whenever no bucket exceeds
+    ``bucket_cap``. Under truncation (sentinel rows + a warning flag
+    it), pairs involving a truncated id can be lost even if a LATER
+    block's bucket held both endpoints, because the first-block dedupe
+    assumes the earlier block emitted them — the cap is a skew guard
+    for degenerate corpora (e.g. >cap identical docs), not a sampling
+    knob; raise it rather than relying on exactness while it trips.
     """
     n_blocks = max_hamming + 1
     widths = [64 // n_blocks] * n_blocks
@@ -597,6 +613,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bucket_cap: int = 4000,
+    broadcast_limit: int = 50_000_000,
 ):
     """EXACT word n-gram Jaccard pairs: (doc_a, doc_b, n_common,
     n_union) for all pairs with jaccard ≥ threshold (kept integral —
@@ -660,6 +677,15 @@ def ngram_jaccard_pairs(
         cnts_l.append(b.column("n_grams").to_numpy(zero_copy_only=False))
     ids_all = np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64)
     cnts_all = np.concatenate(cnts_l) if cnts_l else np.zeros(0, np.int64)
+    if len(ids_all) > broadcast_limit:
+        # fail loudly instead of driver-OOMing: the exact verifier tier
+        # is meant for candidate sets / corpus shards this size; run the
+        # LSH tiers (minhash/simhash) first at full scale
+        raise ValueError(
+            f"ngram_jaccard_pairs: {len(ids_all)} docs exceeds "
+            f"broadcast_limit={broadcast_limit}; shard the input or use "
+            "the LSH dedup tiers for candidate generation first"
+        )
     order = np.argsort(ids_all)
     counts_ref = ray.put((ids_all[order], cnts_all[order]))
 
@@ -671,25 +697,29 @@ def ngram_jaccard_pairs(
     def cooccur_pairs(g: pd.DataFrame) -> pd.DataFrame:
         grams_np = g["gram"].to_numpy()
         ids_np = g[id_col].to_numpy()
-        # NOTE: unlike the LSH ops, a cap here DROPS pairs from the
-        # exact answer, so it only guards stop-grams; count and warn.
-        over = bucket_cap  # runs past the cap are excluded wholesale
-        ia, ib, _, dropped = _sorted_run_pairs([grams_np], ids_np, over + 1)
-        if dropped:
-            # a truncated stop-gram run is partially enumerated; drop
-            # those runs' pairs entirely for determinism: recompute keep
-            # mask by bucket size
-            order = np.argsort(grams_np, kind="stable")
-            gs = grams_np[order]
-            first = np.ones(len(gs), dtype=bool)
+        # A gram shared by more than bucket_cap docs is a stop-gram:
+        # its pairs are dropped WHOLESALE (deterministic per gram, not
+        # dependent on neighbors in the coarse group). Dropping deflates
+        # n_common for affected pairs while per-doc counts still include
+        # the gram — i.e. a conservative (lower) jaccard — and is
+        # warned. The SQL oracle matches exactly whenever no stop-gram
+        # exists (the correctness fixtures never trigger the cap).
+        order = np.argsort(grams_np, kind="stable")
+        gs = grams_np[order]
+        first = np.ones(len(gs), dtype=bool)
+        if len(gs):
             first[1:] = gs[1:] != gs[:-1]
-            sizes = np.diff(np.append(np.flatnonzero(first), len(gs)))
-            big = set(gs[np.flatnonzero(first)[sizes > over]].tolist())
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(gs)))
+        big = gs[starts[sizes > bucket_cap]]
+        if len(big):
             logger.warning(
                 "ngram jaccard: dropping %d stop-grams shared by > %d docs",
-                len(big), over,
+                len(big), bucket_cap,
             )
-            keep = ~np.isin(grams_np[ia], np.fromiter(big, dtype=np.int64))
+        ia, ib, _, _ = _sorted_run_pairs([grams_np], ids_np, bucket_cap + 1)
+        if len(big) and len(ia):
+            keep = ~np.isin(grams_np[ia], big)
             ia, ib = ia[keep], ib[keep]
         return pd.DataFrame({"doc_a": ids_np[ia], "doc_b": ids_np[ib]})
 

@@ -648,8 +648,14 @@ def q_validation_documents(sf_dir: str):
     from ..ops.texthash import POLY_B2, poly_hash_array
 
     def hash_rows(b: pa.Table) -> pa.Table:
-        h1 = poly_hash_array(b.column("text"))
-        h2 = poly_hash_array(b.column("text"), base=POLY_B2)
+        # NULL texts are excluded to match SQL count(DISTINCT text),
+        # which ignores NULLs (a 0-hash row would count as one value)
+        col = b.column("text")
+        if col.null_count:
+            b = b.filter(pc.is_valid(col))
+            col = b.column("text")
+        h1 = poly_hash_array(col)
+        h2 = poly_hash_array(col, base=POLY_B2)
         return pa.table(
             {
                 "_h1": pa.array(h1.view(np.int64)),

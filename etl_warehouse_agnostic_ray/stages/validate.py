@@ -76,23 +76,31 @@ def validate_dataset(
 
     from ..ops.texthash import poly_hash_array
 
+    from ..ops.texthash import POLY_B2
+
     def key_hashes(b: pa.Table) -> pa.Table:
-        h = poly_hash_array(pc.cast(b.column(key), pa.large_string()))
+        s = pc.cast(b.column(key), pa.large_string())
+        h1 = poly_hash_array(s)
+        h2 = poly_hash_array(s, base=POLY_B2)  # 128-bit identity: no false dups
         return pa.table(
             {
-                "_h": pa.array(h.view(np.int64)),
-                "_pk": pa.array((h & np.uint64(255)).astype(np.int64)),
+                "_h1": pa.array(h1.view(np.int64)),
+                "_h2": pa.array(h2.view(np.int64)),
+                "_pk": pa.array((h1 & np.uint64(255)).astype(np.int64)),
             }
         )
 
     def dup_stats(g) -> "pa.Table":
         import pandas as pd
 
-        h = np.sort(g["_h"].to_numpy())
-        first = np.ones(len(h), dtype=bool)
-        first[1:] = h[1:] != h[:-1]
+        h1 = g["_h1"].to_numpy()
+        h2 = g["_h2"].to_numpy()
+        order = np.lexsort((h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        first = np.ones(len(h1s), dtype=bool)
+        first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
         starts = np.flatnonzero(first)
-        sizes = np.diff(np.append(starts, len(h)))
+        sizes = np.diff(np.append(starts, len(h1s)))
         over = sizes[sizes > 1]
         return pd.DataFrame(
             {"dup_keys": [len(over)], "dup_rows": [int((over - 1).sum())]}

@@ -46,12 +46,21 @@ def atomic_write_json(path: str, obj: dict, fs=None) -> None:
         d = os.path.dirname(path)
         fs.create_dir(d, recursive=True)
         tmp = os.path.join(d, f".tmp-{os.urandom(8).hex()}.json")
-        with fs.open_output_stream(tmp) as out:
-            out.write(payload)
-        with fs.open_input_stream(tmp) as rd:  # verify before rename
-            if hashlib.md5(rd.read()).hexdigest() != digest:
-                raise IOError(f"checksum mismatch writing {path}")
-        fs.move(tmp, path)
+        try:
+            with fs.open_output_stream(tmp) as out:
+                out.write(payload)
+            with fs.open_input_stream(tmp) as rd:  # verify before rename
+                if hashlib.md5(rd.read()).hexdigest() != digest:
+                    raise IOError(f"checksum mismatch writing {path}")
+            fs.move(tmp, path)
+        except BaseException:
+            # don't leak tmp objects on failed commits (vacuum only
+            # sweeps data/, never the manifests dir)
+            try:
+                fs.delete_file(tmp)
+            except Exception:
+                pass
+            raise
         return
     payload = json.dumps(obj, sort_keys=True, default=str).encode("utf-8")
     digest = hashlib.md5(payload).hexdigest()
