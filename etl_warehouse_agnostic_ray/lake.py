@@ -21,6 +21,11 @@ count, only then advance state, restore on failure
 Partitions unaffected by a batch are carried forward by reference (their
 file entries point into older version dirs) — at 100 TB a CDC batch
 rewrites only the key ranges it touches, never the whole table.
+
+The versioned-manifest + pointer-flip protocol follows the published
+lakehouse transaction pattern (Delta Lake, VLDB 2020: write-ahead log
+of file adds/removes + an atomically advanced version pointer),
+specialized to hash-partitioned single-writer CDC.
 """
 
 from __future__ import annotations
