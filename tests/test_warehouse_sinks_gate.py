@@ -67,6 +67,37 @@ class TestSinks:
         assert back.num_rows == 3
 
 
+class TestCLI:
+    def test_cli_lifecycle(self, tmp_path, ray_session, capsys):
+        """bootstrap → drain → stats → vacuum through the __main__ CLI
+        (reuses the test Ray session; main() must not shut it down)."""
+        import json
+
+        import ray
+
+        from etl_warehouse_agnostic_ray.__main__ import main
+        from etl_warehouse_agnostic_ray.datagen import write_fixture
+
+        fix = str(tmp_path / "fix")
+        lake = str(tmp_path / "lake")
+        write_fixture(fix, 1500, 200, seed=4, n_files=2)
+
+        def run(*argv):
+            assert main(list(argv)) == 0
+            return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+        r = run("bootstrap", "--lake", lake, "--pages", f"{fix}/pages.parquet",
+                "--partitions", "4")
+        assert r["version"] == 0 and r["rows"] == 200
+        r = run("drain", "--lake", lake, "--stream", f"{fix}/change_events")
+        assert r["events_applied"] > 0
+        r = run("stats", "--lake", lake)
+        assert r["partitions"] == 4 and r["rows"] > 0
+        r = run("vacuum", "--lake", lake, "--keep", "1")
+        assert r["removed"] >= 0
+        assert ray.is_initialized()  # session not stolen
+
+
 class TestRefreshGate:
     def test_interval_gating(self, tmp_path):
         g = RefreshGate(str(tmp_path))
