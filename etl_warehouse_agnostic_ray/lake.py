@@ -137,14 +137,28 @@ class LakeTable:
         num_partitions: int,
         stats: dict | None = None,
         reset_batch_ids: bool = False,
+        expected_parent: int | None = None,
     ) -> dict:
         """``reset_batch_ids=True`` starts a fresh duplicate-batch
         namespace — used by watermark-resetting commits (bootstrap /
         full_refresh): after a refresh the lake no longer contains the
         old batches' events, so re-applying a previously-used batch_id
-        must NOT be skipped as a duplicate."""
+        must NOT be skipped as a duplicate.
+
+        ``expected_parent``: optimistic-concurrency check (the lakehouse
+        pattern) — the version the writer planned its batch against. If
+        another writer committed meanwhile, raise instead of silently
+        building on (and clobbering the lineage of) state the merge
+        never saw. The engine is single-writer by design; this turns an
+        operator error into a loud ConflictError-style failure."""
         prev = self.load_manifest()
         version = self.current_version() + 1
+        if expected_parent is not None and version - 1 != expected_parent:
+            raise RuntimeError(
+                f"commit conflict: planned against version {expected_parent} "
+                f"but current is {version - 1} — another writer committed; "
+                "re-read the lake and re-apply"
+            )
         applied_batch_ids = (
             [] if reset_batch_ids else (list(prev["applied_batch_ids"]) if prev else [])
         )

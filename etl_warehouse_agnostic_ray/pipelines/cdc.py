@@ -101,6 +101,7 @@ class CDCEngine:
             num_partitions=P,
             stats={"op": "bootstrap", "rows": sum(e["rows"] for e in partitions.values())},
             reset_batch_ids=True,
+            expected_parent=version - 1,
         )
         return manifest
 
@@ -320,6 +321,7 @@ class CDCEngine:
             applied_lsn=max_event_lsn,
             schema_ops=schema_ops,
             num_partitions=P,
+            expected_parent=manifest["version"],
             stats={
                 "events_applied": delta_rows,
                 "schema_ops_applied": len(schema_rows),
@@ -555,6 +557,7 @@ class CDCEngine:
             num_partitions=P,
             stats={"op": "full_refresh"},
             reset_batch_ids=True,
+            expected_parent=version - 1,
         )
 
     def changes_since(self, version: int, include_lineage: bool = False):
@@ -653,6 +656,7 @@ class CDCEngine:
             schema_ops=schema_ops,
             num_partitions=manifest["num_partitions"],
             stats={"op": "compact", "partitions_rewritten": len(new_parts)},
+            expected_parent=manifest["version"],
         )
         return {
             "skipped": False,

@@ -72,6 +72,27 @@ def test_missing_file_refuses_commit(lake_with_data):
         )
 
 
+def test_optimistic_concurrency_conflict_detected(lake_with_data):
+    """A commit planned against a version that is no longer CURRENT must
+    raise (lakehouse optimistic-concurrency check) instead of silently
+    building on state the merge never saw."""
+    eng = lake_with_data
+    v = eng.lake.current_version()
+    parts = {
+        int(p): dict(e) for p, e in eng.lake.load_manifest()["partitions"].items()
+    }
+    # another writer advances CURRENT first
+    eng.lake.commit(parts, batch_id="other-writer", applied_lsn=10**6,
+                    schema_ops=[], num_partitions=4)
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        eng.lake.commit(parts, batch_id="stale-writer", applied_lsn=10**6 + 1,
+                        schema_ops=[], num_partitions=4, expected_parent=v)
+    # planning against the NEW current succeeds
+    eng.lake.commit(parts, batch_id="fresh-writer", applied_lsn=10**6 + 2,
+                    schema_ops=[], num_partitions=4,
+                    expected_parent=eng.lake.current_version())
+
+
 def test_injected_pyarrow_filesystem_end_to_end(tmp_path, ray_session):
     """The storage seam: the whole bootstrap→apply→read→vacuum cycle
     runs against an explicitly injected pyarrow filesystem (LocalFS
