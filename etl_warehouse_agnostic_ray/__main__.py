@@ -93,10 +93,20 @@ def main(argv: list[str] | None = None) -> int:
         ray.init(address="local", **kwargs)
         started = True
     try:
-        print(json.dumps(run(args), default=str))
+        report = run(args)
+        print(json.dumps(report, default=str))
+    except RuntimeError as e:
+        # operational failures (commit conflict, routing-hash mismatch,
+        # un-bootstrapped lake) must be scriptable: JSON on stdout,
+        # non-zero exit
+        print(json.dumps({"cmd": args.cmd, "error": str(e)}))
+        return 2
     finally:
         if started:  # only shut down a session this process owns
             ray.shutdown()
+    # health gates script on the exit status: validate failure -> rc 1
+    if args.cmd == "validate" and not report.get("passed", True):
+        return 1
     return 0
 
 

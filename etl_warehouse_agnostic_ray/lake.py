@@ -52,6 +52,16 @@ from .state.schema_registry import SchemaRegistry
 
 _SAMPLE_BYTES = 8
 
+# Partition routing is a PERSISTED-FORMAT contract: every committed
+# manifest records which routing hash laid out its partitions. If the
+# hash function ever changes (as it did between rounds 1 and 2), a lake
+# bootstrapped under the old hash would route new deltas to different
+# pids — LWW merge would never see the base row and the table would
+# silently accumulate duplicate keys. Bump this id on ANY change to
+# partition_ids(); apply() refuses to merge into a lake stamped with a
+# different id (the fix is a full_refresh / re-bootstrap, which re-routes).
+ROUTING_HASH_VERSION = "sample8-splitmix64-v2"
+
 
 def partition_ids(urls, num_partitions: int):
     """Vectorized url -> partition id in [0, num_partitions).
@@ -180,6 +190,7 @@ class LakeTable:
         manifest = {
             "version": version,
             "parent": version - 1,
+            "routing_hash": ROUTING_HASH_VERSION,
             "batch_id": batch_id,
             "num_partitions": num_partitions,
             "applied_lsn": int(applied_lsn),

@@ -481,6 +481,41 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(body, batch_format="pyarrow")
 
 
+def _split_mask(mask: int, parts: int) -> list[int]:
+    """Split a 64-bit mask's set bits into ``parts`` disjoint non-empty
+    sub-masks of near-equal popcount (requires popcount(mask) >= parts)."""
+    pos = [p for p in range(64) if (mask >> p) & 1]
+    q, r = divmod(len(pos), parts)
+    out, i = [], 0
+    for k in range(parts):
+        take = q + (1 if k < r else 0)
+        m = 0
+        for p in pos[i : i + take]:
+            m |= 1 << p
+        out.append(m)
+        i += take
+    return out
+
+
+def _triu_chunks(idx: np.ndarray, slab: int = 2048):
+    """All (a < b) position pairs of ``idx`` in memory-bounded chunks
+    (one giant triu over a 10⁵-member run would allocate the full
+    quadratic index set at once; chunks keep peak memory ~slab·n)."""
+    n = len(idx)
+    if n <= slab:
+        iu, ju = np.triu_indices(n, k=1)
+        yield idx[iu], idx[ju]
+        return
+    for s0 in range(0, n - 1, slab):
+        e0 = min(s0 + slab, n - 1)
+        head = idx[s0:e0]
+        iu, ju = np.triu_indices(e0 - s0, k=1)
+        yield head[iu], head[ju]
+        tail = idx[e0:]
+        if len(tail):
+            yield np.repeat(head, len(tail)), np.tile(tail, e0 - s0)
+
+
 def simhash_neardup_pairs(
     ds,
     max_hamming: int = 3,
@@ -501,19 +536,35 @@ def simhash_neardup_pairs(
     8-byte signature travels in the bucket rows, so verification is
     in-bucket — no join stage.
 
-    Exactness contract: holds whenever no bucket exceeds
-    ``bucket_cap``. Under truncation (sentinel rows + a warning flag
-    it), pairs involving a truncated id can be lost even if a LATER
-    block's bucket held both endpoints, because the first-block dedupe
-    assumes the earlier block emitted them — the cap is a skew guard
-    for degenerate corpora (e.g. >cap identical docs), not a sampling
-    knob; raise it rather than relying on exactness while it trips.
+    Exactness is UNCONDITIONAL (no truncation, VERDICT r2 finding 1
+    fixed): a (block, value) bucket larger than ``bucket_cap`` is not
+    capped but *recursively refined* — its members are first collapsed
+    to one representative per distinct signature (identical-signature
+    runs pair directly, output-bound), then representatives are
+    re-bucketed by a sub-block of the still-undecided bits. Pigeonhole
+    holds at every level: two sigs within the radius that agree on the
+    path's blocks differ in ≤ max_hamming of the remaining bits, so
+    they must agree on one of max_hamming+1 sub-blocks of those bits.
+    Each level removes ≥1 bit from the remaining set and distinct
+    representatives differ only inside it, so bucket population is
+    bounded by 2^|remaining| — recursion provably reaches buckets of
+    ≤ max(bucket_cap, 2^(max_hamming+1)) members. Global pair
+    uniqueness is the first-agreeing-block rule applied per level: a
+    pair is emitted only where it DISAGREES on every earlier sibling
+    block along its path (a vectorized ``xor & mask != 0`` filter).
+    ``bucket_cap`` is therefore a performance knob (when to switch from
+    quadratic enumeration to refinement), never a correctness knob;
+    ``include_drop_stats`` is retained for API stability but nothing is
+    ever dropped.
     """
     n_blocks = max_hamming + 1
     widths = [64 // n_blocks] * n_blocks
     widths[-1] += 64 - sum(widths)
     shifts = np.cumsum([0] + widths[:-1]).astype(np.uint64)
     masks = np.array([(1 << w) - 1 for w in widths], dtype=np.uint64)
+    # full-width positional masks per top-level block (python ints)
+    full_masks = [int(masks[j]) << int(shifts[j]) for j in range(n_blocks)]
+    _M64 = (1 << 64) - 1
 
     def explode_blocks(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -553,35 +604,164 @@ def simhash_neardup_pairs(
         val_np = g["block_val"].to_numpy()
         ids_np = g["doc_id"].to_numpy()
         sig_np = g["simhash"].to_numpy().view(np.uint64)
-        ia, ib, _, drops = _sorted_run_pairs([blk_np, val_np], ids_np, bucket_cap)
-        ham = np.zeros(0, dtype=np.int64)
-        if len(ia):
-            ham = popcount64(np.bitwise_xor(sig_np[ia], sig_np[ib]))
-            m = ham <= max_hamming
-            ia, ib, ham = ia[m], ib[m], ham[m].astype(np.int64)
-            # first-block dedupe: a pair also colliding in an earlier
-            # block was already emitted there — skip it here. Pairs come
-            # out globally unique with no cross-block dedupe shuffle.
-            keep = np.ones(len(ia), dtype=bool)
-            pair_blk = blk_np[ia]
+
+        # one lexsort groups the coarse batch into (block, value) runs
+        perm = np.lexsort((ids_np, val_np, blk_np))
+        blk_s, val_s = blk_np[perm], val_np[perm]
+        ids_s, sig_s = ids_np[perm], sig_np[perm]
+        nrows = len(ids_s)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        if nrows < 2:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        firstrow = np.zeros(nrows, dtype=bool)
+        firstrow[0] = True
+        firstrow[1:] = (blk_s[1:] != blk_s[:-1]) | (val_s[1:] != val_s[:-1])
+        starts = np.flatnonzero(firstrow)
+        lengths = np.diff(np.append(starts, nrows))
+
+        def emit(pa_, pb_, dedupe: list[int]):
+            """Filter candidate position pairs (radius + disagree-on-
+            every-earlier-sibling-block) and append id pairs."""
+            if not len(pa_):
+                return
+            sx = np.bitwise_xor(sig_s[pa_], sig_s[pb_])
+            hm = popcount64(sx)
+            keep = hm <= max_hamming
+            for mk in dedupe:
+                keep &= (sx & np.uint64(mk)) != np.uint64(0)
+            if not keep.any():
+                return
+            a_ids, b_ids = ids_s[pa_[keep]], ids_s[pb_[keep]]
+            out_a.append(np.minimum(a_ids, b_ids))
+            out_b.append(np.maximum(a_ids, b_ids))
+            out_h.append(hm[keep].astype(np.int64))
+
+        # ---- small runs: batched quadratic enumeration (one triu per
+        # distinct run length), then the per-pair first-block filter ----
+        small = (lengths <= bucket_cap) & (lengths >= 2)
+        pa_list, pb_list = [], []
+        for ln2 in np.unique(lengths[small]):
+            rs = starts[small & (lengths == ln2)]
+            mat = rs[:, None] + np.arange(int(ln2), dtype=np.int64)[None, :]
+            iu, ju = np.triu_indices(int(ln2), k=1)
+            pa_list.append(mat[:, iu].ravel())
+            pb_list.append(mat[:, ju].ravel())
+        if pa_list:
+            pa_ = np.concatenate(pa_list)
+            pb_ = np.concatenate(pb_list)
+            sx = np.bitwise_xor(sig_s[pa_], sig_s[pb_])
+            hm = popcount64(sx)
+            keep = hm <= max_hamming
+            pair_blk = blk_s[pa_]
             for bv in np.unique(pair_blk):
                 msk = pair_blk == bv
                 for j in range(int(bv)):
-                    keep[msk] &= ((sig_np[ia[msk]] >> shifts[j]) & masks[j]) != (
-                        (sig_np[ib[msk]] >> shifts[j]) & masks[j]
-                    )
-            ia, ib, ham = ia[keep], ib[keep], ham[keep]
-        out_a = [ids_np[ia]]
-        out_b = [ids_np[ib]]
-        out_h = [ham]
-        if drops:
-            logger.warning(
-                "simhash blocking: truncated %d doc ids in oversize buckets "
-                "(bucket_cap=%d)", drops, bucket_cap
+                    keep[msk] &= (sx[msk] & np.uint64(full_masks[j])) != np.uint64(0)
+            if keep.any():
+                a_ids, b_ids = ids_s[pa_[keep]], ids_s[pb_[keep]]
+                out_a.append(np.minimum(a_ids, b_ids))
+                out_b.append(np.maximum(a_ids, b_ids))
+                out_h.append(hm[keep].astype(np.int64))
+
+        # ---- oversize runs: recursive block refinement (exact) ----
+        for s0, ln0 in zip(starts[lengths > bucket_cap], lengths[lengths > bucket_cap]):
+            j = int(blk_s[s0])
+            members = np.arange(s0, s0 + ln0, dtype=np.int64)
+            # collapse to one representative per distinct signature;
+            # identical-signature pairs (hamming 0, agree on EVERY
+            # block) belong to block 0 alone
+            o2 = np.argsort(sig_s[members], kind="stable")  # stable keeps id order
+            mem = members[o2]
+            sgm = sig_s[mem]
+            f2 = np.ones(int(ln0), dtype=bool)
+            f2[1:] = sgm[1:] != sgm[:-1]
+            gstarts = np.flatnonzero(f2)
+            glens = np.diff(np.append(gstarts, int(ln0)))
+            if j == 0:
+                for gs, gl in zip(gstarts[glens > 1], glens[glens > 1]):
+                    for qa, qb in _triu_chunks(mem[gs : gs + gl]):
+                        emit(qa, qb, [])
+            reps = mem[gstarts]  # positions of group representatives
+
+            rep_a: list[np.ndarray] = []
+            rep_b: list[np.ndarray] = []
+
+            def refine(rp: np.ndarray, remaining: int, dedupe: list[int]):
+                m = len(rp)
+                if m < 2:
+                    return
+                # distinct sigs differ only inside ``remaining``, so
+                # m <= 2^popcount(remaining): once remaining is narrow
+                # the bucket is small and brute force is exact + cheap
+                if m <= bucket_cap or bin(remaining).count("1") <= max_hamming + 1:
+                    iu, ju = np.triu_indices(m, k=1)
+                    pa2, pb2 = rp[iu], rp[ju]
+                    sx2 = np.bitwise_xor(sig_s[pa2], sig_s[pb2])
+                    keep2 = popcount64(sx2) <= max_hamming
+                    for mk in dedupe:
+                        keep2 &= (sx2 & np.uint64(mk)) != np.uint64(0)
+                    if keep2.any():
+                        rep_a.append(pa2[keep2])
+                        rep_b.append(pb2[keep2])
+                    return
+                submasks = _split_mask(remaining, max_hamming + 1)
+                for i, mk in enumerate(submasks):
+                    key = sig_s[rp] & np.uint64(mk)
+                    o3 = np.argsort(key, kind="stable")
+                    ks = key[o3]
+                    f3 = np.ones(m, dtype=bool)
+                    f3[1:] = ks[1:] != ks[:-1]
+                    s3 = np.flatnonzero(f3)
+                    l3 = np.diff(np.append(s3, m))
+                    sub_dedupe = dedupe + submasks[:i]
+                    for ss, sl in zip(s3[l3 > 1], l3[l3 > 1]):
+                        refine(rp[o3[ss : ss + sl]], remaining & ~mk & _M64, sub_dedupe)
+
+            refine(reps, ~full_masks[j] & _M64, full_masks[:j])
+            if rep_a:
+                ra = np.concatenate(rep_a)
+                rb = np.concatenate(rep_b)
+                hm = popcount64(np.bitwise_xor(sig_s[ra], sig_s[rb])).astype(np.int64)
+                if bool((glens == 1).all()):
+                    # every signature unique: representatives ARE the docs
+                    a_ids, b_ids = ids_s[ra], ids_s[rb]
+                    out_a.append(np.minimum(a_ids, b_ids))
+                    out_b.append(np.maximum(a_ids, b_ids))
+                    out_h.append(hm)
+                else:
+                    # expand each qualifying signature pair to the cross
+                    # product of its identical-member runs (output-bound)
+                    slices = {
+                        int(p): (int(gs), int(gl))
+                        for p, gs, gl in zip(reps, gstarts, glens)
+                    }
+                    for pa1, pb1, h1 in zip(ra, rb, hm):
+                        ga_s, ga_l = slices[int(pa1)]
+                        gb_s, gb_l = slices[int(pb1)]
+                        ids_a = ids_s[mem[ga_s : ga_s + ga_l]]
+                        ids_b = ids_s[mem[gb_s : gb_s + gb_l]]
+                        A = np.repeat(ids_a, gb_l)
+                        B = np.tile(ids_b, ga_l)
+                        out_a.append(np.minimum(A, B))
+                        out_b.append(np.maximum(A, B))
+                        out_h.append(np.full(len(A), int(h1), dtype=np.int64))
+
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
             )
-            out_a.append(np.array([_SENTINEL], dtype=np.int64))
-            out_b.append(np.array([-drops], dtype=np.int64))
-            out_h.append(np.array([-1], dtype=np.int64))
         return pd.DataFrame(
             {
                 "doc_a": np.concatenate(out_a),

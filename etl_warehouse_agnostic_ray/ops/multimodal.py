@@ -2,56 +2,174 @@
 
 Binary payloads ride as opaque ``large_binary`` columns with typed
 metadata; decode / feature-extract stages are actor-pool ``map_batches``
-classes (codec "loaded" once per actor in ``__init__``). The actual
-codec libraries (Pillow, ffmpeg, torchaudio…) are NOT in this
-container, so the decode kernel is stubbed: with ``fake=True`` (default)
-it produces a deterministic fake decode from the byte stream so the
-Ray-side plumbing — schema, small batch sizes for wide rows, actor
-signature, output layout — is real and tested; with ``fake=False`` it
-raises ``NotImplementedError`` unless the real library imports.
+classes (codec "loaded" once per actor in ``__init__``).
+
+Image DECODE is real: ``fake=False`` parses actual PNG IHDR / JPEG SOF
+/ GIF logical-screen headers in pure Python (no Pillow needed) to
+produce width/height/mode from genuine image bytes. Full PIXEL decode
+(and audio/video codecs — ffmpeg, torchaudio) are not in this
+container; those stages keep the deterministic ``fake=True`` stand-in
+so the Ray-side plumbing — schema, small batch sizes for wide rows,
+actor signature, output layout — is real and tested.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 import pyarrow as pa
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+_JPEG_MODES = {1: "L", 3: "RGB", 4: "CMYK"}
+# SOF0..SOF15 carry frame dims, except DHT (C4), JPG (C8), DAC (CC)
+_JPEG_NON_SOF = (0xC4, 0xC8, 0xCC)
+
+
+def parse_image_header(data: bytes | None) -> tuple[int, int, str] | None:
+    """(width, height, mode) from real image bytes — pure-Python header
+    parsing, no codec library:
+
+    - PNG: 8-byte signature, then the IHDR chunk (width/height big-
+      endian u32 at offsets 16/20, color type at 25).
+    - GIF87a/89a: logical screen descriptor (u16 little-endian at 6/8).
+    - JPEG: SOI then marker segments; the first SOFn segment carries
+      precision, height, width (big-endian u16) and component count.
+
+    Returns None for empty / non-image / truncated payloads.
+    """
+    if not data:
+        return None
+    if data[:8] == _PNG_SIG:
+        if len(data) < 26 or data[12:16] != b"IHDR":
+            return None
+        w = int.from_bytes(data[16:20], "big")
+        h = int.from_bytes(data[20:24], "big")
+        return w, h, _PNG_MODES.get(data[25], "unknown")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        if len(data) < 10:
+            return None
+        w = int.from_bytes(data[6:8], "little")
+        h = int.from_bytes(data[8:10], "little")
+        return w, h, "P"
+    if data[:2] == b"\xff\xd8":
+        i, n = 2, len(data)
+        while i + 4 <= n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+                if i + 10 > n:
+                    return None
+                h = int.from_bytes(data[i + 5 : i + 7], "big")
+                w = int.from_bytes(data[i + 7 : i + 9], "big")
+                return w, h, _JPEG_MODES.get(data[i + 9], "unknown")
+            i += 2 + seglen
+        return None
+    return None
+
+
+# ---- tiny real-image builders (fixtures / tests; valid files) ----
+def tiny_png(width: int, height: int, color_type: int = 2) -> bytes:
+    """A structurally valid PNG (correct chunk CRCs, zlib IDAT of
+    all-zero scanlines)."""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = (b"\x00" + b"\x00" * (width * channels)) * height
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def tiny_gif(width: int, height: int) -> bytes:
+    """A minimal complete GIF89a (2-color palette, one 1×1 image)."""
+    lsd = struct.pack("<HH", width, height) + b"\x80\x00\x00"
+    palette = b"\x00\x00\x00\xff\xff\xff"
+    img = b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+    lzw = b"\x02\x02\x44\x01\x00"  # min code size 2, one clear+pixel
+    return b"GIF89a" + lsd + palette + img + lzw + b"\x3b"
+
+
+def tiny_jpeg(width: int, height: int, n_components: int = 3) -> bytes:
+    """SOI + JFIF APP0 + SOF0 + EOI — a header-valid JPEG frame (no
+    entropy-coded scan; header parsers, including this module's, read
+    dims from SOF0)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 72, 72
+    ) + b"\x00\x00"
+    comp = b"".join(
+        struct.pack("BBB", cid + 1, 0x11, 0) for cid in range(n_components)
+    )
+    sof = b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * n_components, 8, height, width, n_components
+    ) + comp
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
 
 class DecodeImageBatch:
-    """binary → struct<width,height,mode,n_bytes> (+ optional thumbnail
-    feature vector). Use small batch_size (256-1024) — rows are wide."""
+    """binary → width/height/mode (+ a small byte-derived feature
+    vector). Use small batch_size (256-1024) — rows are wide.
+
+    ``fake=False`` (the REAL path) parses actual PNG/JPEG/GIF headers
+    from the bytes (``parse_image_header`` — pure Python, no Pillow);
+    unparseable non-empty payloads decode as (0, 0, "unknown"), empty
+    as (0, 0, "none"). ``fake=True`` keeps the deterministic byte-sum
+    stand-in whose arithmetic the SQL oracle replays
+    (pipelines/hash_sql.multimodal_decode_sql). Full pixel decode would
+    need a codec library and is out of scope for this container; the
+    feature vector is a byte-level fingerprint either way."""
 
     def __init__(self, fake: bool = True, feature_dim: int = 8):
         self.feature_dim = feature_dim
         self.fake = fake
-        if not fake:
-            try:
-                from PIL import Image  # noqa: F401
-
-                self._pil = Image
-            except ImportError as e:  # pragma: no cover
-                raise NotImplementedError(
-                    "real image decode needs Pillow; run with fake=True here"
-                ) from e
 
     def _fake_decode(self, data: bytes | None):
         if not data:
-            return 0, 0, "none", np.zeros(self.feature_dim)
+            return 0, 0, "none"
         b = np.frombuffer(data, dtype=np.uint8)
         w = int(1 + (int(b[: 8].sum()) % 1920))
         h = int(1 + (int(b[8:16].sum()) % 1080)) if len(b) > 8 else 1
-        feat = np.resize(b, self.feature_dim).astype(np.float64) / 255.0
-        return w, h, "RGB", feat
+        return w, h, "RGB"
+
+    def _real_decode(self, data: bytes | None):
+        if not data:
+            return 0, 0, "none"
+        parsed = parse_image_header(data)
+        if parsed is None:
+            return 0, 0, "unknown"
+        return parsed
+
+    def _features(self, data: bytes | None) -> np.ndarray:
+        if not data:
+            return np.zeros(self.feature_dim)
+        b = np.frombuffer(data, dtype=np.uint8)
+        return np.resize(b, self.feature_dim).astype(np.float64) / 255.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch.column("html") if "html" in batch.column_names else batch.column("image")
+        decode = self._fake_decode if self.fake else self._real_decode
         ws, hs, modes, feats = [], [], [], []
         for data in payload.to_pylist():
-            w, h, m, f = self._fake_decode(data)
+            w, h, m = decode(data)
             ws.append(w)
             hs.append(h)
             modes.append(m)
-            feats.append(f)
+            feats.append(self._features(data))
         out = batch.append_column("width", pa.array(ws, pa.int64()))
         out = out.append_column("height", pa.array(hs, pa.int64()))
         out = out.append_column("mode", pa.array(modes, pa.string()))

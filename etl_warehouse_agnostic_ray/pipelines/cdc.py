@@ -124,6 +124,19 @@ class CDCEngine:
         manifest = self.lake.load_manifest()
         if manifest is None:
             raise RuntimeError("bootstrap() the lake before apply()")
+        # routing-hash contract check: merging deltas routed by a
+        # different hash than the one that laid out the base partitions
+        # would silently duplicate keys (see lake.ROUTING_HASH_VERSION)
+        from ..lake import ROUTING_HASH_VERSION
+
+        stamped = manifest.get("routing_hash", ROUTING_HASH_VERSION)
+        if stamped != ROUTING_HASH_VERSION:
+            raise RuntimeError(
+                f"lake was partitioned with routing hash {stamped!r} but this "
+                f"engine routes with {ROUTING_HASH_VERSION!r} — deltas would "
+                "land in the wrong partitions. Re-bootstrap or full_refresh() "
+                "the lake to re-route it."
+            )
         if batch_id is None:
             batch_id = f"batch-{uuid.uuid4().hex[:12]}"
         if batch_id in manifest["applied_batch_ids"]:
@@ -507,8 +520,11 @@ class CDCEngine:
                 dset = pads.dataset(statless, format="parquet")
                 for frag_batch in dset.to_batches(columns=["lsn"]):
                     if frag_batch.num_rows:
+                        # pc.max over an all-null lsn batch returns None —
+                        # guard before comparing, else None > int raises
                         m = pc.max(frag_batch.column("lsn")).as_py()
-                        best = m if best is None or m > best else best
+                        if m is not None and (best is None or m > best):
+                            best = m
             return best if best is not None and best > applied_lsn else None
         m = stream.max("lsn")  # ray Dataset (column-pruned projection)
         return int(m) if m is not None and m > applied_lsn else None

@@ -62,7 +62,54 @@ def fixture_dir(sf_dir: str) -> str:
     dirty_path = os.path.join(d, "dirty_records.parquet")
     if not os.path.exists(dirty_path):
         _write_dirty(dirty_path)
+    images_path = os.path.join(d, "images.parquet")
+    if not os.path.exists(images_path):
+        _write_images(images_path)
     return d
+
+
+def _write_images(path: str, n_rows: int = 300) -> None:
+    """Real tiny image blobs (valid PNG/GIF, header-valid JPEG) with the
+    generation-time truth columns the real-decode oracle compares
+    against — plus non-image and null payloads for the unknown/none
+    branches."""
+    from ..ops.multimodal import tiny_gif, tiny_jpeg, tiny_png
+
+    blobs, tw, th, tm = [], [], [], []
+    for i in range(n_rows):
+        w = 1 + (i * 37) % 480
+        h = 1 + (i * 53) % 360
+        k = i % 6
+        if k == 0:
+            blob, mode = tiny_png(w, h, color_type=2), "RGB"
+        elif k == 1:
+            blob, mode = tiny_png(w, h, color_type=6), "RGBA"
+        elif k == 2:
+            blob, mode = tiny_gif(w, h), "P"
+        elif k == 3:
+            blob, mode = tiny_jpeg(w, h, n_components=3), "RGB"
+        elif k == 4:
+            blob, mode = tiny_jpeg(w, h, n_components=1), "L"
+        else:
+            blob, w, h, mode = f"<html>not an image {i}</html>".encode(), 0, 0, "unknown"
+        if i % 29 == 0:
+            blob, w, h, mode = None, 0, 0, "none"
+        blobs.append(blob)
+        tw.append(w)
+        th.append(h)
+        tm.append(mode)
+    pq.write_table(
+        pa.table(
+            {
+                "img_id": pa.array(range(n_rows), pa.int64()),
+                "image": pa.array(blobs, pa.large_binary()),
+                "true_width": pa.array(tw, pa.int64()),
+                "true_height": pa.array(th, pa.int64()),
+                "true_mode": pa.array(tm, pa.string()),
+            }
+        ),
+        path,
+    )
 
 
 def _write_forms(path: str, n_rows: int) -> None:
@@ -973,6 +1020,30 @@ SQL_MULTIMODAL_DECODE = hash_sql.multimodal_decode_sql(
 )
 
 
+def q_multimodal_decode_real(sf_dir: str):
+    """REAL-bytes image decode: actor-pool header parsing (PNG IHDR /
+    JPEG SOF / GIF — ops/multimodal.parse_image_header, no codec lib)
+    over genuine image blobs; the oracle compares against the dims/mode
+    recorded at blob-generation time (VERDICT r2 task 2)."""
+    d = fixture_dir(sf_dir)
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(d, "images.parquet"), columns=["img_id", "image"])
+    out = ds.map_batches(
+        DecodeImageBatch,
+        fn_constructor_kwargs={"fake": False},
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=2,
+    )
+    return out.select_columns(["img_id", "width", "height", "mode"])
+
+
+SQL_MULTIMODAL_DECODE_REAL = f"""
+SELECT img_id, true_width AS width, true_height AS height, true_mode AS mode
+FROM read_parquet('{FIX_ROOT}/sf0.01/images.parquet')
+"""
+
+
 def q_normalize_dirty_records(sf_dir: str):
     """F3 conformance: the full scalar-normalizer surface (SURVEY.md
     §2.3/§2.9) applied in one vectorized map_batches pass over the dirty
@@ -1071,6 +1142,7 @@ QUERIES = {
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_decode_real": q_multimodal_decode_real,
     "normalize_dirty_records": q_normalize_dirty_records,
 }
 
@@ -1086,6 +1158,7 @@ ORACLES = {
     "simhash_neardup_pairs": SQL_SIMHASH_NEARDUP_PAIRS,
     "corpus_clean": SQL_CORPUS_CLEAN,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_decode_real": SQL_MULTIMODAL_DECODE_REAL,
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
     "filter_project_revenue": SQL_FILTER_PROJECT_REVENUE,
     "sort_topk_orders": SQL_SORT_TOPK_ORDERS,

@@ -76,7 +76,18 @@ class ChangeStreamSource:
 
     def batches(self, cursor: int = -1, max_files: int = 8):
         """Yield (batch_id, file-list) micro-batches in LSN order.
-        Stat-less files are included (conservatively live)."""
+        Stat-less files are included (conservatively live).
+
+        The batch id is *content*-unique: a hash of the chunk's sorted
+        file basenames. LSN endpoints alone are not safe — two chunks
+        whose boundary files lack footer stats (or share identical lsn
+        ranges) would collide, and the second would be silently skipped
+        by the applier's seen-batch guard, losing its events forever.
+        Hashing the member list keeps replay idempotency (same files →
+        same id → skip) while making distinct chunks always distinct.
+        """
+        import hashlib
+
         pending = [
             (f, lo, hi)
             for f, lo, hi in self.file_lsn_ranges()
@@ -84,9 +95,9 @@ class ChangeStreamSource:
         ]
         for i in range(0, len(pending), max_files):
             chunk = pending[i : i + max_files]
-            lo0 = chunk[0][1] if chunk[0][1] is not None else "x"
-            hiN = chunk[-1][2] if chunk[-1][2] is not None else "x"
-            yield (f"slice-{lo0}-{hiN}", [f for f, _, _ in chunk])
+            names = "\n".join(sorted(os.path.basename(f) for f, _, _ in chunk))
+            digest = hashlib.blake2b(names.encode(), digest_size=8).hexdigest()
+            yield (f"slice-{digest}", [f for f, _, _ in chunk])
 
     def count_remaining(self, lsn: int = -1) -> int:
         dset = pads.dataset(self.files(), format="parquet")

@@ -139,6 +139,70 @@ class TestDedup:
                 want.add((a, b, int(ham[j])))
         assert set(zip(got["doc_a"], got["doc_b"], got["hamming"])) == want
 
+    @staticmethod
+    def _simhash_bruteforce(table: pa.Table, max_h: int) -> set:
+        from etl_warehouse_agnostic_ray.ops.texthash import popcount64, simhash_batch
+
+        sh = simhash_batch(table.column("text"))
+        ids = table.column("doc_id").to_numpy()
+        want = set()
+        for i in range(len(ids)):
+            ham = popcount64(np.bitwise_xor(sh[i + 1 :], sh[i]))
+            for j in np.nonzero(ham <= max_h)[0]:
+                a, b = sorted((int(ids[i]), int(ids[i + 1 + j])))
+                want.add((a, b, int(ham[j])))
+        return want
+
+    def test_simhash_over_cap_identical_docs_exact(self, ray_session):
+        """>cap identical-signature docs (every block bucket overflows):
+        recursive refinement must emit the FULL exact pair set with zero
+        sentinel drops (VERDICT r2 finding 1)."""
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.dedup import simhash_neardup_pairs
+
+        n = 120
+        t = pa.table(
+            {"doc_id": pa.array(range(n), pa.int64()),
+             "text": ["the same exact document body every time"] * n}
+        )
+        got = simhash_neardup_pairs(
+            rd.from_arrow(t), max_hamming=3, bucket_cap=20,
+            include_drop_stats=True,
+        ).to_pandas()
+        assert (got["doc_a"] >= 0).all()  # no sentinels — nothing dropped
+        assert len(got) == n * (n - 1) // 2
+        assert (got["hamming"] == 0).all()
+        assert set(zip(got["doc_a"], got["doc_b"])) == {
+            (a, b) for a in range(n) for b in range(a + 1, n)
+        }
+
+    def test_simhash_over_cap_mixed_corpus_exact(self, ray_session):
+        """Distinct-but-similar sigs forced through refinement (tiny
+        bucket_cap): output must equal the all-pairs brute force, each
+        pair exactly once."""
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.dedup import simhash_neardup_pairs
+
+        rng = np.random.Generator(np.random.PCG64(7))
+        vocab = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa"]
+        texts = []
+        for i in range(300):
+            base = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog"]
+            for _ in range(int(rng.integers(0, 3))):
+                base[int(rng.integers(0, len(base)))] = vocab[int(rng.integers(0, 7))]
+            texts.append(" ".join(base))
+        t = pa.table({"doc_id": pa.array(range(300), pa.int64()), "text": texts})
+        got = simhash_neardup_pairs(
+            rd.from_arrow(t), max_hamming=3, bucket_cap=8,
+            include_drop_stats=True,
+        ).to_pandas()
+        assert (got["doc_a"] >= 0).all()
+        found = list(zip(got["doc_a"], got["doc_b"], got["hamming"]))
+        assert len(found) == len(set(found))  # exactly-once per pair
+        assert set(found) == self._simhash_bruteforce(t, 3)
+
     def test_minhash_bucket_cap_accounted(self, ray_session):
         """Adversarial all-identical bucket: caps bound the O(b²) blowup
         and the drop count is surfaced (no-silent-caps rule)."""
@@ -229,9 +293,43 @@ class TestMultimodal:
         assert out.column("mode").to_pylist() == ["RGB", "none"]
         assert len(out.column("features")[0].as_py()) == 8
 
-    def test_decode_real_requires_lib(self):
-        with pytest.raises(NotImplementedError):
-            DecodeImageBatch(fake=False)
+    def test_parse_image_headers_real_bytes(self):
+        from etl_warehouse_agnostic_ray.ops.multimodal import (
+            parse_image_header,
+            tiny_gif,
+            tiny_jpeg,
+            tiny_png,
+        )
+
+        assert parse_image_header(tiny_png(640, 480)) == (640, 480, "RGB")
+        assert parse_image_header(tiny_png(1, 1, color_type=6)) == (1, 1, "RGBA")
+        assert parse_image_header(tiny_png(1, 1, color_type=0)) == (1, 1, "L")
+        assert parse_image_header(tiny_gif(320, 200)) == (320, 200, "P")
+        assert parse_image_header(tiny_jpeg(800, 600)) == (800, 600, "RGB")
+        assert parse_image_header(tiny_jpeg(12, 34, n_components=1)) == (12, 34, "L")
+        assert parse_image_header(b"<html>nope</html>") is None
+        assert parse_image_header(b"") is None
+        assert parse_image_header(None) is None
+        # truncated signatures must not crash or mis-parse
+        assert parse_image_header(tiny_png(9, 9)[:12]) is None
+        assert parse_image_header(b"\xff\xd8\xff") is None
+
+    def test_decode_real_batch(self):
+        from etl_warehouse_agnostic_ray.ops.multimodal import tiny_jpeg, tiny_png
+
+        t = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "image": pa.array(
+                    [tiny_png(33, 44), tiny_jpeg(55, 66), b"junk bytes", None],
+                    pa.large_binary(),
+                ),
+            }
+        )
+        out = DecodeImageBatch(fake=False)(t)
+        assert out.column("width").to_pylist() == [33, 55, 0, 0]
+        assert out.column("height").to_pylist() == [44, 66, 0, 0]
+        assert out.column("mode").to_pylist() == ["RGB", "RGB", "unknown", "none"]
 
     def test_audio_features_plumbing(self):
         from etl_warehouse_agnostic_ray.ops.multimodal import ExtractAudioFeaturesBatch
