@@ -51,12 +51,14 @@ BENCH_QUERIES = [
     "simhash_documents",
     "simhash_neardup_pairs",
     "silver_orders",
+    "gold_segment_summary",
     "corpus_clean",
     "embedding_topk",
     "embedding_topk_ivf",
     "embedding_neardup",
     "normalize_dirty_records",
     "multimodal_decode",
+    "multimodal_decode_real",
     "cdc_schema_evolution",
 ]
 
@@ -79,15 +81,25 @@ def run_headline() -> dict:
     single-node wall clock swings with background load and first-run
     worker spawn; best-of filters that noise while every run still
     executes the full bootstrap+apply (the same discipline --scaling
-    uses per leg)."""
+    uses per leg). PROTOCOL NOTE (see BASELINE.md): the headline value
+    is best-of-N since round 2 (round 1 was single-run); every run's
+    wall time plus the median are reported alongside so cross-round
+    ledgers can compare either statistic."""
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     best = None
+    runs: list[float] = []
     for _ in range(max(1, repeats)):
         r = _run_headline_once()
+        runs.append(r["headline_sec"])
         if best is None or r["headline_sec"] < best["headline_sec"]:
             best = r
         if r["headline_sec"] > 120:  # keep total wall bounded
             break
+    import statistics
+
+    best["headline_runs_sec"] = runs
+    best["headline_median_sec"] = round(statistics.median(runs), 3)
+    best["headline_protocol"] = f"best-of-{len(runs)}"
     return best
 
 
@@ -133,14 +145,26 @@ def _run_headline_once() -> dict:
 
 
 def run_queries() -> dict:
+    """Best-of-N per query (N = GRAFT_QUERY_REPEATS, default 2) — the
+    same noise discipline as the headline/scaling legs: the r2 sweep
+    ran once per query and recorded a uniform ~2x co-tenant-load
+    slowdown on unchanged queries (VERDICT r2 'what's wrong' 2)."""
     from etl_warehouse_agnostic_ray.pipelines.queries import QUERIES
 
+    repeats = max(1, int(os.environ.get("GRAFT_QUERY_REPEATS", "2")))
     out = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        _consume(fn(SF_DIR))
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _consume(fn(SF_DIR))
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+            if dt > 60:  # keep total wall bounded
+                break
+        out[name] = round(best, 3)
     return out
 
 

@@ -11,13 +11,61 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# tiny per-language stopword profiles for the n-gram/stopword heuristic
+# Per-language stopword profiles (function words) for the token-
+# membership heuristic. Kept as DATA: pipelines/hash_sql.lang_id_sql
+# regenerates the DuckDB oracle from this dict, so growing a profile
+# (or adding a language) keeps the oracle in lockstep automatically.
+# Order matters: argmax ties resolve to the earlier declaration.
 _LANG_PROFILES: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
-    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
-    "fr": ("le", "la", "et", "les", "des", "est", "une"),
-    "es": ("el", "la", "de", "que", "los", "es", "una"),
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "was",
+           "for", "on", "with", "as", "this", "be"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "eine", "mit",
+           "von", "den", "zu", "im", "auf", "für", "sich"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans", "que",
+           "pour", "qui", "pas", "sur", "avec", "du", "au"),
+    "es": ("el", "la", "de", "que", "los", "es", "una", "en", "por", "con",
+           "para", "las", "del", "no", "se", "su"),
+    "it": ("il", "di", "che", "e", "un", "una", "per", "con", "del", "sono",
+           "non", "le", "si", "della", "nel", "più"),
+    "pt": ("o", "de", "que", "e", "um", "uma", "para", "com", "os", "as",
+           "do", "da", "não", "em", "uns", "pelo"),
+    "nl": ("de", "het", "een", "en", "van", "is", "dat", "op", "te", "met",
+           "voor", "niet", "zijn", "aan", "ook", "maar"),
+    "sv": ("och", "att", "det", "som", "en", "på", "är", "av", "för", "med",
+           "den", "till", "inte", "har", "om", "ett"),
+    "da": ("og", "at", "det", "en", "den", "til", "er", "som", "på", "de",
+           "med", "han", "af", "ikke", "der", "var"),
+    "no": ("og", "i", "at", "det", "en", "til", "er", "som", "på", "de",
+           "med", "av", "for", "den", "ikke", "å"),
+    "pl": ("i", "w", "na", "z", "do", "się", "że", "jest", "nie", "to",
+           "jak", "po", "co", "tak", "ale", "od"),
+    "cs": ("a", "se", "na", "je", "že", "o", "s", "z", "do", "k", "ale",
+           "jako", "za", "by", "jsem", "není"),
+    "ro": ("și", "în", "de", "la", "cu", "pe", "este", "un", "o", "care",
+           "nu", "se", "din", "mai", "sau", "dar"),
+    "tr": ("ve", "bir", "bu", "da", "de", "için", "ile", "olarak", "çok",
+           "daha", "en", "gibi", "sonra", "kadar", "ama", "ne"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada", "juga", "ke", "adalah", "bisa"),
+    "ru": ("и", "в", "не", "на", "что", "с", "он", "как", "это", "по",
+           "но", "они", "к", "из", "его", "она"),
+    "el": ("και", "το", "να", "του", "η", "της", "που", "με", "για", "από",
+           "την", "στο", "είναι", "τα", "δεν", "ο"),
 }
+
+_SW_HASHES: dict[str, np.ndarray] = {}
+
+
+def _stopword_hashes(lang: str) -> np.ndarray:
+    h = _SW_HASHES.get(lang)
+    if h is None:
+        from .texthash import poly_hash_array
+
+        h = np.sort(
+            poly_hash_array(pa.array(list(_LANG_PROFILES[lang]), pa.large_string()))
+        )
+        _SW_HASHES[lang] = h
+    return h
 
 
 def token_count(batch: pa.Table, col: str = "text", out: str = "n_tokens") -> pa.Table:
@@ -69,17 +117,31 @@ def quality_score(batch: pa.Table, col: str = "text", out: str = "quality") -> p
 
 
 def lang_id(batch: pa.Table, col: str = "text", out: str = "lang_pred") -> pa.Table:
-    """Stopword-profile language ID: per language, count word-boundary
-    stopword hits; argmax wins, 'und' (undetermined) when nothing hits."""
-    s = pc.utf8_lower(pc.cast(batch.column(col), pa.string()))
-    scores = []
+    """Stopword-profile language ID by whitespace-token MEMBERSHIP:
+    lower → strip punctuation (keep letters/digits/whitespace) →
+    tokenize; per language, count tokens in its stopword set; argmax in
+    declaration order wins, 'und' when nothing hits.
+
+    Token membership (not the old ``\\b``-regex count) is what makes
+    non-Latin profiles work at all: RE2 word boundaries are ASCII-only,
+    so ``\\b(и)\\b`` can never match Cyrillic text. Vectorized: the
+    batch's tokens are hashed once off the flat Arrow token buffer,
+    then each profile is one sorted-array ``np.isin`` + segment-sum —
+    no per-row Python. The DuckDB twin performs the same lower → strip
+    → split → IN-list counting (pipelines/hash_sql.lang_id_sql)."""
+    from .texthash import poly_hash_array, tokenize_ws
+
+    s = pc.utf8_lower(pc.cast(batch.column(col), pa.large_string()))
+    s = pc.replace_substring_regex(s, r"[^\pL\pN\s]", "")
+    tokens, offsets = tokenize_ws(s)
+    th = poly_hash_array(tokens)
     langs = list(_LANG_PROFILES)
-    for lg in langs:
-        pat = r"\b(" + "|".join(_LANG_PROFILES[lg]) + r")\b"
-        scores.append(
-            pc.fill_null(pc.count_substring_regex(s, pat), 0).to_numpy(zero_copy_only=False)
-        )
-    m = np.stack(scores, axis=1)  # (n, n_langs)
+    m = np.zeros((batch.num_rows, len(langs)), dtype=np.int64)
+    cs = np.zeros(len(th) + 1, dtype=np.int64)
+    for j, lg in enumerate(langs):
+        hits = np.isin(th, _stopword_hashes(lg))
+        np.cumsum(hits, out=cs[1:])
+        m[:, j] = cs[offsets[1:]] - cs[offsets[:-1]]
     best = m.argmax(axis=1)
     hit = m.max(axis=1) > 0
     pred = np.where(hit, np.asarray(langs, dtype=object)[best], "und")

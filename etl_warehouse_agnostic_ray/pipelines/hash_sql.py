@@ -198,13 +198,22 @@ SELECT doc_a, doc_b, n_equal FROM eq WHERE n_equal >= {min_equal}
 
 def lang_id_sql(doc_src: str, profiles: dict[str, tuple[str, ...]]) -> str:
     """Stopword-profile argmax with numpy-argmax (first max wins) tie
-    semantics, in declaration order of ``profiles``."""
+    semantics, in declaration order of ``profiles``. Scoring is token
+    MEMBERSHIP — lower → strip non-letter/digit/space → split on
+    whitespace → count tokens IN the profile — the exact twin of
+    ops/text.lang_id (which does the same with hashed tokens); plain
+    string equality here, so non-ASCII profiles (ru, el) verify too."""
     langs = list(profiles)
-    score_cols = ",\n  ".join(
-        f"coalesce(len(regexp_extract_all(lower(text), "
-        f"'\\b({'|'.join(profiles[lg])})\\b')), 0) AS s_{lg}"
-        for lg in langs
-    )
+
+    def score(lg: str) -> str:
+        words = ", ".join("'" + w + "'" for w in profiles[lg])
+        return (
+            "coalesce(len(list_filter(regexp_split_to_array("
+            "regexp_replace(lower(text), '[^\\pL\\pN\\s]', '', 'g'), "
+            f"'\\s+'), t -> t IN ({words}))), 0) AS s_{lg}"
+        )
+
+    score_cols = ",\n  ".join(score(lg) for lg in langs)
     all_scores = ", ".join(f"s_{lg}" for lg in langs)
     ladder = []
     for i, lg in enumerate(langs):

@@ -759,6 +759,17 @@ def q_silver_orders(sf_dir: str):
     return silver_orders(sf_dir)
 
 
+def q_gold_segment_summary(sf_dir: str):
+    """Silver→gold model CHAIN through the registry (VERDICT r2 task 4):
+    gold_segment_summary's source is the silver_orders OUTPUT via the
+    ``source_pipeline`` (dbt ``ref()``) edge; per-(year, tier) revenue
+    rollup — the raw→staging→curated dependency graph of
+    ``airflow/dags/repsly_dag.py:722-785`` done natively."""
+    from .silver import gold_segment_summary
+
+    return gold_segment_summary(sf_dir)
+
+
 SQL_SILVER_ORDERS = """
 WITH ranked AS (
   SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY o_orderdate DESC) AS rn
@@ -778,6 +789,17 @@ SELECT o_orderkey, o_custkey,
   isodow(o_orderdate) AS order_dow,
   round(o_totalprice, 2) AS total_price
 FROM ranked WHERE rn = 1
+"""
+
+
+SQL_GOLD_SEGMENT_SUMMARY = f"""
+WITH silver AS ({SQL_SILVER_ORDERS})
+SELECT order_year, value_tier,
+       count(*) AS n_orders,
+       sum(CASE WHEN is_urgent THEN 1 ELSE 0 END) AS urgent_orders,
+       round(sum(total_price), 2) AS revenue,
+       round(round(sum(total_price), 2) / count(*), 2) AS avg_order_value
+FROM silver GROUP BY order_year, value_tier
 """
 
 
@@ -1129,6 +1151,7 @@ QUERIES = {
     "watermark_max_ts": q_watermark_max_ts,
     "validation_documents": q_validation_documents,
     "silver_orders": q_silver_orders,
+    "gold_segment_summary": q_gold_segment_summary,
     "dedup_exact_documents": q_dedup_exact_documents,
     "text_quality_tokens": q_text_quality_tokens,
     "lang_id_documents": q_lang_id_documents,
@@ -1172,6 +1195,7 @@ ORACLES = {
     "watermark_max_ts": SQL_WATERMARK_MAX_TS,
     "validation_documents": SQL_VALIDATION_DOCUMENTS,
     "silver_orders": SQL_SILVER_ORDERS,
+    "gold_segment_summary": SQL_GOLD_SEGMENT_SUMMARY,
     "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
     "text_quality_tokens": SQL_TEXT_QUALITY_TOKENS,
     "embedding_topk": SQL_EMBEDDING_TOPK,

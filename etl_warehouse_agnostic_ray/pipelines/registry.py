@@ -39,11 +39,16 @@ def register_step(name: str):
 @dataclass
 class PipelineSpec:
     name: str
-    source: Callable[[], Any]  # () -> Dataset
+    source: Callable[[], Any] | None = None  # () -> Dataset
     steps: list[str] = field(default_factory=list)  # registered step names
     sink: Callable[[Any], Any] | None = None  # Dataset -> result
     depends_on: list[str] = field(default_factory=list)
     enabled: bool = True
+    # the dbt ``ref()`` analogue: read this pipeline's input from another
+    # pipeline's RESULT instead of an external source — the model-chain
+    # edge (raw → silver → gold, ``airflow/dags/repsly_dag.py:722-785``).
+    # Mutually exclusive with ``source``; implies a dependency.
+    source_pipeline: str | None = None
 
 
 class PipelineRegistry:
@@ -56,6 +61,12 @@ class PipelineRegistry:
         unknown = [s for s in spec.steps if s not in STEP_REGISTRY]
         if unknown:
             raise ValueError(f"unregistered steps {unknown} in {spec.name!r}")
+        if (spec.source is None) == (spec.source_pipeline is None):
+            raise ValueError(
+                f"pipeline {spec.name!r} needs exactly one of source / source_pipeline"
+            )
+        if spec.source_pipeline is not None and spec.source_pipeline not in spec.depends_on:
+            spec.depends_on = [*spec.depends_on, spec.source_pipeline]
         self.pipelines[spec.name] = spec
 
     def topo_order(self) -> list[str]:
@@ -77,13 +88,31 @@ class PipelineRegistry:
 
     def run(self, only: list[str] | None = None) -> dict[str, Any]:
         """Execute enabled pipelines in dependency order; each pipeline
-        is source → steps (chained lazily) → sink."""
+        is source → steps (chained lazily) → sink. ``only`` is closed
+        over transitive dependencies (asking for a gold model runs the
+        silver model it ``ref``s first), and the results of every
+        executed pipeline are returned."""
+        wanted: set[str] | None = None
+        if only is not None:
+            wanted = set()
+            stack = list(only)
+            while stack:
+                n = stack.pop()
+                if n in wanted:
+                    continue
+                if n not in self.pipelines:
+                    raise KeyError(f"unknown pipeline {n!r}")
+                wanted.add(n)
+                stack.extend(self.pipelines[n].depends_on)
         results: dict[str, Any] = {}
         for name in self.topo_order():
-            if only is not None and name not in only:
+            if wanted is not None and name not in wanted:
                 continue
             spec = self.pipelines[name]
-            ds = spec.source()
+            if spec.source_pipeline is not None:
+                ds = results[spec.source_pipeline]
+            else:
+                ds = spec.source()
             for step_name in spec.steps:
                 ds = STEP_REGISTRY[step_name](ds)
             results[name] = spec.sink(ds) if spec.sink else ds

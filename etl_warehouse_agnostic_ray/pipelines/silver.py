@@ -210,3 +210,81 @@ def silver_orders(sf_dir: str):
         lambda: rd.read_parquet(f"{sf_dir}/orders.parquet")
     )
     return reg.run(only=["silver_orders"])["silver_orders"]
+
+
+# ---------------------------------------------------------------- gold
+@_register("gold.segment_rollup")
+def step_segment_rollup(ds):
+    """Per (order_year, value_tier) rollup over the SILVER output —
+    order count, urgent count, revenue. Group cardinality is tiny
+    (years × tiers), so Ray's native map-side-combining aggregates are
+    the right shape (the O(groups) per-group cost that rules them out
+    for unbounded keys is irrelevant here)."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_urgent_i", pc.cast(b.column("is_urgent"), pa.int64())
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["order_year", "value_tier"])
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("_urgent_i", alias_name="urgent_orders"),
+            Sum("total_price", alias_name="revenue"),
+        )
+    )
+
+
+GOLD_SEGMENT_COLUMNS = [
+    "order_year",
+    "value_tier",
+    "n_orders",
+    "urgent_orders",
+    "revenue",
+    "avg_order_value",
+]
+
+
+def _gold_finalize(ds) -> pa.Table:
+    """Tiny-result sink: round the revenue sum and derive the average
+    (mirrors the oracle's round(sum,2) / count arithmetic exactly)."""
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    rev = pc.round(t.column("revenue"), ndigits=2, round_mode="half_towards_infinity")
+    avg = pc.round(
+        pc.divide(rev, pc.cast(t.column("n_orders"), pa.float64())),
+        ndigits=2,
+        round_mode="half_towards_infinity",
+    )
+    t = t.drop(["revenue"]).append_column("revenue", rev)
+    t = t.append_column("avg_order_value", avg)
+    return t.select(GOLD_SEGMENT_COLUMNS)
+
+
+def build_orders_models_registry(source) -> PipelineRegistry:
+    """silver_orders → gold_segment_summary chained through the
+    registry's ``source_pipeline`` (= dbt ``ref()``) edge: the gold
+    model's input IS the silver model's output, and asking for gold
+    runs silver first via the dependency closure."""
+    reg = build_silver_orders_registry(source)
+    reg.add(
+        PipelineSpec(
+            name="gold_segment_summary",
+            source_pipeline="silver_orders",
+            steps=["gold.segment_rollup"],
+            sink=_gold_finalize,
+        )
+    )
+    return reg
+
+
+def gold_segment_summary(sf_dir: str):
+    """Run the silver→gold chain; returns the gold summary table."""
+    import ray.data as rd
+
+    reg = build_orders_models_registry(
+        lambda: rd.read_parquet(f"{sf_dir}/orders.parquet")
+    )
+    return reg.run(only=["gold_segment_summary"])["gold_segment_summary"]

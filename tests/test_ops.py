@@ -68,10 +68,53 @@ class TestText:
         assert got == pytest.approx(want)
 
     def test_lang_id_deterministic(self, docs):
+        from etl_warehouse_agnostic_ray.ops.text import _LANG_PROFILES
+
         a = lang_id(docs).column("lang_pred").to_pylist()
         b = lang_id(docs).column("lang_pred").to_pylist()
         assert a == b
-        assert set(a) <= {"en", "de", "fr", "es", "und"}
+        assert set(a) <= set(_LANG_PROFILES) | {"und"}
+
+    def test_lang_id_non_latin_and_sql_twin(self):
+        """Non-Latin scripts must classify (the \\b-regex variant never
+        could: RE2 word boundaries are ASCII) and the DuckDB twin must
+        agree value-for-value on every row."""
+        from etl_warehouse_agnostic_ray.pipelines import hash_sql
+        from etl_warehouse_agnostic_ray.ops.text import _LANG_PROFILES
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(8), pa.int64()),
+                "text": [
+                    "the cat sat on the mat and it was happy",
+                    "der Hund ist nicht mit der Katze im Haus",
+                    "и он сказал, что это не так, но они пошли в дом",
+                    "και το παιδί είναι με την μητέρα του για λίγο",
+                    "ve bu çok daha iyi bir gün için güzel",
+                    "yang dan di dalam rumah itu tidak ada orang",
+                    "zzz qqq xxx",
+                    None,
+                ],
+            }
+        )
+        got = lang_id(t).column("lang_pred").to_pylist()
+        assert got[0] == "en"
+        assert got[1] == "de"
+        assert got[2] == "ru"
+        assert got[3] == "el"
+        assert got[4] == "tr"
+        assert got[5] == "id"
+        assert got[6] == "und"
+        assert got[7] == "und"
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                "SELECT lang_pred FROM ("
+                + hash_sql.lang_id_sql("t", _LANG_PROFILES)
+                + ") ORDER BY doc_id"
+            ).fetchall()
+        ]
+        assert got == want
 
     def test_fingerprint_equality_iff_normalized_text(self):
         t = pa.table({"text": ["a  b", "a b", "a c", None]})
@@ -138,6 +181,19 @@ class TestDedup:
                 a, b = sorted((int(ids[i]), int(ids[i + 1 + j])))
                 want.add((a, b, int(ham[j])))
         assert set(zip(got["doc_a"], got["doc_b"], got["hamming"])) == want
+
+    def test_ngram_count_paths_equivalent(self, docs_ds):
+        """Broadcast (ray.put count map) and distributed-join count
+        paths must produce identical exact jaccard pairs."""
+        from etl_warehouse_agnostic_ray.ops.dedup import ngram_jaccard_pairs
+
+        a = ngram_jaccard_pairs(docs_ds, threshold=0.5).to_pandas()
+        b = ngram_jaccard_pairs(docs_ds, threshold=0.5, broadcast_limit=0).to_pandas()
+        key = lambda df: set(
+            zip(df["doc_a"], df["doc_b"], df["n_common"], df["n_union"])
+        )
+        assert len(a) > 0
+        assert key(a) == key(b)
 
     @staticmethod
     def _simhash_bruteforce(table: pa.Table, max_h: int) -> set:

@@ -137,6 +137,42 @@ class TestRegistry:
         with pytest.raises(ValueError, match="cycle"):
             reg.topo_order()
 
+    def test_source_pipeline_chains_results(self, ray_session):
+        """The ref() edge: a pipeline whose source is another pipeline's
+        RESULT — the dep is implied, execution is ordered, and asking
+        for only the downstream model pulls the upstream in."""
+        import ray.data as rd
+
+        calls = []
+        reg = PipelineRegistry()
+        reg.add(
+            PipelineSpec(
+                name="up",
+                source=lambda: rd.from_arrow(pa.table({"v": [1, 2, 3]})),
+                sink=lambda ds: (calls.append("up"), ds)[1],
+            )
+        )
+        reg.add(
+            PipelineSpec(
+                name="down",
+                source_pipeline="up",
+                sink=lambda ds: (calls.append("down"), ds.to_pandas()["v"].sum())[1],
+            )
+        )
+        out = reg.run(only=["down"])  # dependency closure runs "up" too
+        assert calls == ["up", "down"]
+        assert out["down"] == 6
+        assert reg.pipelines["down"].depends_on == ["up"]
+
+    def test_source_xor_source_pipeline_enforced(self):
+        reg = PipelineRegistry()
+        with pytest.raises(ValueError, match="exactly one"):
+            reg.add(PipelineSpec(name="neither"))
+        with pytest.raises(ValueError, match="exactly one"):
+            reg.add(
+                PipelineSpec(name="both", source=lambda: None, source_pipeline="x")
+            )
+
 
 class TestSilverModel:
     def test_silver_orders_through_registry(self, ray_session):
