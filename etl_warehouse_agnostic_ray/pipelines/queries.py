@@ -449,6 +449,129 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def q_join_revenue_by_nation_segment(sf_dir: str):
+    """The two canonical join shapes in ONE pipeline (SURVEY.md §2.5):
+    a DISTRIBUTED hash join for the large×large side (orders ⋈ customer
+    on custkey — both sides shuffle once on a uniform 8-byte key) and a
+    BROADCAST lookup for the small dim (nation: 25 rows, ``ray.put``
+    once, read in every task — never re-shipped per batch, never
+    shuffled). Group count is tiny (nations × segments), so the rollup
+    uses Ray's native map-side-combining aggregates."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap_ref = ray.put(
+        dict(
+            zip(
+                nation.column("n_nationkey").to_pylist(),
+                nation.column("n_name").to_pylist(),
+            )
+        )
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    )
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def add_nation(b: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        keys = b.column("c_nationkey").to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([nmap[k] for k in keys], pa.string()),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "o_totalprice": b.column("o_totalprice"),
+            }
+        )
+
+    out = (
+        joined.map_batches(add_nation, batch_format="pyarrow")
+        .groupby(["n_name", "c_mktsegment"])
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="revenue"),
+        )
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return _round2(t, ["revenue"])
+
+
+SQL_JOIN_REVENUE_BY_NATION_SEGMENT = """
+SELECT n.n_name, c.c_mktsegment, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, c.c_mktsegment
+"""
+
+
+def q_latest_order_per_customer(sf_dir: str):
+    """Window-function analogue: ``row_number() OVER (PARTITION BY
+    o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1`` as a
+    coarse hash partition + ONE vectorized lexsort/first-occurrence
+    pass per partition — the unbounded-group pattern (one group per
+    customer; never a native per-group aggregate)."""
+    import pandas as pd
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pk", pc.bit_wise_and(b.column("o_custkey"), pa.scalar(255, pa.int64()))
+        )
+
+    def first_per_customer(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["o_custkey"].to_numpy()
+        ts = g["o_orderdate"].to_numpy().view("int64")
+        okey = g["o_orderkey"].to_numpy()
+        order = np.lexsort((-okey, -ts, k))
+        ks = k[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        sel = order[first]
+        return pd.DataFrame(
+            {
+                "o_custkey": k[sel],
+                "o_orderkey": okey[sel],
+                "o_orderdate": g["o_orderdate"].to_numpy()[sel],
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(first_per_customer, batch_format="pandas")
+    )
+
+
+SQL_LATEST_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders) WHERE rn = 1
+"""
+
+
 def q_distinct_segments(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1141,6 +1264,8 @@ QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "filter_project_revenue": q_filter_project_revenue,
     "sort_topk_orders": q_sort_topk_orders,
+    "join_revenue_by_nation_segment": q_join_revenue_by_nation_segment,
+    "latest_order_per_customer": q_latest_order_per_customer,
     "distinct_segments": q_distinct_segments,
     "union_counts": q_union_counts,
     "case_ladder_order_tiers": q_case_ladder_order_tiers,
@@ -1185,6 +1310,8 @@ ORACLES = {
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
     "filter_project_revenue": SQL_FILTER_PROJECT_REVENUE,
     "sort_topk_orders": SQL_SORT_TOPK_ORDERS,
+    "join_revenue_by_nation_segment": SQL_JOIN_REVENUE_BY_NATION_SEGMENT,
+    "latest_order_per_customer": SQL_LATEST_ORDER_PER_CUSTOMER,
     "distinct_segments": SQL_DISTINCT_SEGMENTS,
     "union_counts": SQL_UNION_COUNTS,
     "case_ladder_order_tiers": SQL_CASE_LADDER_ORDER_TIERS,

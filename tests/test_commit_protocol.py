@@ -43,6 +43,23 @@ def test_crash_before_manifest_leaves_old_version_live(lake_with_data, tmp_path)
     assert eng.to_arrow().sort_by("url").equals(state)
 
 
+def test_routing_hash_mismatch_refused(lake_with_data):
+    """Partition routing is a persisted-format contract: a lake laid
+    out by a DIFFERENT routing hash must refuse apply() (deltas would
+    land in the wrong partitions and LWW would duplicate keys)."""
+    eng = lake_with_data
+    mpath = eng.lake.manifest_path(eng.lake.current_version())
+    with open(mpath) as fh:
+        m = json.load(fh)
+    assert "routing_hash" in m  # stamped at commit
+    m["routing_hash"] = "legacy-siphash-v1"
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(RuntimeError, match="routing hash"):
+        eng.apply(gen_change_events(50, 60, seed=6, schema_change_frac=0.0),
+                  batch_id="b2")
+
+
 def test_count_verification_refuses_corrupt_commit(lake_with_data):
     """commit() re-reads every listed file's footer; a row-count
     mismatch aborts BEFORE the pointer flips."""

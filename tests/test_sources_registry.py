@@ -65,6 +65,26 @@ class TestChangeStream:
         batches = list(src.batches(cursor=0))
         assert sum(len(fs) for _, fs in batches) == 1
 
+    def test_batch_ids_content_unique_and_stable(self, tmp_path):
+        """Batch ids hash the chunk's file basenames: two chunks of
+        STAT-LESS files must get distinct ids (lsn-endpoint ids
+        collided → the second chunk was silently skipped as a duplicate
+        and its events lost), while re-listing the same files yields
+        the same id (replay idempotency)."""
+        d = str(tmp_path / "nostat2")
+        os.makedirs(d)
+        for i in range(4):
+            t = pa.table({"lsn": pa.array([10 * i, 10 * i + 1], pa.int64()),
+                          "url": ["a", "b"]})
+            pq.write_table(t, os.path.join(d, f"events-{i}.parquet"),
+                           write_statistics=False)
+        src = ChangeStreamSource(d)
+        ids1 = [bid for bid, _ in src.batches(cursor=-1, max_files=2)]
+        assert len(ids1) == 2
+        assert len(set(ids1)) == 2  # distinct chunks → distinct ids
+        ids2 = [bid for bid, _ in src.batches(cursor=-1, max_files=2)]
+        assert ids1 == ids2  # same files → same ids
+
 
 class TestIncremental:
     def test_watermark_window(self, tmp_path, ray_session):

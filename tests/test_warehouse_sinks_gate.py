@@ -98,6 +98,54 @@ class TestCLI:
         assert ray.is_initialized()  # session not stolen
 
 
+    def test_cli_exit_codes(self, tmp_path, ray_session, capsys):
+        """Operational errors → rc 2; failed validate report → rc 1 —
+        so shell health gates can rely on the exit status."""
+        import json
+
+        import pyarrow as pa
+
+        from etl_warehouse_agnostic_ray import CDCEngine
+        from etl_warehouse_agnostic_ray.__main__ import main
+
+        # apply against an un-bootstrapped lake: RuntimeError → rc 2
+        rc = main(["apply", "--lake", str(tmp_path / "nolake"),
+                   "--stream", str(tmp_path / "nostream")])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 2 and "bootstrap" in out["error"]
+
+        # tombstone-heavy lake: completeness gate fails validate → rc 1
+        n = 10
+        pages = pa.table(
+            {
+                "url": [f"https://u{i}.example/" for i in range(n)],
+                "warc_ts": pa.array(range(n), pa.int64()).cast(pa.timestamp("us")),
+                "html": pa.array([b"x"] * n, pa.large_binary()),
+                "text": pa.array([f"t{i}" for i in range(n)], pa.large_string()),
+                "lang": ["en"] * n,
+            }
+        )
+        events = pa.table(
+            {
+                "lsn": pa.array(range(6), pa.int64()),
+                "op": ["delete"] * 6,
+                "url": [f"https://u{i}.example/" for i in range(6)],
+                "warc_ts": pa.array(range(100, 106), pa.int64()).cast(pa.timestamp("us")),
+                "html": pa.array([None] * 6, pa.large_binary()),
+                "text": pa.array([None] * 6, pa.large_string()),
+                "lang": pa.array([None] * 6, pa.string()),
+            }
+        )
+        lake = str(tmp_path / "lake_tomb")
+        eng = CDCEngine(lake, num_partitions=2)
+        eng.bootstrap(pages)
+        eng.apply(events, batch_id="deletes")
+        rc = main(["validate", "--lake", lake, "--partitions", "2"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["passed"] is False
+        assert rc == 1
+
+
 class TestRefreshGate:
     def test_interval_gating(self, tmp_path):
         g = RefreshGate(str(tmp_path))
@@ -113,3 +161,71 @@ class TestRefreshGate:
         g.mark_refreshed("t1", now=100.0)
         gate = g.gate(interval_sec=60, now=120.0)
         assert gate("t2") and not gate("t1")
+
+    def test_cron_next_schedule_points(self):
+        import datetime as dt
+
+        from etl_warehouse_agnostic_ray.state.checkpoint import cron_next
+
+        def ts(*args):
+            return dt.datetime(*args, tzinfo=dt.timezone.utc).timestamp()
+
+        def nxt(expr, *args):
+            return dt.datetime.fromtimestamp(
+                cron_next(expr, ts(*args)), tz=dt.timezone.utc
+            )
+
+        # daily at 02:30
+        assert nxt("30 2 * * *", 2024, 3, 10, 1, 0) == dt.datetime(
+            2024, 3, 10, 2, 30, tzinfo=dt.timezone.utc
+        )
+        assert nxt("30 2 * * *", 2024, 3, 10, 2, 30) == dt.datetime(
+            2024, 3, 11, 2, 30, tzinfo=dt.timezone.utc
+        )  # strictly after
+        # every 15 minutes
+        assert nxt("*/15 * * * *", 2024, 3, 10, 1, 7) == dt.datetime(
+            2024, 3, 10, 1, 15, tzinfo=dt.timezone.utc
+        )
+        # weekly, Sunday 03:00 (2024-03-10 is a Sunday)
+        assert nxt("0 3 * * 0", 2024, 3, 9, 12, 0) == dt.datetime(
+            2024, 3, 10, 3, 0, tzinfo=dt.timezone.utc
+        )
+        # dow alias 7 == Sunday
+        assert nxt("0 3 * * 7", 2024, 3, 9, 12, 0) == dt.datetime(
+            2024, 3, 10, 3, 0, tzinfo=dt.timezone.utc
+        )
+        # month rollover: 1st of month at midnight
+        assert nxt("0 0 1 * *", 2024, 2, 15, 9, 0) == dt.datetime(
+            2024, 3, 1, 0, 0, tzinfo=dt.timezone.utc
+        )
+        # dom/dow OR rule: day 13 OR Friday — from Wed 2024-09-11,
+        # Friday the 13th matches both, but Fri 2024-09-13 is preceded
+        # by dom=13 only on the same day; from 2024-09-10 next match is
+        # Friday 2024-09-13 (dom 13); from 2024-09-14 it's Friday 09-20.
+        assert nxt("0 0 13 * 5", 2024, 9, 10, 1, 0) == dt.datetime(
+            2024, 9, 13, 0, 0, tzinfo=dt.timezone.utc
+        )
+        assert nxt("0 0 13 * 5", 2024, 9, 13, 1, 0) == dt.datetime(
+            2024, 9, 20, 0, 0, tzinfo=dt.timezone.utc
+        )
+        # leap-day schedule still terminates (day-level skipping)
+        assert nxt("0 0 29 2 *", 2024, 3, 1, 0, 0) == dt.datetime(
+            2028, 2, 29, 0, 0, tzinfo=dt.timezone.utc
+        )
+
+    def test_cron_refresh_gate(self, tmp_path):
+        import datetime as dt
+
+        g = RefreshGate(str(tmp_path))
+
+        def ts(*args):
+            return dt.datetime(*args, tzinfo=dt.timezone.utc).timestamp()
+
+        expr = "0 2 * * *"  # daily 02:00 UTC
+        assert g.should_refresh_cron("t1", expr, now=ts(2024, 3, 10, 1, 0))
+        g.mark_refreshed("t1", now=ts(2024, 3, 10, 2, 0))
+        # before the next fire → skip; after → run
+        assert not g.should_refresh_cron("t1", expr, now=ts(2024, 3, 10, 23, 0))
+        assert g.should_refresh_cron("t1", expr, now=ts(2024, 3, 11, 2, 0))
+        gate = g.cron_gate(expr, now=ts(2024, 3, 10, 23, 0))
+        assert gate("never_seen") and not gate("t1")
