@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "lang_id_documents",
     "fingerprint_documents",
     "minhash_neardup_pairs",
+    "neardup_dedup_documents",
     "ngram_jaccard_pairs",
     "simhash_documents",
     "simhash_neardup_pairs",

@@ -528,6 +528,181 @@ def _triu_chunks(idx: np.ndarray, slab: int = 2048):
             yield np.repeat(head, len(tail)), np.tile(tail, e0 - s0)
 
 
+def _simhash_group_pairs(
+    g: pd.DataFrame,
+    max_hamming: int,
+    bucket_cap: int,
+    full_masks: list[int],
+) -> pd.DataFrame:
+    """One coarse group's worth of (block, value) buckets → exact
+    near-dup pairs. Module-level (map_groups needs a named function /
+    partial, and profiling wants a direct handle). See
+    ``simhash_neardup_pairs`` for the algorithm contract."""
+    _M64 = (1 << 64) - 1
+    blk_np = g["block"].to_numpy()
+    val_np = g["block_val"].to_numpy()
+    ids_np = g["doc_id"].to_numpy()
+    sig_np = g["simhash"].to_numpy().view(np.uint64)
+
+    # one lexsort groups the coarse batch into (block, value) runs
+    perm = np.lexsort((ids_np, val_np, blk_np))
+    blk_s, val_s = blk_np[perm], val_np[perm]
+    ids_s, sig_s = ids_np[perm], sig_np[perm]
+    nrows = len(ids_s)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_h: list[np.ndarray] = []
+    if nrows < 2:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+    firstrow = np.zeros(nrows, dtype=bool)
+    firstrow[0] = True
+    firstrow[1:] = (blk_s[1:] != blk_s[:-1]) | (val_s[1:] != val_s[:-1])
+    starts = np.flatnonzero(firstrow)
+    lengths = np.diff(np.append(starts, nrows))
+
+    # ---- small runs: batched quadratic enumeration (one triu per
+    # distinct run length), then the per-pair first-block filter ----
+    small = (lengths <= bucket_cap) & (lengths >= 2)
+    pa_list, pb_list = [], []
+    for ln2 in np.unique(lengths[small]):
+        rs = starts[small & (lengths == ln2)]
+        mat = rs[:, None] + np.arange(int(ln2), dtype=np.int64)[None, :]
+        iu, ju = np.triu_indices(int(ln2), k=1)
+        pa_list.append(mat[:, iu].ravel())
+        pb_list.append(mat[:, ju].ravel())
+    if pa_list:
+        pa_ = np.concatenate(pa_list)
+        pb_ = np.concatenate(pb_list)
+        sx = np.bitwise_xor(sig_s[pa_], sig_s[pb_])
+        hm = popcount64(sx)
+        keep = hm <= max_hamming
+        pair_blk = blk_s[pa_]
+        for bv in np.unique(pair_blk):
+            msk = pair_blk == bv
+            for j in range(int(bv)):
+                keep[msk] &= (sx[msk] & np.uint64(full_masks[j])) != np.uint64(0)
+        if keep.any():
+            a_ids, b_ids = ids_s[pa_[keep]], ids_s[pb_[keep]]
+            out_a.append(np.minimum(a_ids, b_ids))
+            out_b.append(np.maximum(a_ids, b_ids))
+            out_h.append(hm[keep].astype(np.int64))
+
+    # ---- oversize runs: recursive block refinement (exact) ----
+    for s0, ln0 in zip(starts[lengths > bucket_cap], lengths[lengths > bucket_cap]):
+        j = int(blk_s[s0])
+        members = np.arange(s0, s0 + ln0, dtype=np.int64)
+        # collapse to one representative per distinct signature;
+        # identical-signature pairs (hamming 0, agree on EVERY block)
+        # belong to block 0 alone
+        o2 = np.argsort(sig_s[members], kind="stable")  # stable keeps id order
+        mem = members[o2]
+        sgm = sig_s[mem]
+        f2 = np.ones(int(ln0), dtype=bool)
+        f2[1:] = sgm[1:] != sgm[:-1]
+        gstarts = np.flatnonzero(f2)
+        glens = np.diff(np.append(gstarts, int(ln0)))
+        if j == 0:
+            # identical-signature runs: every pair qualifies (hamming 0)
+            # and ids within a run are ascending — append directly, no
+            # filter needed (output-bound)
+            for gs, gl in zip(gstarts[glens > 1], glens[glens > 1]):
+                for qa, qb in _triu_chunks(mem[gs : gs + gl]):
+                    out_a.append(ids_s[qa])
+                    out_b.append(ids_s[qb])
+                    out_h.append(np.zeros(len(qa), dtype=np.int64))
+        reps = mem[gstarts]  # positions of group representatives
+
+        rep_a: list[np.ndarray] = []
+        rep_b: list[np.ndarray] = []
+
+        def refine(rp: np.ndarray, remaining: int, dedupe: list[int]):
+            m = len(rp)
+            if m < 2:
+                return
+            # distinct sigs differ only inside ``remaining``, so
+            # m <= 2^popcount(remaining): once remaining is narrow the
+            # bucket is small and brute force is exact + cheap
+            if m <= bucket_cap or bin(remaining).count("1") <= max_hamming + 1:
+                iu, ju = np.triu_indices(m, k=1)
+                pa2, pb2 = rp[iu], rp[ju]
+                sx2 = np.bitwise_xor(sig_s[pa2], sig_s[pb2])
+                keep2 = popcount64(sx2) <= max_hamming
+                for mk in dedupe:
+                    keep2 &= (sx2 & np.uint64(mk)) != np.uint64(0)
+                if keep2.any():
+                    rep_a.append(pa2[keep2])
+                    rep_b.append(pb2[keep2])
+                return
+            submasks = _split_mask(remaining, max_hamming + 1)
+            for i, mk in enumerate(submasks):
+                key = sig_s[rp] & np.uint64(mk)
+                o3 = np.argsort(key, kind="stable")
+                ks = key[o3]
+                f3 = np.ones(m, dtype=bool)
+                f3[1:] = ks[1:] != ks[:-1]
+                s3 = np.flatnonzero(f3)
+                l3 = np.diff(np.append(s3, m))
+                sub_dedupe = dedupe + submasks[:i]
+                for ss, sl in zip(s3[l3 > 1], l3[l3 > 1]):
+                    refine(rp[o3[ss : ss + sl]], remaining & ~mk & _M64, sub_dedupe)
+
+        refine(reps, ~full_masks[j] & _M64, full_masks[:j])
+        if rep_a:
+            ra = np.concatenate(rep_a)
+            rb = np.concatenate(rep_b)
+            hm = popcount64(np.bitwise_xor(sig_s[ra], sig_s[rb])).astype(np.int64)
+            if bool((glens == 1).all()):
+                # every signature unique: representatives ARE the docs
+                a_ids, b_ids = ids_s[ra], ids_s[rb]
+                out_a.append(np.minimum(a_ids, b_ids))
+                out_b.append(np.maximum(a_ids, b_ids))
+                out_h.append(hm)
+            else:
+                # expand each qualifying signature pair to the cross
+                # product of its identical-member runs — fully
+                # vectorized (a Python loop per rep pair measured as
+                # the hot spot on clique-heavy corpora)
+                rep_ord = np.empty(int(ln0), dtype=np.int64)
+                rep_ord[reps - s0] = np.arange(len(reps), dtype=np.int64)
+                ga = rep_ord[ra - s0]
+                gb = rep_ord[rb - s0]
+                la, lb = glens[ga], glens[gb]
+                sizes = la * lb
+                tot = int(sizes.sum())
+                start = np.cumsum(sizes) - sizes
+                idx = np.arange(tot, dtype=np.int64) - np.repeat(start, sizes)
+                lb_rep = np.repeat(lb, sizes)
+                ai = idx // lb_rep
+                bi = idx - ai * lb_rep
+                A = ids_s[mem[np.repeat(gstarts[ga], sizes) + ai]]
+                B = ids_s[mem[np.repeat(gstarts[gb], sizes) + bi]]
+                out_a.append(np.minimum(A, B))
+                out_b.append(np.maximum(A, B))
+                out_h.append(np.repeat(hm, sizes))
+
+    if not out_a:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h),
+        }
+    )
+
+
 def simhash_neardup_pairs(
     ds,
     max_hamming: int = 3,
@@ -605,188 +780,32 @@ def simhash_neardup_pairs(
         )
 
     def add_coarse(b: pa.Table) -> pa.Table:
+        # 64 coarse buckets per block (not 256): the group fn is one
+        # vectorized pass regardless of how many (block,value) runs a
+        # coarse group holds, and fewer/larger groups cut per-group
+        # scheduling + DataFrame overhead (measured: serial compute is
+        # ~2 s while 1024 tiny groups cost ~4 s of Ray overhead)
         coarse = pc.add(
-            pc.bit_wise_and(b.column("block_val"), pa.scalar(255, pa.int64())),
-            pc.multiply(b.column("block"), pa.scalar(256, pa.int64())),
+            pc.bit_wise_and(b.column("block_val"), pa.scalar(63, pa.int64())),
+            pc.multiply(b.column("block"), pa.scalar(64, pa.int64())),
         )
         return b.append_column("coarse", coarse)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        blk_np = g["block"].to_numpy()
-        val_np = g["block_val"].to_numpy()
-        ids_np = g["doc_id"].to_numpy()
-        sig_np = g["simhash"].to_numpy().view(np.uint64)
-
-        # one lexsort groups the coarse batch into (block, value) runs
-        perm = np.lexsort((ids_np, val_np, blk_np))
-        blk_s, val_s = blk_np[perm], val_np[perm]
-        ids_s, sig_s = ids_np[perm], sig_np[perm]
-        nrows = len(ids_s)
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        out_h: list[np.ndarray] = []
-        if nrows < 2:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                    "hamming": pd.Series([], dtype="int64"),
-                }
-            )
-        firstrow = np.zeros(nrows, dtype=bool)
-        firstrow[0] = True
-        firstrow[1:] = (blk_s[1:] != blk_s[:-1]) | (val_s[1:] != val_s[:-1])
-        starts = np.flatnonzero(firstrow)
-        lengths = np.diff(np.append(starts, nrows))
-
-        def emit(pa_, pb_, dedupe: list[int]):
-            """Filter candidate position pairs (radius + disagree-on-
-            every-earlier-sibling-block) and append id pairs."""
-            if not len(pa_):
-                return
-            sx = np.bitwise_xor(sig_s[pa_], sig_s[pb_])
-            hm = popcount64(sx)
-            keep = hm <= max_hamming
-            for mk in dedupe:
-                keep &= (sx & np.uint64(mk)) != np.uint64(0)
-            if not keep.any():
-                return
-            a_ids, b_ids = ids_s[pa_[keep]], ids_s[pb_[keep]]
-            out_a.append(np.minimum(a_ids, b_ids))
-            out_b.append(np.maximum(a_ids, b_ids))
-            out_h.append(hm[keep].astype(np.int64))
-
-        # ---- small runs: batched quadratic enumeration (one triu per
-        # distinct run length), then the per-pair first-block filter ----
-        small = (lengths <= bucket_cap) & (lengths >= 2)
-        pa_list, pb_list = [], []
-        for ln2 in np.unique(lengths[small]):
-            rs = starts[small & (lengths == ln2)]
-            mat = rs[:, None] + np.arange(int(ln2), dtype=np.int64)[None, :]
-            iu, ju = np.triu_indices(int(ln2), k=1)
-            pa_list.append(mat[:, iu].ravel())
-            pb_list.append(mat[:, ju].ravel())
-        if pa_list:
-            pa_ = np.concatenate(pa_list)
-            pb_ = np.concatenate(pb_list)
-            sx = np.bitwise_xor(sig_s[pa_], sig_s[pb_])
-            hm = popcount64(sx)
-            keep = hm <= max_hamming
-            pair_blk = blk_s[pa_]
-            for bv in np.unique(pair_blk):
-                msk = pair_blk == bv
-                for j in range(int(bv)):
-                    keep[msk] &= (sx[msk] & np.uint64(full_masks[j])) != np.uint64(0)
-            if keep.any():
-                a_ids, b_ids = ids_s[pa_[keep]], ids_s[pb_[keep]]
-                out_a.append(np.minimum(a_ids, b_ids))
-                out_b.append(np.maximum(a_ids, b_ids))
-                out_h.append(hm[keep].astype(np.int64))
-
-        # ---- oversize runs: recursive block refinement (exact) ----
-        for s0, ln0 in zip(starts[lengths > bucket_cap], lengths[lengths > bucket_cap]):
-            j = int(blk_s[s0])
-            members = np.arange(s0, s0 + ln0, dtype=np.int64)
-            # collapse to one representative per distinct signature;
-            # identical-signature pairs (hamming 0, agree on EVERY
-            # block) belong to block 0 alone
-            o2 = np.argsort(sig_s[members], kind="stable")  # stable keeps id order
-            mem = members[o2]
-            sgm = sig_s[mem]
-            f2 = np.ones(int(ln0), dtype=bool)
-            f2[1:] = sgm[1:] != sgm[:-1]
-            gstarts = np.flatnonzero(f2)
-            glens = np.diff(np.append(gstarts, int(ln0)))
-            if j == 0:
-                for gs, gl in zip(gstarts[glens > 1], glens[glens > 1]):
-                    for qa, qb in _triu_chunks(mem[gs : gs + gl]):
-                        emit(qa, qb, [])
-            reps = mem[gstarts]  # positions of group representatives
-
-            rep_a: list[np.ndarray] = []
-            rep_b: list[np.ndarray] = []
-
-            def refine(rp: np.ndarray, remaining: int, dedupe: list[int]):
-                m = len(rp)
-                if m < 2:
-                    return
-                # distinct sigs differ only inside ``remaining``, so
-                # m <= 2^popcount(remaining): once remaining is narrow
-                # the bucket is small and brute force is exact + cheap
-                if m <= bucket_cap or bin(remaining).count("1") <= max_hamming + 1:
-                    iu, ju = np.triu_indices(m, k=1)
-                    pa2, pb2 = rp[iu], rp[ju]
-                    sx2 = np.bitwise_xor(sig_s[pa2], sig_s[pb2])
-                    keep2 = popcount64(sx2) <= max_hamming
-                    for mk in dedupe:
-                        keep2 &= (sx2 & np.uint64(mk)) != np.uint64(0)
-                    if keep2.any():
-                        rep_a.append(pa2[keep2])
-                        rep_b.append(pb2[keep2])
-                    return
-                submasks = _split_mask(remaining, max_hamming + 1)
-                for i, mk in enumerate(submasks):
-                    key = sig_s[rp] & np.uint64(mk)
-                    o3 = np.argsort(key, kind="stable")
-                    ks = key[o3]
-                    f3 = np.ones(m, dtype=bool)
-                    f3[1:] = ks[1:] != ks[:-1]
-                    s3 = np.flatnonzero(f3)
-                    l3 = np.diff(np.append(s3, m))
-                    sub_dedupe = dedupe + submasks[:i]
-                    for ss, sl in zip(s3[l3 > 1], l3[l3 > 1]):
-                        refine(rp[o3[ss : ss + sl]], remaining & ~mk & _M64, sub_dedupe)
-
-            refine(reps, ~full_masks[j] & _M64, full_masks[:j])
-            if rep_a:
-                ra = np.concatenate(rep_a)
-                rb = np.concatenate(rep_b)
-                hm = popcount64(np.bitwise_xor(sig_s[ra], sig_s[rb])).astype(np.int64)
-                if bool((glens == 1).all()):
-                    # every signature unique: representatives ARE the docs
-                    a_ids, b_ids = ids_s[ra], ids_s[rb]
-                    out_a.append(np.minimum(a_ids, b_ids))
-                    out_b.append(np.maximum(a_ids, b_ids))
-                    out_h.append(hm)
-                else:
-                    # expand each qualifying signature pair to the cross
-                    # product of its identical-member runs (output-bound)
-                    slices = {
-                        int(p): (int(gs), int(gl))
-                        for p, gs, gl in zip(reps, gstarts, glens)
-                    }
-                    for pa1, pb1, h1 in zip(ra, rb, hm):
-                        ga_s, ga_l = slices[int(pa1)]
-                        gb_s, gb_l = slices[int(pb1)]
-                        ids_a = ids_s[mem[ga_s : ga_s + ga_l]]
-                        ids_b = ids_s[mem[gb_s : gb_s + gb_l]]
-                        A = np.repeat(ids_a, gb_l)
-                        B = np.tile(ids_b, ga_l)
-                        out_a.append(np.minimum(A, B))
-                        out_b.append(np.maximum(A, B))
-                        out_h.append(np.full(len(A), int(h1), dtype=np.int64))
-
-        if not out_a:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series([], dtype="int64"),
-                    "doc_b": pd.Series([], dtype="int64"),
-                    "hamming": pd.Series([], dtype="int64"),
-                }
-            )
-        return pd.DataFrame(
-            {
-                "doc_a": np.concatenate(out_a),
-                "doc_b": np.concatenate(out_b),
-                "hamming": np.concatenate(out_h),
-            }
-        )
+    import functools
 
     pairs = (
         ds.map_batches(explode_blocks, batch_format="pyarrow", batch_size=1024)
         .map_batches(add_coarse, batch_format="pyarrow")
         .groupby("coarse")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(
+            functools.partial(
+                _simhash_group_pairs,
+                max_hamming=max_hamming,
+                bucket_cap=bucket_cap,
+                full_masks=full_masks,
+            ),
+            batch_format="pandas",
+        )
     )
     if include_drop_stats:
         return pairs

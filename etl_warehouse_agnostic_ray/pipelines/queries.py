@@ -999,6 +999,39 @@ SQL_MINHASH_NEARDUP_PAIRS = hash_sql.minhash_pairs_sql(
 )
 
 
+SQL_NEARDUP_DEDUP_DOCUMENTS = f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({SQL_MINHASH_NEARDUP_PAIRS.strip()}) q),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a)
+SELECT d.doc_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.component IS NULL OR c.component = d.doc_id
+"""
+
+
+def q_neardup_dedup_documents(sf_dir: str):
+    """GROUP near-dup dedup — the sink users actually run after pair
+    generation: minhash pairs → connected components (transitive
+    closure, min-id representative) → survivors = representatives +
+    untouched docs. The corpus streams; only the loser-id set (pair-
+    bounded) broadcasts. Oracle: recursive-CTE transitive closure over
+    the value-exact minhash pair SQL."""
+    from ..ops.components import neardup_survivors
+    from ..ops.dedup import minhash_lsh_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.8)
+    return neardup_survivors(ds, pairs).select_columns(["doc_id"])
+
+
 def q_ngram_jaccard_pairs(sf_dir: str):
     """EXACT word-trigram Jaccard near-dup pairs (the precise verifier
     tier of the dedup family) — value-matched against a DuckDB shingle
@@ -1282,6 +1315,7 @@ QUERIES = {
     "lang_id_documents": q_lang_id_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_neardup_pairs": q_minhash_neardup_pairs,
+    "neardup_dedup_documents": q_neardup_dedup_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_documents": q_simhash_documents,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -1301,6 +1335,7 @@ ORACLES = {
     "lang_id_documents": SQL_LANG_ID_DOCUMENTS,
     "fingerprint_documents": SQL_FINGERPRINT_DOCUMENTS,
     "minhash_neardup_pairs": SQL_MINHASH_NEARDUP_PAIRS,
+    "neardup_dedup_documents": SQL_NEARDUP_DEDUP_DOCUMENTS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "simhash_documents": SQL_SIMHASH_DOCUMENTS,
     "simhash_neardup_pairs": SQL_SIMHASH_NEARDUP_PAIRS,

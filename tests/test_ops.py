@@ -339,6 +339,62 @@ class TestSimilarity:
             assert got_ids == [w[0] for w in want]
 
 
+class TestComponents:
+    def test_union_find_transitive_chains(self):
+        from etl_warehouse_agnostic_ray.ops.components import connected_components
+
+        # chain 1-2-3, pair 10-11, singleton edge 20-21 crossing via 3-20
+        pairs = pa.table(
+            {"doc_a": [1, 2, 10, 3], "doc_b": [2, 3, 11, 20]}
+        )
+        comp = connected_components(pairs).to_pydict()
+        got = dict(zip(comp["doc_id"], comp["component"]))
+        assert got == {1: 1, 2: 1, 3: 1, 20: 1, 10: 10, 11: 10}
+
+    def test_pair_limit_fails_loud(self):
+        from etl_warehouse_agnostic_ray.ops.components import connected_components
+
+        pairs = pa.table({"doc_a": [1, 2], "doc_b": [2, 3]})
+        with pytest.raises(ValueError, match="pair_limit"):
+            connected_components(pairs, pair_limit=1)
+
+    def test_distributed_label_propagation_equivalent(self, ray_session):
+        from etl_warehouse_agnostic_ray.ops.components import (
+            connected_components,
+            connected_components_distributed,
+        )
+
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 200, size=300)
+        off = rng.integers(1, 40, size=300)
+        pairs = pa.table(
+            {"doc_a": pa.array(a, pa.int64()),
+             "doc_b": pa.array(a + off, pa.int64())}
+        )
+        want = connected_components(pairs).to_pydict()
+        got_t = pa.concat_tables(
+            connected_components_distributed(pairs).iter_batches(batch_format="pyarrow")
+        ).sort_by("doc_id")
+        got = got_t.to_pydict()
+        assert dict(zip(got["doc_id"], got["component"])) == dict(
+            zip(want["doc_id"], want["component"])
+        )
+
+    def test_neardup_survivors(self, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.components import neardup_survivors
+
+        docs = pa.table(
+            {"doc_id": pa.array(range(8), pa.int64()),
+             "text": [f"d{i}" for i in range(8)]}
+        )
+        pairs = pa.table({"doc_a": [0, 1, 5], "doc_b": [1, 2, 6]})
+        out = neardup_survivors(rd.from_arrow(docs), pairs).to_pandas()
+        # components {0,1,2} -> keep 0; {5,6} -> keep 5; others untouched
+        assert sorted(out["doc_id"]) == [0, 3, 4, 5, 7]
+
+
 class TestMultimodal:
     def test_decode_plumbing(self):
         t = pa.table(
