@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "normalize_dirty_records",
     "multimodal_decode",
     "multimodal_decode_real",
+    "multimodal_audio_real",
     "cdc_schema_evolution",
 ]
 

@@ -6,12 +6,23 @@ work, a single keyed shuffle only where co-location is semantically
 required (LSH buckets, hash groups).
 """
 
+from .components import (  # noqa: F401
+    connected_components,
+    connected_components_distributed,
+    neardup_survivors,
+)
 from .dedup import (  # noqa: F401
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
     simhash_signatures,
+)
+from .multimodal import (  # noqa: F401
+    parse_image_header,
+    parse_wav_header,
 )
 from .similarity import topk_cosine  # noqa: F401
 from .text import (  # noqa: F401

@@ -1062,50 +1062,47 @@ def embedding_neardup_pairs(
     Oversize buckets (e.g. a degenerate all-zero-vector bucket) are
     truncated at ``bucket_cap`` with the drop count surfaced.
 
-    Hyperplanes are built per-actor from the FIRST batch's
-    dimensionality (a seeded generator, so every actor derives the
-    identical planes) — no driver-side ``take(1)`` probe executing the
-    upstream pipeline twice. Normalized vectors travel as
-    ``large_binary`` blobs built straight from the matrix buffer (no
-    per-row Python list materialization); VERDICT r2 finding 4 fixed."""
+    Hyperplanes are derived per batch from the batch's dimensionality
+    with a seeded generator (identical planes everywhere; generating an
+    (n_planes × dim) matrix is trivial next to the matmul) — no
+    driver-side ``take(1)`` probe executing the upstream pipeline
+    twice, and no actor pool (stateless tasks skip the per-query actor
+    spawn latency). Normalized vectors travel as ``large_binary`` blobs
+    built straight from the matrix buffer (no per-row Python list
+    materialization); VERDICT r2 finding 4 fixed."""
 
-    class Bucketize:
-        def __init__(self):
-            self.planes: np.ndarray | None = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table(
-                    {
-                        id_col: pa.array([], pa.int64()),
-                        "bucket": pa.array([], pa.int64()),
-                        "vec": pa.array([], pa.large_binary()),
-                    }
-                )
-            V = list_col_to_matrix(batch.column(vec_col))
-            if self.planes is None:
-                rng = np.random.Generator(np.random.PCG64(seed))
-                self.planes = rng.standard_normal((n_planes, V.shape[1]))
-            nrm = np.linalg.norm(V, axis=1, keepdims=True)
-            nrm[nrm == 0] = 1.0
-            Vn = V / nrm
-            signs = (Vn @ self.planes.T) > 0  # (n, planes)
-            bucket = np.zeros(len(V), dtype=np.int64)
-            for j in range(n_planes):
-                bucket = (bucket << 1) | signs[:, j].astype(np.int64)
+    def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return pa.table(
                 {
-                    id_col: batch.column(id_col),
-                    "bucket": pa.array(bucket),
-                    "vec": _f64_to_binary(Vn),
+                    id_col: pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "vec": pa.array([], pa.large_binary()),
                 }
             )
+        V = list_col_to_matrix(batch.column(vec_col))
+        rng = np.random.Generator(np.random.PCG64(seed))
+        planes = rng.standard_normal((n_planes, V.shape[1]))
+        nrm = np.linalg.norm(V, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        Vn = V / nrm
+        signs = (Vn @ planes.T) > 0  # (n, planes)
+        bucket = np.zeros(len(V), dtype=np.int64)
+        for j in range(n_planes):
+            bucket = (bucket << 1) | signs[:, j].astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "bucket": pa.array(bucket),
+                "vec": _f64_to_binary(Vn),
+            }
+        )
 
-    bucketed = ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
     def add_coarse(b: pa.Table) -> pa.Table:
         return b.append_column(
-            "coarse", pc.bit_wise_and(b.column("bucket"), pa.scalar(255, pa.int64()))
+            "coarse", pc.bit_wise_and(b.column("bucket"), pa.scalar(63, pa.int64()))
         )
 
     def pairs_in_buckets(g: pd.DataFrame) -> pd.DataFrame:

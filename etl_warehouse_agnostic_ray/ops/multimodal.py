@@ -179,23 +179,97 @@ class DecodeImageBatch:
         return out
 
 
+def parse_wav_header(data: bytes | None) -> dict | None:
+    """Parse a RIFF/WAVE header in pure Python: sample rate, channels,
+    bits per sample, PCM data offset/size, duration. WAV is an
+    UNCOMPRESSED container, so this plus ``np.frombuffer`` over the
+    data chunk is a complete real decode — no codec library involved.
+    Returns None for non-WAV / truncated payloads."""
+    if not data or len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data_off = data_size = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        sz = int.from_bytes(data[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= len(data):
+            audio_format, channels, rate = struct.unpack_from("<HHI", data, i + 8)
+            bits = struct.unpack_from("<H", data, i + 22)[0]
+            fmt = (audio_format, channels, rate, bits)
+        elif cid == b"data":
+            data_off, data_size = i + 8, min(sz, len(data) - i - 8)
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data_off is None:
+        return None
+    audio_format, channels, rate, bits = fmt
+    bytes_per_frame = max(1, channels * (bits // 8))
+    n_frames = data_size // bytes_per_frame
+    return {
+        "format": audio_format,  # 1 = PCM
+        "channels": channels,
+        "sample_rate": rate,
+        "bits": bits,
+        "data_offset": data_off,
+        "data_size": data_size,
+        "n_frames": n_frames,
+        "duration_sec": n_frames / rate if rate else 0.0,
+    }
+
+
+def tiny_wav(
+    sample_rate: int = 8000, n_frames: int = 800, freq_hz: float = 440.0,
+    channels: int = 1,
+) -> bytes:
+    """A valid 16-bit PCM WAV (sine tone) — fixture/test builder."""
+    t = np.arange(n_frames, dtype=np.float64) / sample_rate
+    pcm = (np.sin(2 * np.pi * freq_hz * t) * 12000).astype("<i2")
+    if channels > 1:
+        pcm = np.repeat(pcm, channels)
+    body = pcm.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 class ExtractAudioFeaturesBatch:
-    """audio-binary → fixed-dim feature vector + duration estimate
-    (actor-pool stage; real decoder stubbed like DecodeImageBatch:
-    torchaudio/ffmpeg absent from the container, so ``fake=True``
-    derives a deterministic spectrum-like vector from strided byte
-    means — the Ray-side plumbing is real and tested)."""
+    """audio-binary → fixed-dim feature vector + duration.
+
+    ``fake=False`` (the REAL path) handles PCM WAV end-to-end in pure
+    Python/numpy: RIFF header parse (``parse_wav_header``) + int16
+    frame decode + per-band mean absolute amplitude — a genuine decode,
+    since WAV is uncompressed. Compressed codecs (mp3/ogg/flac) would
+    need ffmpeg/torchaudio and decode as silence with duration 0 here.
+    ``fake=True`` keeps the deterministic strided-byte-mean stand-in
+    (SQL-oracle-replayable)."""
 
     def __init__(self, fake: bool = True, n_mels: int = 16, sample_rate: int = 16_000):
         self.n_mels = n_mels
         self.sample_rate = sample_rate
-        if not fake:
-            try:  # pragma: no cover - libs absent in this container
-                import torchaudio  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real audio decode needs torchaudio/ffmpeg; use fake=True here"
-                ) from e
+        self.fake = fake
+
+    def _fake_row(self, data: bytes) -> tuple[np.ndarray, float]:
+        b = np.frombuffer(data, dtype=np.uint8)
+        pad = (-len(b)) % self.n_mels
+        m = np.pad(b, (0, pad)).reshape(self.n_mels, -1)
+        return m.mean(axis=1) / 255.0, len(b) / (2.0 * self.sample_rate)
+
+    def _real_row(self, data: bytes) -> tuple[np.ndarray, float]:
+        hdr = parse_wav_header(data)
+        if hdr is None or hdr["format"] != 1 or hdr["bits"] != 16 or not hdr["n_frames"]:
+            return np.zeros(self.n_mels), 0.0
+        pcm = np.frombuffer(
+            data, dtype="<i2", count=hdr["data_size"] // 2, offset=hdr["data_offset"]
+        )
+        if hdr["channels"] > 1:  # downmix to mono
+            n = (len(pcm) // hdr["channels"]) * hdr["channels"]
+            pcm = pcm[:n].reshape(-1, hdr["channels"]).mean(axis=1)
+        amp = np.abs(pcm.astype(np.float64)) / 32768.0
+        pad = (-len(amp)) % self.n_mels
+        m = np.pad(amp, (0, pad)).reshape(self.n_mels, -1)
+        return m.mean(axis=1), hdr["duration_sec"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = (
@@ -204,15 +278,11 @@ class ExtractAudioFeaturesBatch:
         n = batch.num_rows
         feats = np.zeros((n, self.n_mels), dtype=np.float64)
         dur = np.zeros(n, dtype=np.float64)
+        row = self._fake_row if self.fake else self._real_row
         for i, data in enumerate(payload.to_pylist()):  # codec work is per-row
             if not data:
                 continue
-            b = np.frombuffer(data, dtype=np.uint8)
-            # strided band means — a deterministic stand-in for mel bands
-            pad = (-len(b)) % self.n_mels
-            m = np.pad(b, (0, pad)).reshape(self.n_mels, -1)
-            feats[i] = m.mean(axis=1) / 255.0
-            dur[i] = len(b) / (2.0 * self.sample_rate)  # 16-bit mono estimate
+            feats[i], dur[i] = row(data)
         out = batch.append_column(
             "features", pa.array(list(feats), pa.list_(pa.float64()))
         )

@@ -65,7 +65,46 @@ def fixture_dir(sf_dir: str) -> str:
     images_path = os.path.join(d, "images.parquet")
     if not os.path.exists(images_path):
         _write_images(images_path)
+    audio_path = os.path.join(d, "audio.parquet")
+    if not os.path.exists(audio_path):
+        _write_audio(audio_path)
     return d
+
+
+def _write_audio(path: str, n_rows: int = 200) -> None:
+    """Real PCM WAV blobs (sine tones; WAV is uncompressed, so these are
+    complete real audio files) with generation-time truth columns, plus
+    non-audio and null payloads."""
+    from ..ops.multimodal import tiny_wav
+
+    blobs, rates, chans, frames = [], [], [], []
+    for i in range(n_rows):
+        rate = (8000, 16000, 22050, 44100)[i % 4]
+        nf = 100 + (i * 97) % 4000
+        ch = 1 + (i % 2)
+        k = i % 5
+        if k == 4:
+            blob, rate, ch, nf = f"not audio {i}".encode(), 0, 0, 0
+        else:
+            blob = tiny_wav(sample_rate=rate, n_frames=nf, freq_hz=220.0 + i, channels=ch)
+        if i % 23 == 0:
+            blob, rate, ch, nf = None, 0, 0, 0
+        blobs.append(blob)
+        rates.append(rate)
+        chans.append(ch)
+        frames.append(nf)
+    pq.write_table(
+        pa.table(
+            {
+                "audio_id": pa.array(range(n_rows), pa.int64()),
+                "audio": pa.array(blobs, pa.large_binary()),
+                "true_sample_rate": pa.array(rates, pa.int64()),
+                "true_channels": pa.array(chans, pa.int64()),
+                "true_n_frames": pa.array(frames, pa.int64()),
+            }
+        ),
+        path,
+    )
 
 
 def _write_images(path: str, n_rows: int = 300) -> None:
@@ -1222,6 +1261,49 @@ FROM read_parquet('{FIX_ROOT}/sf0.01/images.parquet')
 """
 
 
+def q_multimodal_audio_real(sf_dir: str):
+    """REAL-bytes audio decode: pure-Python RIFF/WAVE parsing over
+    genuine PCM WAV blobs (ops/multimodal.parse_wav_header — WAV is
+    uncompressed, so this is a complete decode, no codec lib); oracle
+    compares against generation-time truth. Non-audio / null payloads
+    decode to zeros."""
+    from ..ops.multimodal import parse_wav_header
+
+    d = fixture_dir(sf_dir)
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(d, "audio.parquet"), columns=["audio_id", "audio"])
+
+    def body(b: pa.Table) -> pa.Table:
+        rates, chans, frames = [], [], []
+        for data in b.column("audio").to_pylist():
+            hdr = parse_wav_header(data)
+            if hdr is None:
+                rates.append(0)
+                chans.append(0)
+                frames.append(0)
+            else:
+                rates.append(hdr["sample_rate"])
+                chans.append(hdr["channels"])
+                frames.append(hdr["n_frames"])
+        return pa.table(
+            {
+                "audio_id": b.column("audio_id"),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "channels": pa.array(chans, pa.int64()),
+                "n_frames": pa.array(frames, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow", batch_size=512)
+
+
+SQL_MULTIMODAL_AUDIO_REAL = f"""
+SELECT audio_id, true_sample_rate AS sample_rate, true_channels AS channels,
+       true_n_frames AS n_frames
+FROM read_parquet('{FIX_ROOT}/sf0.01/audio.parquet')
+"""
+
+
 def q_normalize_dirty_records(sf_dir: str):
     """F3 conformance: the full scalar-normalizer surface (SURVEY.md
     §2.3/§2.9) applied in one vectorized map_batches pass over the dirty
@@ -1325,6 +1407,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_real": q_multimodal_decode_real,
+    "multimodal_audio_real": q_multimodal_audio_real,
     "normalize_dirty_records": q_normalize_dirty_records,
 }
 
@@ -1342,6 +1425,7 @@ ORACLES = {
     "corpus_clean": SQL_CORPUS_CLEAN,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_decode_real": SQL_MULTIMODAL_DECODE_REAL,
+    "multimodal_audio_real": SQL_MULTIMODAL_AUDIO_REAL,
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
     "filter_project_revenue": SQL_FILTER_PROJECT_REVENUE,
     "sort_topk_orders": SQL_SORT_TOPK_ORDERS,

@@ -443,6 +443,37 @@ class TestMultimodal:
         assert out.column("height").to_pylist() == [44, 66, 0, 0]
         assert out.column("mode").to_pylist() == ["RGB", "RGB", "unknown", "none"]
 
+    def test_wav_header_and_real_audio_decode(self):
+        from etl_warehouse_agnostic_ray.ops.multimodal import (
+            ExtractAudioFeaturesBatch,
+            parse_wav_header,
+            tiny_wav,
+        )
+
+        wav = tiny_wav(sample_rate=16000, n_frames=1600, freq_hz=440.0)
+        hdr = parse_wav_header(wav)
+        assert hdr["sample_rate"] == 16000
+        assert hdr["channels"] == 1
+        assert hdr["n_frames"] == 1600
+        assert hdr["duration_sec"] == pytest.approx(0.1)
+        stereo = parse_wav_header(tiny_wav(8000, 400, channels=2))
+        assert stereo["channels"] == 2 and stereo["n_frames"] == 400
+        assert parse_wav_header(b"not a wav") is None
+        assert parse_wav_header(None) is None
+        assert parse_wav_header(wav[:10]) is None
+
+        t = pa.table(
+            {"doc_id": [1, 2, 3],
+             "audio": pa.array([wav, b"junk", None], pa.large_binary())}
+        )
+        out = ExtractAudioFeaturesBatch(fake=False, n_mels=8)(t)
+        f0 = out.column("features")[0].as_py()
+        # a real 440 Hz sine: every band carries genuine amplitude
+        assert len(f0) == 8 and all(v > 0.1 for v in f0)
+        assert out.column("duration_sec")[0].as_py() == pytest.approx(0.1)
+        assert out.column("features")[1].as_py() == [0.0] * 8
+        assert out.column("duration_sec").to_pylist()[1:] == [0.0, 0.0]
+
     def test_audio_features_plumbing(self):
         from etl_warehouse_agnostic_ray.ops.multimodal import ExtractAudioFeaturesBatch
 
