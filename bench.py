@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "multimodal_decode_real",
     "multimodal_audio_real",
+    "multimodal_video_real",
     "cdc_schema_evolution",
 ]
 

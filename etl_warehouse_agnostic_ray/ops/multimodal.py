@@ -289,6 +289,103 @@ class ExtractAudioFeaturesBatch:
         return out.append_column("duration_sec", pa.array(dur))
 
 
+def parse_mp4_header(data: bytes | None) -> dict | None:
+    """Parse an ISO-BMFF (MP4/MOV) header in pure Python: walk the box
+    tree to ``moov/mvhd`` (timescale + duration) and the first
+    ``trak/tkhd`` carrying non-zero dimensions (width/height are 16.16
+    fixed-point). Frame DATA decode needs a real codec (ffmpeg) and is
+    out of scope; the container metadata here is a complete real parse.
+    Returns None for non-MP4 / truncated payloads."""
+    if not data or len(data) < 12:
+        return None
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            sz = int.from_bytes(data[i : i + 4], "big")
+            typ = data[i + 4 : i + 8]
+            body = i + 8
+            if sz == 1:  # 64-bit largesize
+                if i + 16 > hi:
+                    return
+                sz = int.from_bytes(data[i + 8 : i + 16], "big")
+                body = i + 16
+            elif sz == 0:  # to end of enclosing box
+                sz = hi - i
+            if sz < 8 or i + sz > hi:
+                return
+            yield typ, body, i + sz
+            i += sz
+
+    top = {t: (b, e) for t, b, e in boxes(0, len(data))}
+    if b"ftyp" not in top or b"moov" not in top:
+        return None
+    out = {"timescale": 0, "duration": 0, "duration_sec": 0.0,
+           "n_tracks": 0, "width": 0, "height": 0}
+    moov_b, moov_e = top[b"moov"]
+    for typ, b, e in boxes(moov_b, moov_e):
+        if typ == b"mvhd" and b + 4 <= e:
+            ver = data[b]
+            if ver == 1 and b + 28 <= e:
+                ts = int.from_bytes(data[b + 20 : b + 24], "big")
+                dur = int.from_bytes(data[b + 24 : b + 32], "big")
+            elif b + 24 <= e:
+                ts = int.from_bytes(data[b + 12 : b + 16], "big")
+                dur = int.from_bytes(data[b + 16 : b + 20], "big")
+            else:
+                continue
+            out["timescale"], out["duration"] = ts, dur
+            out["duration_sec"] = dur / ts if ts else 0.0
+        elif typ == b"trak":
+            out["n_tracks"] += 1
+            for t2, b2, e2 in boxes(b, e):
+                if t2 == b"tkhd" and b2 + 4 <= e2:
+                    ver = data[b2]
+                    # layout: ver/flags(4) + ctime/mtime/id/rsv/dur
+                    # (v0: 4+4+4+4+4=20, v1: 8+8+4+4+8=32) + rsv(8) +
+                    # layer/alt/vol/rsv(8) + matrix(36) → width/height
+                    off = b2 + 4 + (20 if ver == 0 else 32) + 8 + 8 + 36
+                    if off + 8 <= e2:
+                        w = int.from_bytes(data[off : off + 4], "big") >> 16
+                        h = int.from_bytes(data[off + 4 : off + 8], "big") >> 16
+                        if w and h and not out["width"]:
+                            out["width"], out["height"] = w, h
+    return out
+
+
+def tiny_mp4(
+    timescale: int = 1000, duration: int = 2500, width: int = 0, height: int = 0
+) -> bytes:
+    """A header-valid ISO-BMFF file: ftyp + moov(mvhd [+ trak/tkhd]) —
+    no media data (that would need an encoder); container parsers,
+    including this module's, read timescale/duration/dims from it."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0 … (trailing fields)
+        + b"\x00" * 76
+    )
+    moov_children = box(b"mvhd", mvhd_body)
+    if width and height:
+        tkhd_body = (
+            b"\x00\x00\x00\x07"  # version 0, flags: enabled|in-movie|in-preview
+            + struct.pack(">IIIII", 0, 0, 1, 0, duration)  # times, id, rsv, dur
+            + b"\x00" * 8  # reserved
+            + b"\x00" * 8  # layer/alternate/volume/reserved
+            + struct.pack(  # unity matrix (9 × 32-bit fixed-point)
+                ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )
+            + struct.pack(">II", width << 16, height << 16)
+        )
+        moov_children += box(b"trak", box(b"tkhd", tkhd_body))
+    return ftyp + box(b"moov", moov_children)
+
+
 class SampleFramesBatch:
     """video-binary → one row per sampled frame index (flat_map shape:
     output rows ≥ input rows). Deterministic stride sampling on the

@@ -68,7 +68,52 @@ def fixture_dir(sf_dir: str) -> str:
     audio_path = os.path.join(d, "audio.parquet")
     if not os.path.exists(audio_path):
         _write_audio(audio_path)
+    video_path = os.path.join(d, "video.parquet")
+    if not os.path.exists(video_path):
+        _write_video(video_path)
     return d
+
+
+def _write_video(path: str, n_rows: int = 200) -> None:
+    """Header-valid ISO-BMFF (MP4) blobs with truth columns (frame data
+    would need an encoder; container metadata is a complete real
+    parse), plus non-video and null payloads."""
+    from ..ops.multimodal import tiny_mp4
+
+    blobs, ts, dur, ws, hs = [], [], [], [], []
+    for i in range(n_rows):
+        scale = (600, 1000, 24000, 90000)[i % 4]
+        d_units = 100 + (i * 131) % 100_000
+        w = 160 + 16 * (i % 30)
+        h = 90 + 9 * (i % 30)
+        k = i % 5
+        if k == 4:
+            blob, scale, d_units, w, h = f"<html>no video {i}</html>".encode(), 0, 0, 0, 0
+        elif k == 3:
+            blob = tiny_mp4(timescale=scale, duration=d_units)  # audio-only: no track dims
+            w = h = 0
+        else:
+            blob = tiny_mp4(timescale=scale, duration=d_units, width=w, height=h)
+        if i % 31 == 0:
+            blob, scale, d_units, w, h = None, 0, 0, 0, 0
+        blobs.append(blob)
+        ts.append(scale)
+        dur.append(d_units)
+        ws.append(w)
+        hs.append(h)
+    pq.write_table(
+        pa.table(
+            {
+                "video_id": pa.array(range(n_rows), pa.int64()),
+                "video": pa.array(blobs, pa.large_binary()),
+                "true_timescale": pa.array(ts, pa.int64()),
+                "true_duration": pa.array(dur, pa.int64()),
+                "true_width": pa.array(ws, pa.int64()),
+                "true_height": pa.array(hs, pa.int64()),
+            }
+        ),
+        path,
+    )
 
 
 def _write_audio(path: str, n_rows: int = 200) -> None:
@@ -1304,6 +1349,50 @@ FROM read_parquet('{FIX_ROOT}/sf0.01/audio.parquet')
 """
 
 
+def q_multimodal_video_real(sf_dir: str):
+    """REAL-bytes video container parsing: pure-Python ISO-BMFF box
+    walk (ops/multimodal.parse_mp4_header → timescale, duration,
+    track dims); oracle compares against generation-time truth."""
+    from ..ops.multimodal import parse_mp4_header
+
+    d = fixture_dir(sf_dir)
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(d, "video.parquet"), columns=["video_id", "video"])
+
+    def body(b: pa.Table) -> pa.Table:
+        ts, dur, ws, hs = [], [], [], []
+        for data in b.column("video").to_pylist():
+            hdr = parse_mp4_header(data)
+            if hdr is None:
+                ts.append(0)
+                dur.append(0)
+                ws.append(0)
+                hs.append(0)
+            else:
+                ts.append(hdr["timescale"])
+                dur.append(hdr["duration"])
+                ws.append(hdr["width"])
+                hs.append(hdr["height"])
+        return pa.table(
+            {
+                "video_id": b.column("video_id"),
+                "timescale": pa.array(ts, pa.int64()),
+                "duration": pa.array(dur, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow", batch_size=512)
+
+
+SQL_MULTIMODAL_VIDEO_REAL = f"""
+SELECT video_id, true_timescale AS timescale, true_duration AS duration,
+       true_width AS width, true_height AS height
+FROM read_parquet('{FIX_ROOT}/sf0.01/video.parquet')
+"""
+
+
 def q_normalize_dirty_records(sf_dir: str):
     """F3 conformance: the full scalar-normalizer surface (SURVEY.md
     §2.3/§2.9) applied in one vectorized map_batches pass over the dirty
@@ -1408,6 +1497,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_audio_real": q_multimodal_audio_real,
+    "multimodal_video_real": q_multimodal_video_real,
     "normalize_dirty_records": q_normalize_dirty_records,
 }
 
@@ -1426,6 +1516,7 @@ ORACLES = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_decode_real": SQL_MULTIMODAL_DECODE_REAL,
     "multimodal_audio_real": SQL_MULTIMODAL_AUDIO_REAL,
+    "multimodal_video_real": SQL_MULTIMODAL_VIDEO_REAL,
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
     "filter_project_revenue": SQL_FILTER_PROJECT_REVENUE,
     "sort_topk_orders": SQL_SORT_TOPK_ORDERS,

@@ -259,6 +259,73 @@ class TestDedup:
         assert len(found) == len(set(found))  # exactly-once per pair
         assert set(found) == self._simhash_bruteforce(t, 3)
 
+    def test_simhash_group_pairs_property(self):
+        """Property: for ANY signature multiset and ANY bucket_cap, the
+        pure group function emits exactly the all-pairs ≤max_hamming
+        answer, each pair once (no Ray needed — exercises small-bucket,
+        refinement, identical-run and expansion paths together)."""
+        import pandas as pd
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from etl_warehouse_agnostic_ray.ops.dedup import _simhash_group_pairs
+        from etl_warehouse_agnostic_ray.ops.texthash import popcount64
+
+        max_h = 3
+        n_blocks = 4
+        widths = [16, 16, 16, 16]
+        shifts = np.cumsum([0] + widths[:-1]).astype(np.uint64)
+        masks = np.array([(1 << w) - 1 for w in widths], dtype=np.uint64)
+        full_masks = [int(masks[j]) << int(shifts[j]) for j in range(n_blocks)]
+
+        # cluster-y signatures: a few base values with small perturbations
+        sig_strategy = st.lists(
+            st.tuples(
+                st.sampled_from([0, 2**63, 0x0123456789ABCDEF, 2**64 - 1]),
+                st.integers(min_value=0, max_value=2**64 - 1),
+                st.integers(min_value=0, max_value=6),
+            ),
+            min_size=2,
+            max_size=100,
+        )
+
+        @settings(deadline=None, max_examples=40)
+        @given(sig_strategy, st.integers(min_value=2, max_value=25))
+        def check(spec, cap):
+            sigs = []
+            for base, noise, nbits in spec:
+                v = base
+                for k in range(nbits):  # flip nbits pseudo-random bits
+                    v ^= 1 << ((noise >> (6 * k)) & 63)
+                sigs.append(v)
+            sig = np.array(sigs, dtype=np.uint64)
+            ids = np.arange(len(sig), dtype=np.int64)
+            n = len(ids)
+            g = pd.DataFrame(
+                {
+                    "block": np.repeat(np.arange(n_blocks, dtype=np.int64), n),
+                    "block_val": np.concatenate(
+                        [((sig >> shifts[j]) & masks[j]).view(np.int64)
+                         for j in range(n_blocks)]
+                    ),
+                    "doc_id": np.tile(ids, n_blocks),
+                    "simhash": np.tile(sig.view(np.int64), n_blocks),
+                }
+            )
+            out = _simhash_group_pairs(
+                g, max_hamming=max_h, bucket_cap=cap, full_masks=full_masks
+            )
+            got = list(zip(out["doc_a"], out["doc_b"], out["hamming"]))
+            assert len(got) == len(set(got))  # exactly-once
+            want = set()
+            for i in range(n):
+                ham = popcount64(np.bitwise_xor(sig[i + 1 :], sig[i]))
+                for j in np.nonzero(ham <= max_h)[0]:
+                    want.add((i, int(i + 1 + j), int(ham[j])))
+            assert set(got) == want
+
+        check()
+
     def test_minhash_bucket_cap_accounted(self, ray_session):
         """Adversarial all-identical bucket: caps bound the O(b²) blowup
         and the drop count is surfaced (no-silent-caps rule)."""
@@ -442,6 +509,21 @@ class TestMultimodal:
         assert out.column("width").to_pylist() == [33, 55, 0, 0]
         assert out.column("height").to_pylist() == [44, 66, 0, 0]
         assert out.column("mode").to_pylist() == ["RGB", "RGB", "unknown", "none"]
+
+    def test_mp4_header_real_bytes(self):
+        from etl_warehouse_agnostic_ray.ops.multimodal import (
+            parse_mp4_header,
+            tiny_mp4,
+        )
+
+        h = parse_mp4_header(tiny_mp4(timescale=1000, duration=2500))
+        assert (h["timescale"], h["duration"], h["n_tracks"]) == (1000, 2500, 0)
+        assert h["duration_sec"] == pytest.approx(2.5)
+        h2 = parse_mp4_header(tiny_mp4(timescale=600, duration=1200, width=640, height=360))
+        assert (h2["width"], h2["height"], h2["n_tracks"]) == (640, 360, 1)
+        assert parse_mp4_header(b"<html>no</html>") is None
+        assert parse_mp4_header(None) is None
+        assert parse_mp4_header(tiny_mp4()[:10]) is None
 
     def test_wav_header_and_real_audio_decode(self):
         from etl_warehouse_agnostic_ray.ops.multimodal import (
