@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "sort_topk_orders",
     "join_revenue_by_nation_segment",
     "latest_order_per_customer",
+    "windowed_event_counts",
+    "asof_join_signup",
     "case_ladder_order_tiers",
     "date_derivations_events",
     "string_funcs_customers",

@@ -656,6 +656,113 @@ SELECT o_custkey, o_orderkey, o_orderdate FROM (
 """
 
 
+def q_windowed_event_counts(sf_dir: str):
+    """Tumbling-window aggregate (1-hour windows): count + revenue per
+    (event_type, window). The window key is computed IN the batch
+    (floor_temporal — no shuffle to assign windows); group cardinality
+    is windows × types, so the rollup uses native map-side-combining
+    aggregates. The streaming-window operator of SURVEY.md §2.10 in
+    batch form."""
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def win(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "window_start": pc.floor_temporal(b.column("ts"), unit="hour"),
+                "value": b.column("value"),
+            }
+        )
+
+    out = (
+        ds.map_batches(win, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return _round2(t, ["total_value"])
+
+
+SQL_WINDOWED_EVENT_COUNTS = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_asof_join_signup(sf_dir: str):
+    """AS-OF JOIN (an operator Ray Data lacks natively): for every
+    purchase event, the latest signup event of the SAME user with
+    signup.ts <= purchase.ts. Implemented as a composition the Dataset
+    API allows: coarse hash partition on the join key co-locates each
+    user's rows, then ONE vectorized lexsort + run-aware forward-fill
+    per partition (no per-user Python). Partitioning assumption: all
+    rows of a user fit one group — holds because per-key history is
+    bounded; a whale key would need the salted pattern from the CDC
+    merge. Ties at equal ts count the signup as visible (<=)."""
+    import pandas as pd
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pk", pc.bit_wise_and(b.column("user_id"), pa.scalar(255, pa.int64()))
+        )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().view("int64")
+        eid = g["event_id"].to_numpy()
+        etype = g["event_type"].to_numpy()
+        kind = (etype != "signup").astype(np.int8)  # signup sorts first on ties
+        order = np.lexsort((eid, kind, ts, u))
+        us, eids, ks, types = u[order], eid[order], kind[order], etype[order]
+        n = len(us)
+        first = np.ones(n, dtype=bool)
+        first[1:] = us[1:] != us[:-1]
+        run_id = np.cumsum(first) - 1
+        # run-aware forward-fill of the last signup position: encode
+        # signup rows as base+pos+1 with a per-run base that dominates
+        # every previous run's values; maximum.accumulate then never
+        # leaks a signup across user boundaries
+        base = run_id.astype(np.int64) * np.int64(n + 1)
+        pos = np.arange(n, dtype=np.int64)
+        marked = np.where(ks == 0, base + pos + 1, np.int64(0))
+        acc = np.maximum.accumulate(np.maximum(marked, base))
+        has = acc > base
+        src = np.clip(acc - base - 1, 0, None)
+        asof_id = eids[src]
+        m = types == "purchase"
+        signup_col = pd.arrays.IntegerArray(
+            np.where(has[m], asof_id[m], 0).astype(np.int64), mask=~has[m]
+        )  # mask=True → NULL (no prior signup), matching the SQL NULL
+        return pd.DataFrame({"event_id": eids[m], "signup_event_id": signup_col})
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
+SQL_ASOF_JOIN_SIGNUP = """
+SELECT event_id, signup_event_id FROM (
+  SELECT event_id, event_type,
+         last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_event_id
+  FROM events)
+WHERE event_type = 'purchase'
+"""
+
+
 def q_distinct_segments(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1470,6 +1577,8 @@ QUERIES = {
     "sort_topk_orders": q_sort_topk_orders,
     "join_revenue_by_nation_segment": q_join_revenue_by_nation_segment,
     "latest_order_per_customer": q_latest_order_per_customer,
+    "windowed_event_counts": q_windowed_event_counts,
+    "asof_join_signup": q_asof_join_signup,
     "distinct_segments": q_distinct_segments,
     "union_counts": q_union_counts,
     "case_ladder_order_tiers": q_case_ladder_order_tiers,
@@ -1522,6 +1631,8 @@ ORACLES = {
     "sort_topk_orders": SQL_SORT_TOPK_ORDERS,
     "join_revenue_by_nation_segment": SQL_JOIN_REVENUE_BY_NATION_SEGMENT,
     "latest_order_per_customer": SQL_LATEST_ORDER_PER_CUSTOMER,
+    "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
+    "asof_join_signup": SQL_ASOF_JOIN_SIGNUP,
     "distinct_segments": SQL_DISTINCT_SEGMENTS,
     "union_counts": SQL_UNION_COUNTS,
     "case_ladder_order_tiers": SQL_CASE_LADDER_ORDER_TIERS,
