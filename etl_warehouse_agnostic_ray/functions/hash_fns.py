@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..ops.texthash import POLY_B2, poly_hash_array
+from ..ops.texthash import POLY_B2, poly_hash_array, splitmix64
 
 
 def record_hash64(table: pa.Table, cols: list[str]) -> pa.Array:
@@ -31,9 +31,4 @@ def record_hash64(table: pa.Table, cols: list[str]) -> pa.Array:
     h2 = poly_hash_array(joined, base=POLY_B2)
     with np.errstate(over="ignore"):
         h = h1 * np.uint64(0x9E3779B97F4A7C15) ^ h2 * np.uint64(0xC2B2AE3D27D4EB4F)
-        h ^= h >> np.uint64(30)
-        h *= np.uint64(0xBF58476D1CE4E5B9)
-        h ^= h >> np.uint64(27)
-        h *= np.uint64(0x94D049BB133111EB)
-        h ^= h >> np.uint64(31)
-    return pa.array(h.view(np.int64))
+    return pa.array(splitmix64(h).view(np.int64))

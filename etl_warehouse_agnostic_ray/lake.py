@@ -93,13 +93,13 @@ def partition_ids(urls, num_partitions: int):
             ^ suff * np.uint64(0x165667B19E3779F9)
             ^ lens.astype(np.uint64) * np.uint64(0x27D4EB2F165667C5)
         )
-        # splitmix64 finalizer for uniform bucket spread
-        h ^= h >> np.uint64(30)
-        h *= np.uint64(0xBF58476D1CE4E5B9)
-        h ^= h >> np.uint64(27)
-        h *= np.uint64(0x94D049BB133111EB)
-        h ^= h >> np.uint64(31)
-    return (h % np.uint64(num_partitions)).astype("int64")
+    from .ops.texthash import splitmix64
+
+    # finalizer for uniform bucket spread (shared definition; its
+    # constants are part of ROUTING_HASH_VERSION's persisted contract)
+    h = splitmix64(h)
+    with np.errstate(over="ignore"):
+        return (h % np.uint64(num_partitions)).astype("int64")
 
 
 class LakeTable:

@@ -170,6 +170,43 @@ def connected_components_distributed(
         # neighbour candidate: dst takes src's current label
         return pa.table({"doc_id": t.column("dst"), "component": t.column("component")})
 
+    def checksum(t: pa.Table) -> pa.Table:
+        # per-row hash must be NON-linear in (doc_id, component): with a
+        # linear mix like (doc·C) ^ component, two rows making the same
+        # label transition cancel under the xor aggregate (delta =
+        # old^new twice = 0) — and label propagation moves many nodes to
+        # the same new label each round, so the "fingerprint unchanged"
+        # test fired while labels were still moving. splitmix64 of the
+        # combined pair breaks the linearity; the aggregate stays xor
+        # (partition-independent).
+        from .texthash import splitmix64
+
+        with np.errstate(over="ignore"):
+            h = (
+                t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                + t.column("component").to_numpy(zero_copy_only=False).astype(np.uint64)
+                * np.uint64(0xC2B2AE3D27D4EB4F)
+            )
+        s = np.bitwise_xor.reduce(splitmix64(h), initial=np.uint64(0))
+        return pa.table({"x": pa.array([int(s)], pa.uint64())})
+
+    def _combine(ds) -> int:
+        # xor across batches too: xor is commutative/associative, so the
+        # fingerprint is independent of how Ray partitioned the rows (a
+        # sum of per-batch xors is NOT — it varies with batch boundaries
+        # and falsely signalled convergence). iter_batches coalesces the
+        # one-row checksum outputs into larger batches — fold EVERY row,
+        # not just row 0.
+        x = 0
+        for b in ds.map_batches(checksum, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for v in b.column("x").to_pylist():
+                x ^= v
+        return x
+
+    old_sum = _combine(labels)
     for round_no in range(max_rounds):
         # neighbour labels: edges ⋈ labels on src
         prop = edges.join(
@@ -186,52 +223,14 @@ def connected_components_distributed(
             .map_groups(dedup_nodes, batch_format="pandas")
             .materialize()
         )
-        # convergence: did any label change? (tiny label tables compare
-        # via a checksum aggregate, no driver materialization of rows)
-        def checksum(t: pa.Table) -> pa.Table:
-            # per-row hash must be NON-linear in (doc_id, component):
-            # with a linear mix like (doc·C) ^ component, two rows making
-            # the same label transition cancel under the xor aggregate
-            # (delta = old^new twice = 0) — and label propagation moves
-            # many nodes to the same new label each round, so the
-            # "fingerprint unchanged" test fired while labels were still
-            # moving. splitmix64 of the combined pair breaks the
-            # linearity; the aggregate stays xor (partition-independent).
-            with np.errstate(over="ignore"):
-                h = (
-                    t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-                    * np.uint64(0x9E3779B97F4A7C15)
-                    + t.column("component").to_numpy(zero_copy_only=False).astype(np.uint64)
-                    * np.uint64(0xC2B2AE3D27D4EB4F)
-                )
-                h ^= h >> np.uint64(30)
-                h *= np.uint64(0xBF58476D1CE4E5B9)
-                h ^= h >> np.uint64(27)
-                h *= np.uint64(0x94D049BB133111EB)
-                h ^= h >> np.uint64(31)
-                s = np.bitwise_xor.reduce(h, initial=np.uint64(0))
-            return pa.table({"x": pa.array([int(s)], pa.uint64())})
-
-        def _combine(ds) -> int:
-            # xor across batches too: xor is commutative/associative, so
-            # the fingerprint is independent of how Ray partitioned the
-            # rows (a sum of per-batch xors is NOT — it varies with
-            # batch boundaries and falsely signalled convergence).
-            # iter_batches coalesces the one-row checksum outputs into
-            # larger batches — fold EVERY row, not just row 0.
-            x = 0
-            for b in ds.map_batches(checksum, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
-            ):
-                for v in b.column("x").to_pylist():
-                    x ^= v
-            return x
-
-        old_sum = _combine(labels)
+        # convergence: did any label change? One fingerprint pass per
+        # round — the previous round's fingerprint carries forward
+        # (recomputing it doubled the checksum scans)
         new_sum = _combine(new_labels)
         labels = new_labels
         if old_sum == new_sum:
             break
+        old_sum = new_sum
     else:
         logger.warning(
             "connected_components_distributed: no convergence in %d rounds "

@@ -880,7 +880,9 @@ def ngram_jaccard_pairs(
              "n_grams": b.column("n_grams").filter(pa.array(first))}
         )
 
-    counts_ds = grams.map_batches(doc_counts, batch_format="pyarrow")
+    # materialized: consumed 2× in the broadcast path (count + collect)
+    # and 3× in the scale path (count + two joins)
+    counts_ds = grams.map_batches(doc_counts, batch_format="pyarrow").materialize()
     n_docs = counts_ds.count()
     broadcast = n_docs <= broadcast_limit
     counts_ref = None
@@ -1063,12 +1065,17 @@ def embedding_neardup_pairs(
     truncated at ``bucket_cap`` with the drop count surfaced.
 
     Hyperplanes are derived per batch from the batch's dimensionality
-    with a seeded generator (identical planes everywhere; generating an
-    (n_planes × dim) matrix is trivial next to the matmul) — no
-    driver-side ``take(1)`` probe executing the upstream pipeline
-    twice, and no actor pool (stateless tasks skip the per-query actor
-    spawn latency). Normalized vectors travel as ``large_binary`` blobs
-    built straight from the matrix buffer (no per-row Python list
+    with a seeded generator — the planes are a pure function of
+    (seed, dim), so every batch of the SAME dim hashes with identical
+    planes (generating an (n_planes × dim) matrix is trivial next to
+    the matmul). A mixed-dim corpus is safe by construction: vectors of
+    different dims can never be near-dups (cosine is undefined across
+    dims) and they bucket under different plane sets; ragged dims
+    WITHIN a batch raise loudly in ``list_col_to_matrix``. This removes
+    both the driver-side ``take(1)`` probe (which executed the upstream
+    pipeline twice) and the actor pool (whose per-query spawn latency
+    dominated the stage). Normalized vectors travel as ``large_binary``
+    blobs built straight from the matrix buffer (no per-row Python list
     materialization); VERDICT r2 finding 4 fixed."""
 
     def bucketize(batch: pa.Table) -> pa.Table:

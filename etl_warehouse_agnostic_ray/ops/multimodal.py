@@ -326,7 +326,7 @@ def parse_mp4_header(data: bytes | None) -> dict | None:
     for typ, b, e in boxes(moov_b, moov_e):
         if typ == b"mvhd" and b + 4 <= e:
             ver = data[b]
-            if ver == 1 and b + 28 <= e:
+            if ver == 1 and b + 32 <= e:
                 ts = int.from_bytes(data[b + 20 : b + 24], "big")
                 dur = int.from_bytes(data[b + 24 : b + 32], "big")
             elif b + 24 <= e:

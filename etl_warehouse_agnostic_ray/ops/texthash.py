@@ -40,6 +40,22 @@ MERSENNE61 = np.uint64((1 << 61) - 1)
 _POW_CACHE: dict[int, np.ndarray] = {}
 
 
+def splitmix64(h: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer over a uint64 array — the repo's shared
+    avalanche mix (partition routing, record hashing, fingerprints all
+    use this one definition; lake.partition_ids' output is a persisted
+    format, so changing these constants requires bumping
+    lake.ROUTING_HASH_VERSION)."""
+    with np.errstate(over="ignore"):
+        h = h.astype(np.uint64, copy=True)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
+
+
 def _powers(base: np.uint64, n: int) -> np.ndarray:
     """B^0..B^(n-1) mod 2^64 (cached, grown geometrically)."""
     key = int(base)
@@ -289,6 +305,16 @@ def list_col_to_matrix(col, dtype=np.float64) -> np.ndarray:
     n = len(col)
     if n == 0:
         return np.zeros((0, 0), dtype=dtype)
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        # exact ragged check via offsets (a divisibility check alone can
+        # miss mixes whose total happens to divide evenly)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        lens = np.unique(np.diff(offs))
+        if lens.size > 1:
+            raise ValueError(
+                f"ragged list column (row lengths {lens.tolist()[:5]}…); "
+                "expected fixed-dim embeddings"
+            )
     flat = col.flatten()
     vals = flat.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
     if len(vals) % n:

@@ -129,13 +129,18 @@ class CDCEngine:
         # would silently duplicate keys (see lake.ROUTING_HASH_VERSION)
         from ..lake import ROUTING_HASH_VERSION
 
-        stamped = manifest.get("routing_hash", ROUTING_HASH_VERSION)
+        stamped = manifest.get("routing_hash")
         if stamped != ROUTING_HASH_VERSION:
+            # an ABSENT stamp must also refuse: pre-stamp manifests are
+            # exactly the lakes that may have been laid out by an older
+            # hash — defaulting them to "current" would silently
+            # duplicate keys, the failure this guard exists to prevent
             raise RuntimeError(
-                f"lake was partitioned with routing hash {stamped!r} but this "
-                f"engine routes with {ROUTING_HASH_VERSION!r} — deltas would "
-                "land in the wrong partitions. Re-bootstrap or full_refresh() "
-                "the lake to re-route it."
+                f"lake was partitioned with routing hash {stamped!r} (None = "
+                f"unstamped legacy manifest) but this engine routes with "
+                f"{ROUTING_HASH_VERSION!r} — deltas would land in the wrong "
+                "partitions. Re-bootstrap or full_refresh() the lake to "
+                "re-route it."
             )
         if batch_id is None:
             batch_id = f"batch-{uuid.uuid4().hex[:12]}"

@@ -110,6 +110,14 @@ class PipelineRegistry:
                 continue
             spec = self.pipelines[name]
             if spec.source_pipeline is not None:
+                if spec.source_pipeline not in results:
+                    # topo_order() drops disabled pipelines silently; a
+                    # bare KeyError here would hide the actual cause
+                    raise ValueError(
+                        f"pipeline {name!r} reads from {spec.source_pipeline!r}, "
+                        "which is disabled or did not execute — enable it or "
+                        "remove the dependent"
+                    )
                 ds = results[spec.source_pipeline]
             else:
                 ds = spec.source()

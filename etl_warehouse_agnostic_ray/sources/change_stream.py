@@ -78,13 +78,15 @@ class ChangeStreamSource:
         """Yield (batch_id, file-list) micro-batches in LSN order.
         Stat-less files are included (conservatively live).
 
-        The batch id is *content*-unique: a hash of the chunk's sorted
-        file basenames. LSN endpoints alone are not safe — two chunks
-        whose boundary files lack footer stats (or share identical lsn
-        ranges) would collide, and the second would be silently skipped
-        by the applier's seen-batch guard, losing its events forever.
-        Hashing the member list keeps replay idempotency (same files →
-        same id → skip) while making distinct chunks always distinct.
+        The batch id hashes, per member file: basename + byte size +
+        footer lsn min/max. LSN endpoints alone are not safe (stat-less
+        or identically-ranged boundary files collide → the second chunk
+        is silently skipped by the applier's seen-batch guard);
+        basenames alone are not safe either (two stream directories
+        reusing the standard events-N.parquet names would collide).
+        Size + lsn range are content-derived, so regenerated files with
+        different events get fresh ids, while re-listing the SAME files
+        reproduces the id (replay idempotency).
         """
         import hashlib
 
@@ -95,8 +97,11 @@ class ChangeStreamSource:
         ]
         for i in range(0, len(pending), max_files):
             chunk = pending[i : i + max_files]
-            names = "\n".join(sorted(os.path.basename(f) for f, _, _ in chunk))
-            digest = hashlib.blake2b(names.encode(), digest_size=8).hexdigest()
+            parts = sorted(
+                f"{os.path.basename(f)}|{os.path.getsize(f)}|{lo}|{hi}"
+                for f, lo, hi in chunk
+            )
+            digest = hashlib.blake2b("\n".join(parts).encode(), digest_size=8).hexdigest()
             yield (f"slice-{digest}", [f for f, _, _ in chunk])
 
     def count_remaining(self, lsn: int = -1) -> int:

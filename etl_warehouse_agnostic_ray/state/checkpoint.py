@@ -122,25 +122,32 @@ _CRON_BOUNDS = ((0, 59), (0, 23), (1, 31), (1, 12), (0, 6))
 def _parse_cron_field(spec: str, lo: int, hi: int, dow: bool = False) -> set[int]:
     vals: set[int] = set()
     for part in spec.split(","):
+        if part == "":
+            # an empty comma-list element is a typo ("30, 2 * * *") —
+            # treating it as '*' would silently match everything
+            raise ValueError(f"cron field {spec!r} has an empty list element")
         step = 1
         if "/" in part:
             part, s = part.split("/", 1)
             step = int(s)
             if step < 1:
                 raise ValueError(f"cron step must be >= 1, got {step}")
-        if part in ("*", ""):
+        if part == "*":
             a, b = lo, hi
         elif "-" in part:
             a, b = (int(x) for x in part.split("-", 1))
         else:
             a = int(part)
             b = hi if step > 1 else a  # "5/15" = 5,20,35,50
+        # dow allows 7 (= Sunday = 0); every field validates bounds and
+        # ordering so typos raise at parse time, never silently match
+        field_hi = 7 if dow else hi
+        if not (lo <= a <= b <= field_hi):
+            raise ValueError(f"cron field {spec!r} out of range [{lo},{field_hi}]")
         if dow:
             vals.update(v % 7 for v in range(a, b + 1, step))
-            continue
-        if not (lo <= a <= b <= hi):
-            raise ValueError(f"cron field {spec!r} out of range [{lo},{hi}]")
-        vals.update(range(a, b + 1, step))
+        else:
+            vals.update(range(a, b + 1, step))
     return vals
 
 

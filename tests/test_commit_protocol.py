@@ -58,6 +58,14 @@ def test_routing_hash_mismatch_refused(lake_with_data):
     with pytest.raises(RuntimeError, match="routing hash"):
         eng.apply(gen_change_events(50, 60, seed=6, schema_change_frac=0.0),
                   batch_id="b2")
+    # an UNSTAMPED (pre-stamp legacy) manifest must refuse too — those
+    # are exactly the lakes that may have been laid out by an old hash
+    del m["routing_hash"]
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(RuntimeError, match="unstamped"):
+        eng.apply(gen_change_events(50, 60, seed=6, schema_change_frac=0.0),
+                  batch_id="b3")
 
 
 def test_count_verification_refuses_corrupt_commit(lake_with_data):

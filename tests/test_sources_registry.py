@@ -85,6 +85,21 @@ class TestChangeStream:
         ids2 = [bid for bid, _ in src.batches(cursor=-1, max_files=2)]
         assert ids1 == ids2  # same files → same ids
 
+    def test_batch_ids_differ_for_regenerated_content(self, tmp_path):
+        """Two stream dirs reusing the SAME basenames but holding
+        different events must yield different batch ids (else the
+        applier's seen-batch guard drops the second stream's events)."""
+        ids_by_dir = []
+        for d_i, lsns in enumerate(([1, 2, 3], [50, 60, 70])):
+            d = str(tmp_path / f"dir{d_i}")
+            os.makedirs(d)
+            t = pa.table({"lsn": pa.array(lsns, pa.int64()),
+                          "url": ["a", "b", "c"]})
+            pq.write_table(t, os.path.join(d, "events-0.parquet"))
+            src = ChangeStreamSource(d)
+            ids_by_dir.append([bid for bid, _ in src.batches(cursor=-1)])
+        assert ids_by_dir[0] != ids_by_dir[1]
+
 
 class TestIncremental:
     def test_watermark_window(self, tmp_path, ray_session):
@@ -192,6 +207,15 @@ class TestRegistry:
             reg.add(
                 PipelineSpec(name="both", source=lambda: None, source_pipeline="x")
             )
+
+    def test_disabled_upstream_fails_loud(self):
+        """A ref() edge into a DISABLED pipeline must raise a clear
+        error, not a bare KeyError (topo_order drops disabled specs)."""
+        reg = PipelineRegistry()
+        reg.add(PipelineSpec(name="up", source=lambda: None, enabled=False))
+        reg.add(PipelineSpec(name="down", source_pipeline="up"))
+        with pytest.raises(ValueError, match="disabled or did not execute"):
+            reg.run(only=["down"])
 
 
 class TestSilverModel:

@@ -5,6 +5,7 @@ import os
 import sqlite3
 
 import pyarrow.parquet as pq
+import pytest
 
 from etl_warehouse_agnostic_ray.sinks import write_debug_csv, write_partitioned_parquet
 from etl_warehouse_agnostic_ray.sources.warehouse import (
@@ -212,6 +213,20 @@ class TestRefreshGate:
         assert nxt("0 0 29 2 *", 2024, 3, 1, 0, 0) == dt.datetime(
             2028, 2, 29, 0, 0, tzinfo=dt.timezone.utc
         )
+
+    def test_cron_typos_raise_at_parse_time(self):
+        from etl_warehouse_agnostic_ray.state.checkpoint import cron_next, parse_cron
+
+        with pytest.raises(ValueError, match="empty list element"):
+            parse_cron("30, 2 * * *")  # trailing-comma typo ≠ '*'
+        with pytest.raises(ValueError, match="out of range"):
+            parse_cron("0 0 * * 9")  # dow validates too (7 is the max alias)
+        with pytest.raises(ValueError, match="out of range"):
+            parse_cron("0 0 * * 5-1")  # reversed range ≠ empty set
+        with pytest.raises(ValueError, match="out of range"):
+            parse_cron("60 * * * *")
+        with pytest.raises(ValueError, match="5 fields"):
+            cron_next("* * * *", 0.0)
 
     def test_cron_refresh_gate(self, tmp_path):
         import datetime as dt
