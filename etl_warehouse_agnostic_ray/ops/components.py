@@ -245,21 +245,39 @@ def neardup_survivors(
     pairs,
     id_col: str = "doc_id",
     pair_limit: int = 50_000_000,
+    broadcast_limit: int = 5_000_000,
+    join_partitions: int = 8,
 ):
     """Keep one representative (min id) per near-dup component plus all
-    untouched docs: the GROUP-dedup sink. ``docs`` streams; only the
-    loser-id set (≤ |pairs| ids) is broadcast."""
+    untouched docs: the GROUP-dedup sink. ``docs`` streams either way;
+    a small loser-id set (≤ ``broadcast_limit``) is ``ray.put`` once
+    and filtered in-task, a large one becomes a distributed LEFT ANTI
+    join (each worker sees only its hash partition of the loser ids
+    instead of a full broadcast copy)."""
     import ray
 
     comp = connected_components(pairs, pair_limit=pair_limit)
     ids = comp.column("doc_id").to_numpy(zero_copy_only=False)
     labels = comp.column("component").to_numpy(zero_copy_only=False)
     losers = np.sort(ids[ids != labels])  # non-representatives
-    losers_ref = ray.put(losers)
 
-    def keep(b: pa.Table) -> pa.Table:
-        drop = ray.get(losers_ref)
-        m = ~np.isin(b.column(id_col).to_numpy(zero_copy_only=False), drop)
-        return b.filter(pa.array(m))
+    if len(losers) <= broadcast_limit:
+        losers_ref = ray.put(losers)
 
-    return docs.map_batches(keep, batch_format="pyarrow")
+        def keep(b: pa.Table) -> pa.Table:
+            drop = ray.get(losers_ref)
+            m = ~np.isin(b.column(id_col).to_numpy(zero_copy_only=False), drop)
+            return b.filter(pa.array(m))
+
+        return docs.map_batches(keep, batch_format="pyarrow")
+
+    import ray.data as rd
+
+    losers_ds = rd.from_arrow(pa.table({"_loser_id": pa.array(losers)}))
+    return docs.join(
+        losers_ds,
+        join_type="left_anti",
+        num_partitions=join_partitions,
+        on=(id_col,),
+        right_on=("_loser_id",),
+    )

@@ -460,6 +460,13 @@ class TestComponents:
         out = neardup_survivors(rd.from_arrow(docs), pairs).to_pandas()
         # components {0,1,2} -> keep 0; {5,6} -> keep 5; others untouched
         assert sorted(out["doc_id"]) == [0, 3, 4, 5, 7]
+        # scale path (left-anti join instead of loser-set broadcast)
+        # must agree exactly
+        out2 = neardup_survivors(
+            rd.from_arrow(docs), pairs, broadcast_limit=0
+        ).to_pandas()
+        assert sorted(out2["doc_id"]) == [0, 3, 4, 5, 7]
+        assert sorted(out2.columns) == sorted(out.columns)
 
 
 class TestMultimodal:

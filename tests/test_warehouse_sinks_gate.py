@@ -228,6 +228,35 @@ class TestRefreshGate:
         with pytest.raises(ValueError, match="5 fields"):
             cron_next("* * * *", 0.0)
 
+    def test_cron_gate_drives_tenant_fanout(self, tmp_path, ray_session):
+        """The reference's per-company croniter gating
+        (leaflink_dag.py:41-44) end-to-end: TenantedCDC skips tenants
+        whose cron schedule hasn't fired since their last refresh."""
+        import datetime as dt
+
+        from etl_warehouse_agnostic_ray.datagen import gen_change_events, gen_pages
+        from etl_warehouse_agnostic_ray.pipelines.tenants import TenantedCDC
+
+        def ts(*args):
+            return dt.datetime(*args, tzinfo=dt.timezone.utc).timestamp()
+
+        g = RefreshGate(str(tmp_path))
+        g.mark_refreshed("acme", now=ts(2024, 3, 10, 2, 0))  # just ran
+        # daily-02:00 schedule, evaluated the same evening: acme gated
+        # off, fresh tenant runs
+        multi = TenantedCDC(
+            str(tmp_path / "lakes"), ["acme", "globex"], num_partitions=2,
+            gate=g.cron_gate("0 2 * * *", now=ts(2024, 3, 10, 23, 0)),
+        )
+        multi.bootstrap({t: gen_pages(20, seed=1) for t in ("acme", "globex")})
+        out = multi.apply(
+            {t: gen_change_events(50, 20, seed=2, schema_change_frac=0.0)
+             for t in ("acme", "globex")},
+            batch_id="b1",
+        )
+        assert out["acme"] == {"skipped": True, "reason": "gated"}
+        assert out["globex"]["skipped"] is False
+
     def test_cron_refresh_gate(self, tmp_path):
         import datetime as dt
 
