@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "embedding_topk_ivf",
     "embedding_neardup",
     "normalize_dirty_records",
+    "url_normalize",
     "multimodal_decode",
     "multimodal_decode_real",
     "multimodal_audio_real",

@@ -32,10 +32,12 @@ from .string_fns import (  # noqa: F401
     email_valid,
     first_name,
     last_name,
+    normalize_url,
     phone_normalize_us,
     pipe_join_list,
     sanitize_column_name,
     split_territory,
     squash_whitespace,
     trim_nullif,
+    url_host,
 )

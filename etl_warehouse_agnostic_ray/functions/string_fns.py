@@ -105,6 +105,38 @@ def sanitize_column_name(name: str) -> str:
     return re.sub(r"_{2,}", "_", out) or "_col"
 
 
+_URL_SPLIT_RE = r"^(?P<head>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(?P<rest>.*)$"
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?(?P<h>[^/:?#]+)"
+
+
+def normalize_url(arr: pa.Array) -> pa.Array:
+    """Web-corpus URL canonicalization, the key-normalization step
+    before any URL-keyed dedup/merge: lowercase the scheme+authority
+    (path/query stay case-sensitive per RFC 3986), strip the fragment.
+    URLs without a scheme pass through unchanged (conservative — never
+    invent structure). Pure RE2 kernels, so the DuckDB twin replays it
+    with the same patterns."""
+    s = pc.cast(arr, pa.string())
+    s = pc.replace_substring_regex(s, r"#.*$", "")  # fragment never reaches the server
+    m = pc.fill_null(pc.match_substring_regex(s, _URL_SPLIT_RE), False)
+    parts = pc.extract_regex(s, _URL_SPLIT_RE)
+    head = pc.utf8_lower(pc.struct_field(parts, "head"))
+    rest = pc.struct_field(parts, "rest")
+    joined = pc.binary_join_element_wise(head, rest, "")
+    return pc.if_else(m, joined, s)
+
+
+def url_host(arr: pa.Array) -> pa.Array:
+    """Lowercased host of a URL (userinfo and port stripped, leading
+    ``www.`` removed — the grouping key for per-site stats/quotas);
+    null when no ``scheme://host`` structure exists."""
+    s = pc.cast(arr, pa.string())
+    h = pc.utf8_lower(pc.struct_field(pc.extract_regex(s, _URL_HOST_RE), "h"))
+    h = pc.replace_substring_regex(h, r"^www\.", "")
+    # extract_regex yields null struct on no match → null host ✓
+    return h
+
+
 def coalesce_business_key(*arrs: pa.Array) -> pa.Array:
     """Dedup-key normalization: first non-empty (trimmed) value across
     candidate key columns — ``coalesce(nullif(guid,''),

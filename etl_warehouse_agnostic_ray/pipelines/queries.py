@@ -71,7 +71,40 @@ def fixture_dir(sf_dir: str) -> str:
     video_path = os.path.join(d, "video.parquet")
     if not os.path.exists(video_path):
         _write_video(video_path)
+    urls_path = os.path.join(d, "urls.parquet")
+    if not os.path.exists(urls_path):
+        _write_urls(urls_path)
     return d
+
+
+def _write_urls(path: str, n_rows: int = 300) -> None:
+    """Dirty-URL fixture: every canonicalization edge case (mixed-case
+    scheme/host, fragments, ports, userinfo, www, schemeless, null)."""
+    variants = [
+        "HTTPS://EXAMPLE.com/Path/Page?Q=CaseKept#frag",
+        "http://WWW.Example.COM:8080/a/b#x",
+        "https://user:pw@Sub.Host.ORG/deep?k=v",
+        "ftp://Files.example.net/pub/",
+        "example.com/no-scheme",
+        "https://plain.example.io",
+        "HTTP://trailing.example.de/path#",
+        None,
+    ]
+    urls = [
+        (f"{variants[i % len(variants)][:-1]}{i}"
+         if variants[i % len(variants)] and i % 3 == 0
+         else variants[i % len(variants)])
+        for i in range(n_rows)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "url_id": pa.array(range(n_rows), pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            }
+        ),
+        path,
+    )
 
 
 def _write_video(path: str, n_rows: int = 200) -> None:
@@ -1500,6 +1533,44 @@ FROM read_parquet('{FIX_ROOT}/sf0.01/video.parquet')
 """
 
 
+def q_url_normalize(sf_dir: str):
+    """Web-corpus URL canonicalization + host extraction (the key-
+    normalization step before URL-keyed dedup, and the per-site
+    grouping key) — pure RE2 kernels with a DuckDB twin using the same
+    patterns."""
+    d = fixture_dir(sf_dir)
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(d, "urls.parquet"))
+
+    def body(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url_id": b.column("url_id"),
+                "url_norm": F.normalize_url(b.column("url")),
+                "host": F.url_host(b.column("url")),
+            }
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+SQL_URL_NORMALIZE = f"""
+SELECT url_id,
+  CASE WHEN regexp_matches(u2, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')
+       THEN lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+            || regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
+       ELSE u2 END AS url_norm,
+  CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?[^/:?#]+')
+       THEN regexp_replace(
+              lower(regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^/:?#]+)', 1)),
+              '^www\\.', '')
+       ELSE NULL END AS host
+FROM (SELECT url_id, url, regexp_replace(url, '#.*$', '') AS u2
+      FROM read_parquet('{FIX_ROOT}/sf0.01/urls.parquet'))
+"""
+
+
 def q_normalize_dirty_records(sf_dir: str):
     """F3 conformance: the full scalar-normalizer surface (SURVEY.md
     §2.3/§2.9) applied in one vectorized map_batches pass over the dirty
@@ -1608,6 +1679,7 @@ QUERIES = {
     "multimodal_audio_real": q_multimodal_audio_real,
     "multimodal_video_real": q_multimodal_video_real,
     "normalize_dirty_records": q_normalize_dirty_records,
+    "url_normalize": q_url_normalize,
 }
 
 ORACLES = {
@@ -1650,4 +1722,5 @@ ORACLES = {
     "embedding_topk_ivf": SQL_EMBEDDING_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "normalize_dirty_records": SQL_NORMALIZE_DIRTY_RECORDS,
+    "url_normalize": SQL_URL_NORMALIZE,
 }

@@ -143,6 +143,46 @@ class TestJson:
         assert [v.as_py() for v in F.json_valid(arr)] == [True, True, False, False, False]
 
 
+class TestUrl:
+    def test_normalize_url(self):
+        import pyarrow as pa
+
+        a = pa.array(
+            [
+                "HTTPS://EXAMPLE.com/Path/Page?Q=CaseKept#frag",
+                "http://WWW.Example.COM:8080/a/b#x",
+                "https://user:pw@Sub.Host.ORG/deep?k=v",
+                "example.com/no-scheme",
+                "",
+                None,
+            ]
+        )
+        got = F.normalize_url(a).to_pylist()
+        assert got == [
+            "https://example.com/Path/Page?Q=CaseKept",  # path case preserved
+            "http://www.example.com:8080/a/b",
+            "https://user:pw@sub.host.org/deep?k=v",
+            "example.com/no-scheme",  # schemeless passes through
+            "",
+            None,
+        ]
+
+    def test_url_host(self):
+        import pyarrow as pa
+
+        a = pa.array(
+            [
+                "HTTPS://EXAMPLE.com/Path",
+                "http://WWW.Example.COM:8080/a",
+                "https://user:pw@Sub.Host.ORG/deep",
+                "example.com/no-scheme",
+                None,
+            ]
+        )
+        got = F.url_host(a).to_pylist()
+        assert got == ["example.com", "example.com", "sub.host.org", None, None]
+
+
 class TestHash:
     def test_record_hash_deterministic(self):
         t = pa.table({"a": ["x", "y", None], "b": [1, 2, 3]})
