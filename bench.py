@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "multimodal_decode_real",
     "multimodal_audio_real",
     "multimodal_video_real",
+    "hash_split_documents",
+    "hash_sample_documents",
     "cdc_schema_evolution",
 ]
 

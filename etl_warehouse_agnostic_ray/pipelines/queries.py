@@ -1635,6 +1635,48 @@ LATERAL (SELECT CASE WHEN length(regexp_replace(phone, '\\D', '', 'g')) = 11
 """
 
 
+def q_hash_split_documents(sf_dir: str):
+    """Deterministic train/val/test assignment: split = pure function
+    of poly64(doc_id-as-string) mod 100, so any worker / re-run /
+    corpus subset computes identical membership with zero coordination
+    (the property that matters at 100 TB). Value-verified: the oracle
+    replays the hash in HUGEINT arithmetic."""
+    from ..ops.sampling import hash_split
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(ds, id_col="doc_id").select_columns(["doc_id", "split"])
+
+
+_SQL_DOC_BUCKET = (
+    f"({hash_sql.poly64_expr('CAST(doc_id AS VARCHAR)')}) % 100"
+)
+
+SQL_HASH_SPLIT_DOCUMENTS = f"""
+WITH h AS (SELECT doc_id, {_SQL_DOC_BUCKET} AS b FROM documents)
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+def q_hash_sample_documents(sf_dir: str):
+    """Reproducible ~10% down-sample: keep doc ids whose hash bucket
+    < 10 — the same ids survive on every run and every shard."""
+    from ..ops.sampling import hash_sample
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_sample(ds, id_col="doc_id", keep_pct=10)
+
+
+SQL_HASH_SAMPLE_DOCUMENTS = f"""
+SELECT doc_id FROM documents WHERE {_SQL_DOC_BUCKET} < 10
+"""
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -1680,6 +1722,8 @@ QUERIES = {
     "multimodal_video_real": q_multimodal_video_real,
     "normalize_dirty_records": q_normalize_dirty_records,
     "url_normalize": q_url_normalize,
+    "hash_split_documents": q_hash_split_documents,
+    "hash_sample_documents": q_hash_sample_documents,
 }
 
 ORACLES = {
@@ -1723,4 +1767,6 @@ ORACLES = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "normalize_dirty_records": SQL_NORMALIZE_DIRTY_RECORDS,
     "url_normalize": SQL_URL_NORMALIZE,
+    "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
+    "hash_sample_documents": SQL_HASH_SAMPLE_DOCUMENTS,
 }

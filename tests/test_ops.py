@@ -624,3 +624,76 @@ class TestIVF:
             assert qi in a  # self-hit
             hits += len(e & a)
         assert hits >= 8  # ≥ 53% recall@5 across queries at half probe
+
+
+class TestHashSampling:
+    def test_split_partitions_and_determinism(self, docs_ds):
+        from etl_warehouse_agnostic_ray.ops.sampling import hash_split
+
+        out = pa.concat_tables(
+            list(hash_split(docs_ds, id_col="doc_id").iter_batches(batch_format="pyarrow"))
+        )
+        n = docs_ds.count()
+        assert out.num_rows == n
+        counts = {s: 0 for s in ("train", "val", "test")}
+        for s in out.column("split").to_pylist():
+            counts[s] += 1
+        assert sum(counts.values()) == n
+        # roughly 80/10/10 (hash is uniform; allow wide tolerance at n=500)
+        assert counts["train"] > counts["val"] + counts["test"]
+        # deterministic: re-run yields identical assignment
+        again = pa.concat_tables(
+            list(hash_split(docs_ds, id_col="doc_id").iter_batches(batch_format="pyarrow"))
+        )
+        a = out.sort_by("doc_id")
+        b = again.sort_by("doc_id")
+        assert a.equals(b)
+
+    def test_split_subset_invariance(self, docs, ray_session):
+        # membership is a pure function of the id: any corpus subset
+        # agrees with the full-corpus assignment (the zero-coordination
+        # property)
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.sampling import hash_split
+
+        full = pa.concat_tables(
+            list(hash_split(rd.from_arrow(docs), id_col="doc_id").iter_batches(batch_format="pyarrow"))
+        ).sort_by("doc_id")
+        sub = pa.concat_tables(
+            list(
+                hash_split(rd.from_arrow(docs.slice(0, 100)), id_col="doc_id").iter_batches(
+                    batch_format="pyarrow"
+                )
+            )
+        ).sort_by("doc_id")
+        fmap = dict(zip(full.column("doc_id").to_pylist(), full.column("split").to_pylist()))
+        for i, s in zip(sub.column("doc_id").to_pylist(), sub.column("split").to_pylist()):
+            assert fmap[i] == s
+
+    def test_sample_is_subset_and_stable(self, docs_ds):
+        from etl_warehouse_agnostic_ray.ops.sampling import hash_sample
+
+        kept = hash_sample(docs_ds, id_col="doc_id", keep_pct=10)
+        n10 = kept.count()
+        n = docs_ds.count()
+        assert 0 < n10 < n
+        # sampling at a higher pct is a superset (nested samples)
+        ids10 = set(
+            pa.concat_tables(list(kept.iter_batches(batch_format="pyarrow")))
+            .column("doc_id").to_pylist()
+        )
+        kept20 = hash_sample(docs_ds, id_col="doc_id", keep_pct=20)
+        ids20 = set(
+            pa.concat_tables(list(kept20.iter_batches(batch_format="pyarrow")))
+            .column("doc_id").to_pylist()
+        )
+        assert ids10 <= ids20
+
+    def test_invalid_percentages_raise(self, docs_ds):
+        from etl_warehouse_agnostic_ray.ops.sampling import hash_sample, hash_split
+
+        with pytest.raises(ValueError):
+            hash_split(docs_ds, splits=(("train", 70), ("val", 10)))
+        with pytest.raises(ValueError):
+            hash_sample(docs_ds, keep_pct=101)
