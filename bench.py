@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "multimodal_video_real",
     "hash_split_documents",
     "hash_sample_documents",
+    "sessionize_events",
+    "session_stats_events",
+    "vocab_topk_documents",
     "cdc_schema_evolution",
 ]
 

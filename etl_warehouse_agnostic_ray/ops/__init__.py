@@ -25,7 +25,9 @@ from .multimodal import (  # noqa: F401
     parse_wav_header,
 )
 from .sampling import hash_sample, hash_split, id_buckets  # noqa: F401
+from .sessions import session_stats, sessionize  # noqa: F401
 from .similarity import topk_cosine  # noqa: F401
+from .vocab import vocab_topk  # noqa: F401
 from .text import (  # noqa: F401
     doc_fingerprint,
     lang_id,

@@ -1,0 +1,108 @@
+"""Gap-based sessionization over an event stream.
+
+The canonical web-analytics operator the reference's event tables
+imply but never compute (its dbt models stop at per-day rollups,
+e.g. dbt/models/curated/repsly/visits.sql groups by date only):
+assign each event a per-user session number, where a new session
+starts after `gap` of inactivity.
+
+Ray-Data shape (100-TB discipline):
+- ONE keyed exchange: events are hash-partitioned by a coarse
+  user-bucket key computed in the batch (splitmix64(user_id) % P), so
+  the shuffle moves (event_id, user_id, ts) triples only — never the
+  payload columns.
+- Inside each coarse partition, session assignment is ONE vectorized
+  lexsort + diff pass over every user in the bucket (no per-user
+  Python, no O(users) native aggregate — see the coarse-partition
+  pattern in ops/dedup.py).
+- The partitioning assumption: all events of one user land in one
+  task (guaranteed by keying on user_id). Skewed single users are
+  bounded by per-user event counts, not corpus size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SPLITMIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = (x.astype(np.uint64) + _SPLITMIX_GAMMA) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _assign_sessions(g: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """One vectorized pass over a coarse user bucket: lexsort by
+    (user, ts, event_id); a session break is a user change or an
+    in-user gap > gap_us; session_num = 1-based running break count
+    within the user (cumsum minus the cumsum carried in at the user's
+    first row)."""
+    users = g["user_id"].to_numpy()
+    ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    ids = g["event_id"].to_numpy()
+    order = np.lexsort((ids, ts, users))
+    u, t, i = users[order], ts[order], ids[order]
+    new_user = np.ones(len(u), dtype=bool)
+    new_user[1:] = u[1:] != u[:-1]
+    brk = new_user.copy()
+    brk[1:] |= (t[1:] - t[:-1]) > gap_us
+    cum = np.cumsum(brk)
+    # forward-fill (cum - 1) from each user's first row: cum is
+    # nondecreasing, so maximum.accumulate IS the forward fill
+    start = np.maximum.accumulate(np.where(new_user, cum - 1, 0))
+    return pd.DataFrame({"event_id": i, "user_id": u, "session_num": cum - start})
+
+
+def sessionize(
+    ds,
+    gap_minutes: int = 30,
+    num_buckets: int = 64,
+    id_col: str = "event_id",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Returns (event_id, user_id, session_num) with session_num
+    1-based per user in (ts, event_id) order. `num_buckets` is the
+    coarse-shuffle width — size it to cluster cores, not user
+    cardinality."""
+    gap_us = int(gap_minutes) * 60_000_000
+
+    def key(b: pa.Table) -> pa.Table:
+        uid = b.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (_splitmix64(uid.view(np.uint64)) % np.uint64(num_buckets)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_id": b.column(id_col),
+                "user_id": b.column(user_col),
+                "ts": b.column(ts_col),
+                "_bk": pa.array(bucket),
+            }
+        )
+
+    fn = functools.partial(_assign_sessions, gap_us=gap_us)
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(fn, batch_format="pandas")
+    )
+
+
+def session_stats(ds, gap_minutes: int = 30, num_buckets: int = 64):
+    """Per-user session summary: n_sessions + n_events, derived from
+    the same single-exchange plan (sessionize emits one row per event;
+    the rollup is a map-side-combining aggregate over user_id)."""
+    from ray.data.aggregate import Count, Max
+
+    return (
+        sessionize(ds, gap_minutes=gap_minutes, num_buckets=num_buckets)
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"), Max("session_num", alias_name="n_sessions"))
+    )

@@ -1677,6 +1677,76 @@ SELECT doc_id FROM documents WHERE {_SQL_DOC_BUCKET} < 10
 """
 
 
+def q_sessionize_events(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity): per-user 1-based
+    session numbers over the events stream. One coarse keyed exchange
+    of (event_id, user_id, ts) triples; in-bucket assignment is a
+    single vectorized lexsort+diff pass (ops/sessions.py)."""
+    from ..ops.sessions import sessionize
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return sessionize(ds, gap_minutes=30)
+
+
+SQL_SESSIONIZE_EVENTS = """
+SELECT event_id, user_id,
+       (SUM(CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         AS session_num
+FROM (SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+"""
+
+
+def q_session_stats_events(sf_dir: str):
+    """Per-user session rollup (n_events + n_sessions) over the same
+    single-exchange sessionization plan."""
+    from ..ops.sessions import session_stats
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return session_stats(ds, gap_minutes=30)
+
+
+SQL_SESSION_STATS_EVENTS = f"""
+WITH s AS ({SQL_SESSIONIZE_EVENTS})
+SELECT user_id, count(*)::BIGINT AS n_events,
+       max(session_num)::BIGINT AS n_sessions
+FROM s GROUP BY user_id
+"""
+
+
+def q_vocab_topk_documents(sf_dir: str):
+    """Corpus vocabulary top-50: global lowered-token frequencies with
+    map-side combining + coarse-bucket reduce; the driver sees only
+    buckets × k candidate rows (ops/vocab.py)."""
+    from ..ops.vocab import vocab_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return vocab_topk(ds, k=50)
+
+
+SQL_VOCAB_TOPK_DOCUMENTS = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT tok, count(*)::BIGINT AS cnt
+FROM toks WHERE tok <> ''
+GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50
+"""
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -1724,6 +1794,9 @@ QUERIES = {
     "url_normalize": q_url_normalize,
     "hash_split_documents": q_hash_split_documents,
     "hash_sample_documents": q_hash_sample_documents,
+    "sessionize_events": q_sessionize_events,
+    "session_stats_events": q_session_stats_events,
+    "vocab_topk_documents": q_vocab_topk_documents,
 }
 
 ORACLES = {
@@ -1769,4 +1842,7 @@ ORACLES = {
     "url_normalize": SQL_URL_NORMALIZE,
     "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
     "hash_sample_documents": SQL_HASH_SAMPLE_DOCUMENTS,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "session_stats_events": SQL_SESSION_STATS_EVENTS,
+    "vocab_topk_documents": SQL_VOCAB_TOPK_DOCUMENTS,
 }

@@ -697,3 +697,138 @@ class TestHashSampling:
             hash_split(docs_ds, splits=(("train", 70), ("val", 10)))
         with pytest.raises(ValueError):
             hash_sample(docs_ds, keep_pct=101)
+
+
+class TestSessionize:
+    def _events(self):
+        # user 1: gaps exactly at / over / under the 30-min boundary;
+        # user 2: one event; user 3: duplicate timestamps
+        rows = [
+            (1, 1, "2024-01-01 00:00:00"),
+            (2, 1, "2024-01-01 00:30:00"),   # exactly 30min → same session
+            (3, 1, "2024-01-01 01:00:01"),   # 30min1s → new session
+            (4, 1, "2024-01-01 01:10:00"),
+            (5, 2, "2024-01-01 12:00:00"),
+            (6, 3, "2024-01-01 05:00:00"),
+            (7, 3, "2024-01-01 05:00:00"),   # same ts → same session
+            (8, 3, "2024-01-02 05:00:00"),   # next day → new session
+        ]
+        import datetime as dt
+
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[2]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    def test_gap_semantics(self, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.sessions import sessionize
+
+        out = pa.concat_tables(
+            list(
+                sessionize(rd.from_arrow(self._events()), gap_minutes=30)
+                .iter_batches(batch_format="pyarrow")
+            )
+        ).sort_by("event_id")
+        got = dict(
+            zip(out.column("event_id").to_pylist(), out.column("session_num").to_pylist())
+        )
+        assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1, 7: 1, 8: 2}
+
+    def test_stats_rollup(self, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.sessions import session_stats
+
+        out = pa.concat_tables(
+            list(
+                session_stats(rd.from_arrow(self._events()), gap_minutes=30)
+                .iter_batches(batch_format="pyarrow")
+            )
+        ).sort_by("user_id")
+        assert out.column("n_events").to_pylist() == [4, 1, 3]
+        assert out.column("n_sessions").to_pylist() == [2, 1, 2]
+
+    def test_matches_pandas_reference_random(self, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.sessions import sessionize
+
+        rng = np.random.default_rng(7)
+        n = 3000
+        users = rng.integers(0, 40, n)
+        ts_us = rng.integers(0, 3_600_000_000 * 48, n)  # 48h span
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array(ts_us, pa.timestamp("us")),
+            }
+        )
+        out = pa.concat_tables(
+            list(
+                sessionize(rd.from_arrow(t), gap_minutes=30, num_buckets=8)
+                .iter_batches(batch_format="pyarrow")
+            )
+        ).sort_by("event_id")
+        # reference: per-user python loop
+        import collections
+
+        byu = collections.defaultdict(list)
+        for eid, uid, us in zip(np.arange(n), users, ts_us):
+            byu[uid].append((int(us), int(eid)))
+        ref = {}
+        gap = 30 * 60_000_000
+        for uid, evs in byu.items():
+            evs.sort()
+            s, prev = 0, None
+            for us, eid in evs:
+                if prev is None or us - prev > gap:
+                    s += 1
+                prev = us
+                ref[eid] = s
+        got = dict(
+            zip(out.column("event_id").to_pylist(), out.column("session_num").to_pylist())
+        )
+        assert got == ref
+
+
+class TestVocab:
+    def test_topk_matches_counter(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.vocab import vocab_topk
+
+        texts = [
+            "the cat sat on the mat",
+            "The dog SAT on the LOG",
+            "  cat   dog\tbird\n",
+            "",
+            None,
+            "zebra zebra zebra",
+        ]
+        t = pa.table({"text": pa.array(texts, pa.string())})
+        out = vocab_topk(rd.from_arrow(t), k=5, num_buckets=4)
+        c = collections.Counter()
+        for s in texts:
+            c.update((s or "").lower().split())
+        ref = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = list(zip(out.column("tok").to_pylist(), out.column("cnt").to_pylist()))
+        assert got == ref
+
+    def test_topk_global_across_buckets(self, docs_ds):
+        # per-bucket top-k must still yield the exact global top-k
+        from etl_warehouse_agnostic_ray.ops.vocab import vocab_topk
+
+        small = vocab_topk(docs_ds, k=10, num_buckets=2)
+        wide = vocab_topk(docs_ds, k=10, num_buckets=64)
+        assert small.equals(wide)
