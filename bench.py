@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "sessionize_events",
     "session_stats_events",
     "vocab_topk_documents",
+    "quantiles_event_value",
     "cdc_schema_evolution",
 ]
 

@@ -1747,6 +1747,29 @@ GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50
 """
 
 
+def q_quantiles_event_value(sf_dir: str):
+    """Exact distributed quantiles (p25..p99) of events.value without
+    a global sort: shared histogram rank-finding + per-bin candidate
+    pull (ops/quantiles.py). Values are actual column elements —
+    bitwise-equal to quantile_disc."""
+    from ..ops.quantiles import quantiles_exact
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return quantiles_exact(ds, "value", qs=(0.25, 0.5, 0.75, 0.9, 0.95, 0.99))
+
+
+SQL_QUANTILES_EVENT_VALUE = """
+WITH v AS (SELECT value FROM events WHERE value IS NOT NULL)
+SELECT 0.25::DOUBLE AS q, quantile_disc(value, 0.25)::DOUBLE AS value FROM v
+UNION ALL SELECT 0.5::DOUBLE, quantile_disc(value, 0.5)::DOUBLE FROM v
+UNION ALL SELECT 0.75::DOUBLE, quantile_disc(value, 0.75)::DOUBLE FROM v
+UNION ALL SELECT 0.9::DOUBLE, quantile_disc(value, 0.9)::DOUBLE FROM v
+UNION ALL SELECT 0.95::DOUBLE, quantile_disc(value, 0.95)::DOUBLE FROM v
+UNION ALL SELECT 0.99::DOUBLE, quantile_disc(value, 0.99)::DOUBLE FROM v
+"""
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -1797,6 +1820,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "session_stats_events": q_session_stats_events,
     "vocab_topk_documents": q_vocab_topk_documents,
+    "quantiles_event_value": q_quantiles_event_value,
 }
 
 ORACLES = {
@@ -1845,4 +1869,5 @@ ORACLES = {
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "session_stats_events": SQL_SESSION_STATS_EVENTS,
     "vocab_topk_documents": SQL_VOCAB_TOPK_DOCUMENTS,
+    "quantiles_event_value": SQL_QUANTILES_EVENT_VALUE,
 }

@@ -832,3 +832,50 @@ class TestVocab:
         small = vocab_topk(docs_ds, k=10, num_buckets=2)
         wide = vocab_topk(docs_ds, k=10, num_buckets=64)
         assert small.equals(wide)
+
+
+class TestQuantiles:
+    QS = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+
+    def _check(self, vals, **kw):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.quantiles import quantiles_exact
+
+        t = pa.table({"value": pa.array(vals, pa.float64())})
+        got = quantiles_exact(rd.from_arrow(t), "value", qs=self.QS, **kw)
+        want = duckdb.sql(
+            "SELECT quantile_disc(value, "
+            + str(list(self.QS))
+            + ") FROM t WHERE value IS NOT NULL"
+        ).fetchone()[0]
+        assert got.column("value").to_pylist() == want
+
+    def test_random_doubles_with_nulls(self):
+        rng = np.random.default_rng(3)
+        vals = list(rng.normal(0, 1000, 4999))
+        vals[::17] = [None] * len(vals[::17])
+        self._check(vals)
+
+    def test_heavy_ties(self):
+        # 90% of mass on one value → that bin holds most rows
+        vals = [42.0] * 9000 + list(np.random.default_rng(5).uniform(-1e6, 1e6, 1000))
+        self._check(vals)
+
+    def test_skew_forces_refinement(self):
+        # max_driver_rows smaller than any tie cluster → recursion path
+        rng = np.random.default_rng(9)
+        vals = list(np.repeat(rng.uniform(0, 100, 20), 150))  # 3000 rows, 20 values
+        self._check(vals, n_bins=16, max_driver_rows=100)
+
+    def test_constant_column(self):
+        self._check([7.5] * 100)
+
+    def test_all_null_raises(self, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.quantiles import quantiles_exact
+
+        t = pa.table({"value": pa.array([None, None], pa.float64())})
+        with pytest.raises(ValueError):
+            quantiles_exact(rd.from_arrow(t), "value")
