@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "session_stats_events",
     "vocab_topk_documents",
     "quantiles_event_value",
+    "grouped_quantiles_events",
     "cdc_schema_evolution",
 ]
 

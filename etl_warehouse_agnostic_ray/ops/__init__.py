@@ -24,7 +24,7 @@ from .multimodal import (  # noqa: F401
     parse_image_header,
     parse_wav_header,
 )
-from .quantiles import quantiles_exact  # noqa: F401
+from .quantiles import grouped_quantiles, quantiles_exact  # noqa: F401
 from .sampling import hash_sample, hash_split, id_buckets  # noqa: F401
 from .sessions import session_stats, sessionize  # noqa: F401
 from .similarity import topk_cosine  # noqa: F401

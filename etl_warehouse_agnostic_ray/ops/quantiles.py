@@ -206,3 +206,170 @@ def quantiles_exact(
     return pa.table(
         {"q": pa.array(list(qs), pa.float64()), "value": pa.array(values, pa.float64())}
     )
+
+
+def grouped_quantiles(
+    ds,
+    col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99),
+    n_bins: int = 512,
+    max_driver_rows: int = 1_000_000,
+) -> pa.Table:
+    """Per-group exact discrete quantiles, in a CONSTANT number of
+    passes independent of group count: one stats groupby, one shared
+    histogram pass (composite group×bin key, reduced by a native
+    groupby over ≤ groups·n_bins keys), one candidate-pull pass for
+    every needed (group, bin) at once. Group cardinality is assumed
+    small enough that groups·n_bins count rows fit the driver (the
+    per-key-rollup regime — event types, languages, tenants); the
+    per-batch kernel loops over groups PRESENT IN THE BATCH, not over
+    rows. Skewed bins recurse per group via _rank_in_range on a
+    group-filtered view."""
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def prune(b: pa.Table) -> pa.Table:
+        return b.select([group_col, col]).drop_null()
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    gstats = pa.concat_tables(
+        pruned.groupby(group_col)
+        .aggregate(Count(alias_name="n"), Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    groups = gstats.column(group_col).to_pylist()
+    gn = dict(zip(groups, (int(x) for x in gstats.column("n").to_pylist())))
+    glo = dict(zip(groups, (float(x) for x in gstats.column("lo").to_pylist())))
+    ghi = dict(zip(groups, (float(x) for x in gstats.column("hi").to_pylist())))
+    gidx = {g: i for i, g in enumerate(groups)}
+    edges_by_g = {g: _edges(glo[g], ghi[g], n_bins) for g in groups}
+    spec_ref = ray.put((gidx, edges_by_g))
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        gmap, edges_map = ray.get(spec_ref)
+        gv = b.column(group_col).to_numpy(zero_copy_only=False)
+        vv = b.column(col).to_numpy(zero_copy_only=False)
+        keys, cnts = [], []
+        for g in np.unique(gv):
+            e = edges_map[g]
+            v = vv[gv == g]
+            v = v[_mask(v, e[0], e[-1], True)]
+            bins, counts = np.unique(_bin_of(v, e), return_counts=True)
+            keys.append(bins + gmap[g] * n_bins)
+            cnts.append(counts)
+        k = np.concatenate(keys) if keys else np.zeros(0, np.int64)
+        c = np.concatenate(cnts) if cnts else np.zeros(0, np.int64)
+        return pa.table({"gb": pa.array(k.astype(np.int64)), "cnt": pa.array(c.astype(np.int64))})
+
+    hist = np.zeros(len(groups) * n_bins, dtype=np.int64)
+    red = (
+        pruned.map_batches(hist_part, batch_format="pyarrow")
+        .groupby("gb")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    for b in red.iter_batches(batch_format="pyarrow"):
+        hist[b.column("gb").to_numpy()] += b.column("cnt").to_numpy()
+
+    # locate every (group, q) rank; collect needed bins per group
+    need: dict[str, dict[int, list[tuple[float, int]]]] = {}
+    for g in groups:
+        counts = hist[gidx[g] * n_bins : (gidx[g] + 1) * n_bins]
+        for q in qs:
+            rank = max(1, min(gn[g], math.ceil(q * gn[g])))
+            b, rib = _locate(counts, rank)
+            need.setdefault(g, {}).setdefault(b, []).append((q, rib))
+
+    # one pass pulls every needed small (group, bin); big bins recurse
+    pull_bins = {
+        g: [b for b in bs if hist[gidx[g] * n_bins + b] <= max_driver_rows]
+        for g, bs in need.items()
+    }
+    pull_ref = ray.put(pull_bins)
+
+    def pull(b: pa.Table) -> pa.Table:
+        gmap, edges_map = ray.get(spec_ref)
+        wanted = ray.get(pull_ref)
+        gv = b.column(group_col).to_numpy(zero_copy_only=False)
+        vv = b.column(col).to_numpy(zero_copy_only=False)
+        out_g, out_b, out_v = [], [], []
+        for g in np.unique(gv):
+            bins = wanted.get(g)
+            if not bins:
+                continue
+            e = edges_map[g]
+            v = vv[gv == g]
+            v = v[_mask(v, e[0], e[-1], True)]
+            bi = _bin_of(v, e)
+            m = np.isin(bi, bins)
+            out_g.append(np.full(int(m.sum()), gmap[g], np.int64))
+            out_b.append(bi[m])
+            out_v.append(v[m])
+        if not out_g:
+            return pa.table(
+                {"gi": pa.array([], pa.int64()), "bin": pa.array([], pa.int64()),
+                 "val": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {"gi": pa.array(np.concatenate(out_g)),
+             "bin": pa.array(np.concatenate(out_b).astype(np.int64)),
+             "val": pa.array(np.concatenate(out_v).astype(np.float64))}
+        )
+
+    cand: dict[tuple[int, int], list[np.ndarray]] = {}
+    for t in pruned.map_batches(pull, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        gi = t.column("gi").to_numpy()
+        bi = t.column("bin").to_numpy()
+        va = t.column("val").to_numpy()
+        for key in {*zip(gi.tolist(), bi.tolist())}:
+            m = (gi == key[0]) & (bi == key[1])
+            cand.setdefault(key, []).append(va[m])
+
+    out_rows: list[tuple[object, float, float]] = []
+    for g in groups:
+        counts = hist[gidx[g] * n_bins : (gidx[g] + 1) * n_bins]
+        edges = edges_by_g[g]
+        for b, wanted in need[g].items():
+            if counts[b] <= max_driver_rows:
+                parts = cand.get((gidx[g], b), [])
+                vals = np.concatenate(parts) if parts else np.zeros(0, np.float64)
+                if len(vals) != counts[b]:
+                    raise RuntimeError(
+                        f"grouped quantile mismatch g={g!r} bin={b}: "
+                        f"hist={counts[b]} pulled={len(vals)}"
+                    )
+                vals.sort()
+                for q, rib in wanted:
+                    out_rows.append((g, q, float(vals[rib - 1])))
+            else:  # skew: refine within the group's oversized bin
+                gview = pruned.map_batches(
+                    functools.partial(_group_select, group_col=group_col, g=g, col=col),
+                    batch_format="pyarrow",
+                )
+                for q, rib in wanted:
+                    out_rows.append(
+                        (
+                            g,
+                            q,
+                            _rank_in_range(
+                                gview, col, float(edges[b]), float(edges[b + 1]),
+                                b == n_bins - 1, rib, n_bins, max_driver_rows,
+                            ),
+                        )
+                    )
+    out_rows.sort(key=lambda r: (str(r[0]), r[1]))
+    return pa.table(
+        {
+            group_col: pa.array([r[0] for r in out_rows]),
+            "q": pa.array([r[1] for r in out_rows], pa.float64()),
+            "value": pa.array([r[2] for r in out_rows], pa.float64()),
+        }
+    )
+
+
+def _group_select(b: pa.Table, group_col: str, g, col: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return b.filter(pc.equal(b.column(group_col), g)).select([col])

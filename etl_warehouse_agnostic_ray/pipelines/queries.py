@@ -1770,6 +1770,28 @@ UNION ALL SELECT 0.99::DOUBLE, quantile_disc(value, 0.99)::DOUBLE FROM v
 """
 
 
+def q_grouped_quantiles_events(sf_dir: str):
+    """Per-event-type exact quantiles in a constant number of passes
+    (shared composite-key histogram + one candidate-pull pass for all
+    groups — ops/quantiles.grouped_quantiles)."""
+    from ..ops.quantiles import grouped_quantiles
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantiles(
+        ds, "value", "event_type", qs=(0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+    )
+
+
+SQL_GROUPED_QUANTILES_EVENTS = """
+SELECT event_type,
+       unnest([0.25,0.5,0.75,0.9,0.95,0.99])::DOUBLE AS q,
+       unnest(quantile_disc(value, [0.25,0.5,0.75,0.9,0.95,0.99]))::DOUBLE AS value
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -1821,6 +1843,7 @@ QUERIES = {
     "session_stats_events": q_session_stats_events,
     "vocab_topk_documents": q_vocab_topk_documents,
     "quantiles_event_value": q_quantiles_event_value,
+    "grouped_quantiles_events": q_grouped_quantiles_events,
 }
 
 ORACLES = {
@@ -1870,4 +1893,5 @@ ORACLES = {
     "session_stats_events": SQL_SESSION_STATS_EVENTS,
     "vocab_topk_documents": SQL_VOCAB_TOPK_DOCUMENTS,
     "quantiles_event_value": SQL_QUANTILES_EVENT_VALUE,
+    "grouped_quantiles_events": SQL_GROUPED_QUANTILES_EVENTS,
 }

@@ -879,3 +879,64 @@ class TestQuantiles:
         t = pa.table({"value": pa.array([None, None], pa.float64())})
         with pytest.raises(ValueError):
             quantiles_exact(rd.from_arrow(t), "value")
+
+
+class TestGroupedQuantiles:
+    def test_matches_duckdb(self, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.quantiles import grouped_quantiles
+
+        rng = np.random.default_rng(11)
+        n = 6000
+        t = pa.table(
+            {
+                "g": pa.array(rng.choice(["a", "b", "c"], n)),
+                "value": pa.array(
+                    np.where(rng.random(n) < 0.05, np.nan, rng.normal(0, 100, n))
+                ),
+            }
+        )
+        # nulls, not NaN, for SQL parity
+        import pandas as pd
+
+        df = t.to_pandas()
+        df.loc[np.isnan(df["value"]), "value"] = None
+        t = pa.Table.from_pandas(df)
+        got = grouped_quantiles(
+            rd.from_arrow(t), "value", "g", qs=(0.5, 0.9), n_bins=32
+        )
+        want = duckdb.sql(
+            """SELECT g, unnest([0.5,0.9])::DOUBLE AS q,
+                      unnest(quantile_disc(value, [0.5,0.9]))::DOUBLE AS value
+               FROM t WHERE value IS NOT NULL GROUP BY g ORDER BY g, q"""
+        ).fetchall()
+        assert [tuple(r) for r in zip(
+            got.column("g").to_pylist(),
+            got.column("q").to_pylist(),
+            got.column("value").to_pylist(),
+        )] == [tuple(w) for w in want]
+
+    def test_skew_group_refinement(self, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.quantiles import grouped_quantiles
+
+        # group 'hot' is one giant tie cluster exceeding max_driver_rows
+        t = pa.table(
+            {
+                "g": pa.array(["hot"] * 4000 + ["cold"] * 100),
+                "value": pa.array(
+                    [3.25] * 4000 + list(np.linspace(0, 99, 100))
+                ),
+            }
+        )
+        got = grouped_quantiles(
+            rd.from_arrow(t), "value", "g", qs=(0.5,), n_bins=8, max_driver_rows=50
+        )
+        rows = dict(zip(got.column("g").to_pylist(), got.column("value").to_pylist()))
+        assert rows["hot"] == 3.25
+        assert rows["cold"] == duckdb.sql(
+            "SELECT quantile_disc(x, 0.5) FROM (SELECT unnest(" +
+            str(list(np.linspace(0, 99, 100))) + ") AS x)"
+        ).fetchone()[0]
