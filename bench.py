@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "vocab_topk_documents",
     "quantiles_event_value",
     "grouped_quantiles_events",
+    "pii_redact_docs",
+    "repetition_signals_docs",
+    "chunk_documents",
     "cdc_schema_evolution",
 ]
 

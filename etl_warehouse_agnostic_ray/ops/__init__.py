@@ -24,7 +24,9 @@ from .multimodal import (  # noqa: F401
     parse_image_header,
     parse_wav_header,
 )
+from .chunk import chunk_documents  # noqa: F401
 from .quantiles import grouped_quantiles, quantiles_exact  # noqa: F401
+from .redact import pii_redact  # noqa: F401
 from .sampling import hash_sample, hash_split, id_buckets  # noqa: F401
 from .sessions import session_stats, sessionize  # noqa: F401
 from .similarity import topk_cosine  # noqa: F401
@@ -33,5 +35,6 @@ from .text import (  # noqa: F401
     doc_fingerprint,
     lang_id,
     quality_score,
+    repetition_signals,
     token_count,
 )

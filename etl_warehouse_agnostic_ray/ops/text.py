@@ -161,3 +161,86 @@ def doc_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint"
     s = pc.replace_substring_regex(s, r"\s+", " ")
     outv = poly_hash_array(s)
     return batch.append_column(out, pa.array(outv.view(np.int64)))
+
+
+def _flat_rows(lst: pa.ListArray | pa.LargeListArray) -> tuple[pa.Array, np.ndarray]:
+    """Flatten a (large_)list<string> array → (flat values, row index
+    per value), both empty-string-filtered. Offsets come from the Arrow
+    buffer, no Python iteration."""
+    flat = lst.flatten()
+    off_dtype = np.int64 if pa.types.is_large_list(lst.type) else np.int32
+    loff = np.frombuffer(lst.buffers()[1], dtype=off_dtype)[
+        lst.offset : lst.offset + len(lst) + 1
+    ].astype(np.int64)
+    loff = loff - loff[0]
+    rows = np.repeat(np.arange(len(lst), dtype=np.int64), np.diff(loff))
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    keep_np = np.nan_to_num(keep_np.astype(bool)) if keep_np.dtype == object else keep_np
+    return flat.filter(keep), rows[keep_np]
+
+
+def _per_row_runs(
+    hashes: np.ndarray, rows: np.ndarray, n_rows: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(total, distinct, top-run-count) per row from flat value hashes:
+    ONE lexsort + run-length pass — the same coarse-reduction kernel as
+    ops/dedup._sorted_run_pairs, applied per batch (no shuffle)."""
+    total = np.bincount(rows, minlength=n_rows)
+    if len(hashes) == 0:
+        z = np.zeros(n_rows, np.int64)
+        return total, z, z
+    order = np.lexsort((hashes, rows))
+    rh, hh = rows[order], hashes[order]
+    change = np.empty(len(hh), bool)
+    change[0] = True
+    change[1:] = (rh[1:] != rh[:-1]) | (hh[1:] != hh[:-1])
+    run_counts = np.diff(np.append(np.nonzero(change)[0], len(hh)))
+    run_row = rh[change]
+    distinct = np.bincount(run_row, minlength=n_rows)
+    top = np.zeros(n_rows, np.int64)
+    np.maximum.at(top, run_row, run_counts)
+    return total, distinct, top
+
+
+def repetition_signals(
+    batch: pa.Table, col: str = "text", id_col: str = "rec_id"
+) -> pa.Table:
+    """Gopher-style repetition quality signals, one vectorized pass:
+
+    - ``n_lines`` / ``dup_line_frac``: non-empty '\\n' lines; fraction
+      that are duplicates of an earlier line (1 - distinct/total).
+    - ``n_words`` / ``top_word_frac``: lowered whitespace tokens; share
+      of the single most frequent token.
+
+    Repetitive boilerplate (nav bars, footer spam, keyword stuffing)
+    scores high on both — the standard web-corpus filter signals
+    (Gopher, Rae et al. 2021, public). Fractions are double divisions
+    of exact int counts, so the DuckDB twin is bitwise-identical."""
+    from .texthash import poly_hash_array, tokenize_ws
+
+    batch = batch.filter(pc.is_valid(batch.column(col)))
+    s = pc.cast(batch.column(col), pa.large_string())
+    n = len(batch)
+
+    lines = pc.split_pattern(s, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    lflat, lrows = _flat_rows(lines)
+    lt, ld, _ = _per_row_runs(poly_hash_array(lflat), lrows, n)
+
+    flat, off = tokenize_ws(pc.utf8_lower(s))
+    wrows = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+    wt, _, wtop = _per_row_runs(poly_hash_array(flat), wrows, n)
+
+    dup_line_frac = np.where(lt > 0, 1.0 - ld / np.maximum(lt, 1), 0.0)
+    top_word_frac = np.where(wt > 0, wtop / np.maximum(wt, 1), 0.0)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(lt.astype(np.int64)),
+            "dup_line_frac": pa.array(dup_line_frac),
+            "n_words": pa.array(wt.astype(np.int64)),
+            "top_word_frac": pa.array(top_word_frac),
+        }
+    )

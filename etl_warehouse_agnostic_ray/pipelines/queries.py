@@ -74,6 +74,9 @@ def fixture_dir(sf_dir: str) -> str:
     urls_path = os.path.join(d, "urls.parquet")
     if not os.path.exists(urls_path):
         _write_urls(urls_path)
+    pii_path = os.path.join(d, "pii.parquet")
+    if not os.path.exists(pii_path):
+        _write_pii(pii_path)
     return d
 
 
@@ -101,6 +104,63 @@ def _write_urls(path: str, n_rows: int = 300) -> None:
             {
                 "url_id": pa.array(range(n_rows), pa.int64()),
                 "url": pa.array(urls, pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def _write_pii(path: str, n_rows: int = 400) -> None:
+    """Web-page-ish fixture for PII redaction + repetition signals:
+    emails/phones/IPv4 embedded in prose, repeated nav/footer lines
+    (boilerplate), keyword-stuffed rows, clean rows, empties, nulls.
+    Deterministic in i — no RNG."""
+    rows: list[str | None] = []
+    for i in range(n_rows):
+        k = i % 8
+        if k == 0:
+            rows.append(
+                f"nav home about contact\nnav home about contact\n"
+                f"reach us at user{i}@example{i % 7}.com or "
+                f"+1 555-{i % 900 + 100}-{1000 + i}\n"
+                f"copyright footer {i % 3}\ncopyright footer {i % 3}"
+            )
+        elif k == 1:
+            rows.append(
+                f"server log: client 10.{i % 256}.{(i * 7) % 256}.{i % 250} "
+                f"connected; admin{i}@host.example.org notified\n"
+                f"status ok status ok status ok"
+            )
+        elif k == 2:
+            rows.append(
+                f"buy cheap buy cheap buy cheap widgets widgets widgets "
+                f"call 555-{i % 900 + 100}-{2000 + i} now"
+            )
+        elif k == 3:
+            rows.append(
+                f"a clean paragraph about topic {i} with varied words "
+                f"and no personal information at all."
+            )
+        elif k == 4:
+            rows.append(
+                f"mixed: {i}@not-an-email, ip 999.999.1.1 almost, "
+                f"and a real one 192.168.{i % 100}.{i % 50} plus "
+                f"sales.team+{i}@shop-{i % 5}.co.uk"
+            )
+        elif k == 5:
+            rows.append("")
+        elif k == 6:
+            rows.append(None)
+        else:
+            rows.append(
+                f"line one of doc {i}\nline two of doc {i}\n"
+                f"line one of doc {i}\nunique tail {i * 31}"
+            )
+    pq.write_table(
+        pa.table(
+            {
+                "rec_id": pa.array(range(n_rows), pa.int64()),
+                "text": pa.array(rows, pa.string()),
             }
         ),
         path,
@@ -1792,6 +1852,72 @@ GROUP BY event_type
 """
 
 
+def q_pii_redact_docs(sf_dir: str):
+    """PII scrub (emails → [EMAIL], IPv4 → [IP], phones → [PHONE]) with
+    per-category match counts — three RE2 kernels per batch, no
+    shuffle (ops/redact.py); DuckDB twin regenerated from the same
+    pattern table by redact.pii_sql."""
+    from ..ops.redact import pii_redact
+
+    d = fixture_dir(sf_dir)
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(d, "pii.parquet"))
+    return ds.map_batches(pii_redact, batch_format="pyarrow")
+
+
+def q_repetition_signals_docs(sf_dir: str):
+    """Gopher-style repetition filters (dup-line fraction, top-word
+    fraction) — per-batch lexsort/run-length kernels, no shuffle
+    (ops/text.repetition_signals)."""
+    from ..ops.text import repetition_signals
+
+    d = fixture_dir(sf_dir)
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(d, "pii.parquet"))
+    return ds.map_batches(repetition_signals, batch_format="pyarrow")
+
+
+SQL_REPETITION_SIGNALS_DOCS = f"""
+WITH src AS (
+  SELECT rec_id, text FROM read_parquet('{FIX_ROOT}/sf0.01/pii.parquet')
+  WHERE text IS NOT NULL
+), L AS (
+  SELECT rec_id, ln FROM (
+    SELECT rec_id, unnest(string_split(text, chr(10))) AS ln FROM src
+  ) WHERE ln <> ''
+), lstat AS (
+  SELECT rec_id, count(*) AS n_lines, count(DISTINCT ln) AS d_lines
+  FROM L GROUP BY rec_id
+), W AS (
+  SELECT rec_id, w FROM (
+    SELECT rec_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM src
+  ) WHERE w <> ''
+), wcnt AS (
+  SELECT rec_id, w, count(*) AS c FROM W GROUP BY rec_id, w
+), wstat AS (
+  SELECT rec_id, sum(c) AS n_words, max(c) AS top_c FROM wcnt GROUP BY rec_id
+)
+SELECT s.rec_id,
+       coalesce(l.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(1.0 - l.d_lines / l.n_lines::DOUBLE, 0.0) AS dup_line_frac,
+       coalesce(w.n_words, 0)::BIGINT AS n_words,
+       coalesce(w.top_c / w.n_words::DOUBLE, 0.0) AS top_word_frac
+FROM src s LEFT JOIN lstat l USING (rec_id) LEFT JOIN wstat w USING (rec_id)
+"""
+
+
+def q_chunk_documents(sf_dir: str):
+    """Overlapping fixed-window chunking of the documents table
+    (size=200 chars, stride=150) — explode inside map_batches,
+    vectorized over chunk ordinals, no shuffle (ops/chunk.py)."""
+    from ..ops.chunk import chunk_documents
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(chunk_documents, batch_format="pyarrow")
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -1844,6 +1970,9 @@ QUERIES = {
     "vocab_topk_documents": q_vocab_topk_documents,
     "quantiles_event_value": q_quantiles_event_value,
     "grouped_quantiles_events": q_grouped_quantiles_events,
+    "pii_redact_docs": q_pii_redact_docs,
+    "repetition_signals_docs": q_repetition_signals_docs,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLES = {
@@ -1894,4 +2023,20 @@ ORACLES = {
     "vocab_topk_documents": SQL_VOCAB_TOPK_DOCUMENTS,
     "quantiles_event_value": SQL_QUANTILES_EVENT_VALUE,
     "grouped_quantiles_events": SQL_GROUPED_QUANTILES_EVENTS,
+    "repetition_signals_docs": SQL_REPETITION_SIGNALS_DOCS,
 }
+
+
+def _late_oracles() -> None:
+    """Oracles built from the op modules' own pattern tables (kept in
+    lockstep with the Ray kernels by construction)."""
+    from ..ops.chunk import chunk_sql
+    from ..ops.redact import pii_sql
+
+    ORACLES["pii_redact_docs"] = pii_sql(
+        f"read_parquet('{FIX_ROOT}/sf0.01/pii.parquet')"
+    )
+    ORACLES["chunk_documents"] = chunk_sql("documents")
+
+
+_late_oracles()

@@ -940,3 +940,150 @@ class TestGroupedQuantiles:
             "SELECT quantile_disc(x, 0.5) FROM (SELECT unnest(" +
             str(list(np.linspace(0, 99, 100))) + ") AS x)"
         ).fetchone()[0]
+
+
+class TestRedact:
+    def test_counts_and_replacement(self):
+        from etl_warehouse_agnostic_ray.ops.redact import pii_redact
+
+        t = pa.table(
+            {
+                "rec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail a@b.co and c.d+e@f.org, ip 10.0.0.1, tel +1 555-123-4567",
+                        "clean text, 1.2 is not an ip, 12@34 not an email",
+                        None,
+                        "",
+                    ]
+                ),
+            }
+        )
+        got = pii_redact(t)
+        assert got.column("rec_id").to_pylist() == [0, 1, 3]  # null dropped
+        assert got.column("n_emails").to_pylist() == [2, 0, 0]
+        assert got.column("n_ips").to_pylist() == [1, 0, 0]
+        assert got.column("n_phones").to_pylist() == [1, 0, 0]
+        assert (
+            got.column("text_redacted")[0].as_py()
+            == "mail [EMAIL] and [EMAIL], ip [IP], tel [PHONE]"
+        )
+
+    def test_sql_twin_matches(self, tmp_path):
+        from etl_warehouse_agnostic_ray.ops.redact import pii_redact, pii_sql
+
+        t = pa.table(
+            {
+                "rec_id": pa.array(range(6), pa.int64()),
+                "text": pa.array(
+                    [
+                        "x@y.io and 8.8.8.8",
+                        "+44 123-456-7890 called twice: 555 123 4567",
+                        "email@sub.domain.example.com trailing",
+                        "no pii here",
+                        "999.1.2.3 matches (pattern is syntactic)",
+                        "a@b.c single-letter tld does not match",
+                    ]
+                ),
+            }
+        )
+        p = str(tmp_path / "pii.parquet")
+        pq.write_table(t, p)
+        got = pii_redact(t).to_pylist()
+        want = duckdb.sql(pii_sql(f"read_parquet('{p}')")).arrow().to_pylist()
+        assert got == want
+
+
+class TestRepetition:
+    def test_known_fractions(self):
+        from etl_warehouse_agnostic_ray.ops.text import repetition_signals
+
+        t = pa.table(
+            {
+                "rec_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a\na\nb",          # 3 lines, 2 distinct
+                        "x y x y x",         # 5 words, top 'x'×3
+                        "",                  # empty → zeros
+                    ]
+                ),
+            }
+        )
+        got = repetition_signals(t)
+        assert got.column("n_lines").to_pylist() == [3, 1, 0]
+        assert got.column("dup_line_frac").to_pylist() == [1 - 2 / 3, 0.0, 0.0]
+        assert got.column("n_words").to_pylist() == [3, 5, 0]
+        assert got.column("top_word_frac").to_pylist() == [2 / 3, 3 / 5, 0.0]
+
+    def test_case_folding_words(self):
+        from etl_warehouse_agnostic_ray.ops.text import repetition_signals
+
+        t = pa.table(
+            {
+                "rec_id": pa.array([0], pa.int64()),
+                "text": pa.array(["The THE the tide"]),
+            }
+        )
+        got = repetition_signals(t)
+        # words fold case (the×3 of 4); lines don't apply
+        assert got.column("top_word_frac").to_pylist() == [0.75]
+
+
+class TestChunk:
+    def test_boundaries_and_overlap(self):
+        from etl_warehouse_agnostic_ray.ops.chunk import chunk_documents
+
+        text = "abcdefghij" * 35  # 350 chars → chunks at 0,150,300
+        t = pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),
+                "text": pa.array([text]),
+            }
+        )
+        got = chunk_documents(t, size=200, stride=150)
+        rows = sorted(got.to_pylist(), key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+        assert rows[0]["chunk_text"] == text[0:200]
+        assert rows[1]["chunk_text"] == text[150:350]
+        assert rows[2]["chunk_text"] == text[300:350]
+        assert [r["chunk_len"] for r in rows] == [200, 200, 50]
+        # overlap region of consecutive chunks is identical text
+        assert rows[0]["chunk_text"][150:] == rows[1]["chunk_text"][:50]
+
+    def test_empty_and_null_docs(self):
+        from etl_warehouse_agnostic_ray.ops.chunk import chunk_documents
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["", None, "short"]),
+            }
+        )
+        got = chunk_documents(t, size=10, stride=5)
+        rows = sorted(got.to_pylist(), key=lambda r: r["doc_id"])
+        # null dropped; empty doc still yields one (empty) chunk
+        assert [r["doc_id"] for r in rows] == [1, 3]
+        assert rows[0]["chunk_text"] == "" and rows[0]["chunk_len"] == 0
+        assert rows[1]["chunk_text"] == "short"
+
+    def test_every_char_covered(self):
+        from etl_warehouse_agnostic_ray.ops.chunk import chunk_documents
+
+        text = "".join(chr(97 + (i % 26)) for i in range(137))
+        t = pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": pa.array([text])}
+        )
+        got = chunk_documents(t, size=40, stride=30)
+        rows = sorted(got.to_pylist(), key=lambda r: r["chunk_id"])
+        rebuilt = rows[0]["chunk_text"]
+        for r in rows[1:]:
+            rebuilt = rebuilt[: r["chunk_id"] * 30] + r["chunk_text"]
+        assert rebuilt == text
+
+    def test_invalid_stride_raises(self):
+        from etl_warehouse_agnostic_ray.ops.chunk import chunk_documents
+
+        t = pa.table({"doc_id": pa.array([0]), "text": pa.array(["x"])})
+        with pytest.raises(ValueError):
+            chunk_documents(t, size=10, stride=11)
