@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "pii_redact_docs",
     "repetition_signals_docs",
     "chunk_documents",
+    "contamination_check",
     "cdc_schema_evolution",
 ]
 

@@ -25,6 +25,7 @@ from .multimodal import (  # noqa: F401
     parse_wav_header,
 )
 from .chunk import chunk_documents  # noqa: F401
+from .contamination import contamination_check, eval_shingle_set  # noqa: F401
 from .quantiles import grouped_quantiles, quantiles_exact  # noqa: F401
 from .redact import pii_redact  # noqa: F401
 from .sampling import hash_sample, hash_split, id_buckets  # noqa: F401

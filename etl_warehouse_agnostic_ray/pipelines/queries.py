@@ -1918,6 +1918,27 @@ def q_chunk_documents(sf_dir: str):
     return ds.map_batches(chunk_documents, batch_format="pyarrow")
 
 
+def q_contamination_check(sf_dir: str):
+    """Benchmark decontamination: flag train docs whose 3-gram shingles
+    overlap the eval subset (doc_id % 17 == 0 stands in for a held-out
+    benchmark). Eval reduces to a broadcast sorted hash set; the train
+    stream scores against it with zero shuffle (ops/contamination.py)."""
+    from ..ops.contamination import contamination_check
+
+    rd = _rd()
+    train = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    eval_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_eval_subset, batch_format="pyarrow")
+    return contamination_check(train, eval_ds, k=3, threshold=0.8)
+
+
+def _eval_subset(b: pa.Table) -> pa.Table:
+    """Deterministic stand-in eval corpus: doc_id % 17 == 0."""
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+    return b.filter(pa.array(ids % 17 == 0))
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -1973,6 +1994,7 @@ QUERIES = {
     "pii_redact_docs": q_pii_redact_docs,
     "repetition_signals_docs": q_repetition_signals_docs,
     "chunk_documents": q_chunk_documents,
+    "contamination_check": q_contamination_check,
 }
 
 ORACLES = {
@@ -2031,12 +2053,16 @@ def _late_oracles() -> None:
     """Oracles built from the op modules' own pattern tables (kept in
     lockstep with the Ray kernels by construction)."""
     from ..ops.chunk import chunk_sql
+    from ..ops.contamination import contamination_sql
     from ..ops.redact import pii_sql
 
     ORACLES["pii_redact_docs"] = pii_sql(
         f"read_parquet('{FIX_ROOT}/sf0.01/pii.parquet')"
     )
     ORACLES["chunk_documents"] = chunk_sql("documents")
+    ORACLES["contamination_check"] = contamination_sql(
+        "documents", eval_pred="doc_id % 17 = 0", k=3, threshold=0.8
+    )
 
 
 _late_oracles()

@@ -1087,3 +1087,77 @@ class TestChunk:
         t = pa.table({"doc_id": pa.array([0]), "text": pa.array(["x"])})
         with pytest.raises(ValueError):
             chunk_documents(t, size=10, stride=11)
+
+
+class TestContamination:
+    def test_engineered_overlap(self, ray_session):
+        import ray.data as rd
+        from etl_warehouse_agnostic_ray.ops.contamination import (
+            contamination_check,
+        )
+
+        ev = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([100], pa.int64()),
+                    "text": pa.array(["alpha beta gamma delta epsilon"]),
+                }
+            )
+        )
+        tr = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": pa.array(
+                        [
+                            "alpha beta gamma delta epsilon",  # exact copy → 1.0
+                            "alpha beta gamma zeta eta",       # partial
+                            "totally different words here",    # disjoint
+                            "",                                # no shingles
+                        ]
+                    ),
+                }
+            )
+        )
+        got = {
+            r["doc_id"]: r
+            for r in contamination_check(tr, ev, k=3, threshold=0.8)
+            .to_pandas()
+            .to_dict("records")
+        }
+        assert got[0]["contam_frac"] == 1.0 and got[0]["contaminated"]
+        # "alpha beta gamma" is the only shared 3-gram of doc 1's three
+        assert got[1]["n_overlap"] == 1 and not got[1]["contaminated"]
+        assert got[2]["n_overlap"] == 0
+        assert got[3]["n_shingles"] == 0 and not got[3]["contaminated"]
+
+    def test_empty_eval_set(self, ray_session):
+        import ray.data as rd
+        from etl_warehouse_agnostic_ray.ops.contamination import (
+            contamination_check,
+        )
+
+        ev = rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+        )
+        tr = rd.from_arrow(
+            pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["a b c d"])})
+        )
+        row = contamination_check(tr, ev).to_pandas().iloc[0]
+        assert row["n_overlap"] == 0 and not row["contaminated"]
+        assert row["n_shingles"] > 0
+
+    def test_eval_limit_raises(self, ray_session):
+        import ray.data as rd
+        from etl_warehouse_agnostic_ray.ops.contamination import eval_shingle_set
+
+        ev = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0], pa.int64()),
+                    "text": pa.array(["one two three four five six seven eight"]),
+                }
+            )
+        )
+        with pytest.raises(ValueError, match="eval_shingle_limit"):
+            eval_shingle_set(ev, k=3, eval_shingle_limit=2)
