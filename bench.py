@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "repetition_signals_docs",
     "chunk_documents",
     "contamination_check",
+    "corpus_prepare",
     "cdc_schema_evolution",
 ]
 

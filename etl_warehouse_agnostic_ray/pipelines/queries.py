@@ -1939,6 +1939,98 @@ def _eval_subset(b: pa.Table) -> pa.Table:
     return b.filter(pa.array(ids % 17 == 0))
 
 
+def q_corpus_prepare(sf_dir: str):
+    """The composed chunk-ready training-data pipeline: repetition
+    filter (top_word_frac <= 0.12) → benchmark decontamination
+    (3-gram overlap < 0.8 vs the eval subset) → overlapping chunking —
+    ALL inside ONE map_batches stage, so at 100 TB every block streams
+    through filter+decontam+chunk with zero shuffle; the only
+    non-streaming work is the one-time broadcast of the eval shingle
+    set (ops/contamination.eval_shingle_set)."""
+    import numpy as np
+    import ray
+
+    from ..ops.chunk import chunk_documents
+    from ..ops.contamination import eval_shingle_set
+    from ..ops.text import repetition_signals
+    from ..ops.texthash import shingle_hashes
+
+    rd = _rd()
+    eval_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_eval_subset, batch_format="pyarrow")
+    ref = ray.put(eval_shingle_set(eval_ds, k=3))
+
+    def prepare(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        sig = repetition_signals(b, id_col="doc_id")
+        rep_ok = np.asarray(sig.column("top_word_frac")) <= 0.12
+        ev = ray.get(ref)
+        vals, segs, starts = shingle_hashes(b.column("text"), k=3)
+        n_sh = np.diff(starts)
+        n_hit = np.zeros(len(b), np.int64)
+        if len(vals) and len(ev):
+            pos = np.searchsorted(ev, vals)
+            pos[pos == len(ev)] = 0
+            hit = ev[pos] == vals
+            n_hit = np.bincount(segs[hit], minlength=len(b))
+        frac = np.where(n_sh > 0, n_hit / np.maximum(n_sh, 1), 0.0)
+        kept = b.filter(pa.array(rep_ok & (frac < 0.8)))
+        return chunk_documents(kept, size=200, stride=150)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(prepare, batch_format="pyarrow")
+
+
+_SQL_REP_CTES = """
+W AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE w <> ''
+), wcnt AS (
+  SELECT doc_id, w, count(*) AS c FROM W GROUP BY doc_id, w
+), wstat AS (
+  SELECT doc_id, sum(c) AS n_words, max(c) AS top_c FROM wcnt GROUP BY doc_id
+)"""
+
+
+def _corpus_prepare_sql() -> str:
+    from ..ops.contamination import contamination_sql  # noqa: F401  (twin family)
+    from ..pipelines.hash_sql import shingle_cte
+
+    return f"""
+WITH {shingle_cte('documents', 3)},
+ev AS (SELECT DISTINCT s FROM shingle WHERE doc_id % 17 = 0),
+cnt AS (
+  SELECT t.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM shingle t LEFT JOIN ev USING (s)
+  GROUP BY t.doc_id
+),{_SQL_REP_CTES},
+kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  LEFT JOIN cnt c USING (doc_id)
+  LEFT JOIN wstat r USING (doc_id)
+  WHERE d.text IS NOT NULL
+    AND coalesce(r.top_c / r.n_words::DOUBLE, 0.0) <= 0.12
+    AND coalesce(c.n_hit / c.n_sh::DOUBLE, 0.0) < 0.8
+),
+base AS (
+  SELECT doc_id, text AS t,
+         (greatest(length(text), 1) - 1) // 150 AS maxi
+  FROM kept
+), e AS (
+  SELECT doc_id, t, unnest(generate_series(0, maxi)) AS chunk_id FROM base
+)
+SELECT doc_id, chunk_id,
+       substr(t, chunk_id * 150 + 1, 200) AS chunk_text,
+       length(substr(t, chunk_id * 150 + 1, 200))::BIGINT AS chunk_len
+FROM e
+"""
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -1995,6 +2087,7 @@ QUERIES = {
     "repetition_signals_docs": q_repetition_signals_docs,
     "chunk_documents": q_chunk_documents,
     "contamination_check": q_contamination_check,
+    "corpus_prepare": q_corpus_prepare,
 }
 
 ORACLES = {
@@ -2063,6 +2156,7 @@ def _late_oracles() -> None:
     ORACLES["contamination_check"] = contamination_sql(
         "documents", eval_pred="doc_id % 17 = 0", k=3, threshold=0.8
     )
+    ORACLES["corpus_prepare"] = _corpus_prepare_sql()
 
 
 _late_oracles()
