@@ -161,6 +161,30 @@ def exact_dedup(
         .map_groups(min_per_hash, batch_format="pandas")
     ).materialize()
 
+    return recover_rows_by_id(
+        ds, survivors, id_col, [id_col, text_col], broadcast_limit, join_partitions
+    )
+
+
+def recover_rows_by_id(
+    ds,
+    survivors,
+    id_col: str,
+    cols: list[str],
+    broadcast_limit: int = 5_000_000,
+    join_partitions: int = 32,
+):
+    """Recover full rows for a (materialized) id-only survivor dataset.
+
+    Small survivor sets are broadcast ONCE via ``ray.put`` (a sorted
+    int64 array; every filter task reads the same object-store copy —
+    never re-shipped per batch); above ``broadcast_limit`` the payload
+    is recovered by a distributed hash join on the 8-byte id instead,
+    with no driver involvement. Shared by exact_dedup / near-dup
+    survivor filtering / domain quota sampling.
+    """
+    import ray
+
     n_surv = survivors.count()
     if n_surv <= broadcast_limit:
         ids = np.sort(
@@ -178,17 +202,17 @@ def exact_dedup(
         def keep(b: pa.Table) -> pa.Table:
             keep_ids = ray.get(ids_ref)
             m = np.isin(b.column(id_col).to_numpy(zero_copy_only=False), keep_ids)
-            return b.filter(pa.array(m)).select([id_col, text_col])
+            return b.filter(pa.array(m)).select(cols)
 
         return ds.map_batches(keep, batch_format="pyarrow")
     # scale path: distributed hash join on id (ids + payload shuffled
     # once by a uniform 8-byte key — no driver involvement)
-    return survivors.join(
-        ds.select_columns([id_col, text_col]),
+    return survivors.select_columns([id_col]).join(
+        ds.select_columns(cols),
         join_type="inner",
         num_partitions=join_partitions,
         on=(id_col,),
-    ).select_columns([id_col, text_col])
+    ).select_columns(cols)
 
 
 # ------------------------------------------------------------- minhash

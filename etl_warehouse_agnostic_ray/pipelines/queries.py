@@ -1737,6 +1737,34 @@ SELECT doc_id FROM documents WHERE {_SQL_DOC_BUCKET} < 10
 """
 
 
+def q_domain_quota_documents(sf_dir: str):
+    """Web-corpus domain balancing: keep at most 10 documents per
+    source, deterministically (the 10 lowest poly64(doc_id) per
+    source) — no domain can swamp the training mix, and every re-run /
+    shard / cluster size keeps the same documents. Only ~32-byte
+    (id, group-hash, prio) rows ride the shuffle; payload recovered by
+    broadcast id-set (scale path: hash join)."""
+    from ..ops.quota import domain_quota_sample
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return domain_quota_sample(ds, group_col="source", id_col="doc_id", cap=10)
+
+
+SQL_DOMAIN_QUOTA_DOCUMENTS = f"""
+WITH pr AS (
+  SELECT doc_id, source,
+         {hash_sql.poly64_expr("CAST(doc_id AS VARCHAR)")} AS prio
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY prio, doc_id) AS rn
+  FROM pr
+)
+SELECT doc_id, source FROM r WHERE rn <= 10
+"""
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user 1-based
     session numbers over the events stream. One coarse keyed exchange
@@ -2078,6 +2106,7 @@ QUERIES = {
     "url_normalize": q_url_normalize,
     "hash_split_documents": q_hash_split_documents,
     "hash_sample_documents": q_hash_sample_documents,
+    "domain_quota_documents": q_domain_quota_documents,
     "sessionize_events": q_sessionize_events,
     "session_stats_events": q_session_stats_events,
     "vocab_topk_documents": q_vocab_topk_documents,
@@ -2133,6 +2162,7 @@ ORACLES = {
     "url_normalize": SQL_URL_NORMALIZE,
     "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
     "hash_sample_documents": SQL_HASH_SAMPLE_DOCUMENTS,
+    "domain_quota_documents": SQL_DOMAIN_QUOTA_DOCUMENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "session_stats_events": SQL_SESSION_STATS_EVENTS,
     "vocab_topk_documents": SQL_VOCAB_TOPK_DOCUMENTS,

@@ -1161,3 +1161,71 @@ class TestContamination:
         )
         with pytest.raises(ValueError, match="eval_shingle_limit"):
             eval_shingle_set(ev, k=3, eval_shingle_limit=2)
+
+
+class TestDomainQuota:
+    def _expected(self, docs, cap):
+        import duckdb
+
+        from etl_warehouse_agnostic_ray.pipelines.hash_sql import poly64_expr
+
+        con = duckdb.connect()
+        con.register("d", docs)
+        return con.execute(f"""
+            WITH pr AS (SELECT doc_id, source,
+                        {poly64_expr("CAST(doc_id AS VARCHAR)")} AS prio FROM d),
+            r AS (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY prio, doc_id) rn
+                  FROM pr)
+            SELECT doc_id, source FROM r WHERE rn <= {cap}
+            ORDER BY doc_id
+        """).fetchdf()
+
+    def test_cap_matches_window_oracle(self, docs, docs_ds):
+        from etl_warehouse_agnostic_ray.ops.quota import domain_quota_sample
+
+        got = (
+            domain_quota_sample(docs_ds, cap=7)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._expected(docs, 7)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["source"].tolist() == want["source"].tolist()
+        assert got.groupby("source").size().max() <= 7
+
+    def test_join_scale_path_same_answer(self, docs, docs_ds):
+        from etl_warehouse_agnostic_ray.ops.quota import domain_quota_sample
+
+        bcast = domain_quota_sample(docs_ds, cap=3).to_pandas()
+        # join_partitions small: hash-shuffle aggregators reserve
+        # 0.0625 CPU/partition and stall the 4-CPU test session at 32
+        joined = domain_quota_sample(
+            docs_ds, cap=3, broadcast_limit=0, join_partitions=4
+        ).to_pandas()
+        a = bcast.sort_values("doc_id").reset_index(drop=True)
+        b = joined.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_deterministic_across_runs_and_shards(self, docs, docs_ds, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.quota import domain_quota_sample
+
+        full = set(domain_quota_sample(docs_ds, cap=5).to_pandas()["doc_id"])
+        again = set(domain_quota_sample(docs_ds, cap=5).to_pandas()["doc_id"])
+        assert full == again
+        # membership is a pure function of the data: a shard that holds
+        # a group's full population selects the same ids for that group
+        one_src = docs.filter(pa.compute.equal(docs.column("source"), "src3"))
+        shard = set(
+            domain_quota_sample(rd.from_arrow(one_src), cap=5).to_pandas()["doc_id"]
+        )
+        assert shard == {i for i in full if i in set(one_src.column("doc_id").to_pylist())}
+
+    def test_cap_validation(self, docs_ds):
+        from etl_warehouse_agnostic_ray.ops.quota import domain_quota_sample
+
+        with pytest.raises(ValueError):
+            domain_quota_sample(docs_ds, cap=0)
