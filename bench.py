@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "multimodal_video_real",
     "hash_split_documents",
     "hash_sample_documents",
+    "domain_quota_documents",
+    "line_dedup_documents",
     "sessionize_events",
     "session_stats_events",
     "vocab_topk_documents",

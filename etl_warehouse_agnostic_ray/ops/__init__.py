@@ -28,6 +28,7 @@ from .chunk import chunk_documents  # noqa: F401
 from .contamination import contamination_check, eval_shingle_set  # noqa: F401
 from .quantiles import grouped_quantiles, quantiles_exact  # noqa: F401
 from .redact import pii_redact  # noqa: F401
+from .linededup import line_dedup  # noqa: F401
 from .quota import domain_quota_sample  # noqa: F401
 from .sampling import hash_sample, hash_split, id_buckets  # noqa: F401
 from .sessions import session_stats, sessionize  # noqa: F401

@@ -1765,6 +1765,55 @@ SELECT doc_id, source FROM r WHERE rn <= 10
 """
 
 
+def q_line_dedup_documents(sf_dir: str):
+    """Cross-document line dedup (CCNet/RefinedWeb boilerplate
+    removal): reshape each doc into 8-word lines (same RE2 regex in
+    Arrow and DuckDB), then remove every line appearing in >= 2
+    distinct documents. The DF exchange moves 24-byte hash-pair rows,
+    never line text; the dup set broadcasts once (scale path: LEFT
+    ANTI join + bucketed reassembly)."""
+    from ..ops.linededup import line_dedup
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_lines(b):
+        import pyarrow.compute as _pc
+
+        return b.set_column(
+            b.schema.get_field_index("text"),
+            "text",
+            _pc.replace_substring_regex(
+                b.column("text"),
+                pattern=r"((?:\S+ ){7}\S+) ",
+                replacement="\\1\n",
+            ),
+        )
+
+    return line_dedup(ds.map_batches(to_lines, batch_format="pyarrow"), min_df=2)
+
+
+SQL_LINE_DEDUP_DOCUMENTS = r"""
+WITH ml AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS ord
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ml)
+),
+df AS (SELECT line, count(DISTINCT doc_id) AS df FROM l WHERE length(line) > 0 GROUP BY line),
+dup AS (SELECT line FROM df WHERE df >= 2),
+kept AS (SELECT l.doc_id, l.line, l.ord FROM l LEFT JOIN dup p ON l.line = p.line WHERE p.line IS NULL),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text, count(*) AS n_kept FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.text, '') AS text, t.n_lines::BIGINT AS n_lines,
+       (t.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user 1-based
     session numbers over the events stream. One coarse keyed exchange
@@ -2107,6 +2156,7 @@ QUERIES = {
     "hash_split_documents": q_hash_split_documents,
     "hash_sample_documents": q_hash_sample_documents,
     "domain_quota_documents": q_domain_quota_documents,
+    "line_dedup_documents": q_line_dedup_documents,
     "sessionize_events": q_sessionize_events,
     "session_stats_events": q_session_stats_events,
     "vocab_topk_documents": q_vocab_topk_documents,
@@ -2163,6 +2213,7 @@ ORACLES = {
     "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
     "hash_sample_documents": SQL_HASH_SAMPLE_DOCUMENTS,
     "domain_quota_documents": SQL_DOMAIN_QUOTA_DOCUMENTS,
+    "line_dedup_documents": SQL_LINE_DEDUP_DOCUMENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "session_stats_events": SQL_SESSION_STATS_EVENTS,
     "vocab_topk_documents": SQL_VOCAB_TOPK_DOCUMENTS,

@@ -2,6 +2,7 @@
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -1229,3 +1230,108 @@ class TestDomainQuota:
 
         with pytest.raises(ValueError):
             domain_quota_sample(docs_ds, cap=0)
+
+
+class TestLineDedup:
+    _SQL = """
+    WITH l AS (
+      SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS ord
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d)
+    ),
+    df AS (SELECT line, count(DISTINCT doc_id) AS df FROM l
+           WHERE length(line) > 0 GROUP BY line),
+    dup AS (SELECT line FROM df WHERE df >= {min_df}),
+    kept AS (SELECT l.doc_id, l.line, l.ord FROM l
+             LEFT JOIN dup p ON l.line = p.line WHERE p.line IS NULL),
+    agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text,
+            count(*) AS n_kept FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(a.text, '') AS text, t.n_lines::BIGINT AS n_lines,
+           (t.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+    FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+    """
+
+    @pytest.fixture()
+    def corpus(self):
+        # dup appears in docs 1,2,4; dup2 only within doc 5 (kept:
+        # df counts DISTINCT docs); doc 3 empty; doc 4 all-boilerplate
+        return pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "a\ndup\n\nb",
+                    "dup\nc",
+                    "",
+                    "dup",
+                    "x\ny\ndup2\nz\ndup2",
+                ],
+            }
+        )
+
+    def _oracle(self, corpus, min_df):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("d", corpus)
+        return con.execute(self._SQL.format(min_df=min_df)).fetchdf()
+
+    def _run(self, corpus, ray_session, **kw):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.linededup import line_dedup
+
+        got = line_dedup(rd.from_arrow(corpus), **kw).to_pandas()
+        return (
+            got.sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype({"n_lines": "int64", "n_removed": "int64"})
+        )
+
+    def test_broadcast_matches_oracle(self, corpus, ray_session):
+        got = self._run(corpus, ray_session, min_df=2)
+        pd.testing.assert_frame_equal(got, self._oracle(corpus, 2))
+        # dup removed everywhere, within-doc repeat (dup2) kept
+        assert got.loc[got.doc_id == 4, "text"].item() == ""
+        assert "dup2" in got.loc[got.doc_id == 5, "text"].item()
+
+    def test_join_scale_path_same_answer(self, corpus, ray_session):
+        a = self._run(corpus, ray_session, min_df=2)
+        b = self._run(
+            corpus, ray_session, min_df=2, broadcast_limit=0, join_partitions=2
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_min_df_threshold(self, corpus, ray_session):
+        # min_df=3: only 'dup' (docs 1,2,4) crosses; nothing else
+        got = self._run(corpus, ray_session, min_df=3)
+        pd.testing.assert_frame_equal(got, self._oracle(corpus, 3))
+        assert got["n_removed"].sum() == 3
+
+    def test_documents_table(self, docs, docs_ds, ray_session):
+        # real fixture reshaped into 8-word lines so cross-doc dup
+        # lines actually exist (word-soup vocabulary is tiny)
+        import duckdb
+        import pyarrow.compute as apc
+
+        ml = pa.table(
+            {
+                "doc_id": docs.column("doc_id"),
+                "text": apc.replace_substring_regex(
+                    docs.column("text"),
+                    pattern=r"((?:\S+ ){7}\S+) ",
+                    replacement="\\1\n",
+                ),
+            }
+        )
+        got = self._run(ml, ray_session, min_df=2)
+        want = self._oracle(ml, 2)
+        pd.testing.assert_frame_equal(got, want)
+        assert got["n_removed"].sum() > 0, "fixture should exercise removal"
+
+    def test_min_df_validation(self, corpus, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.linededup import line_dedup
+
+        with pytest.raises(ValueError):
+            line_dedup(rd.from_arrow(corpus), min_df=1)
