@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "hash_sample_documents",
     "domain_quota_documents",
     "line_dedup_documents",
+    "gopher_quality_documents",
     "sessionize_events",
     "session_stats_events",
     "vocab_topk_documents",

@@ -36,6 +36,7 @@ from .similarity import topk_cosine  # noqa: F401
 from .vocab import vocab_topk  # noqa: F401
 from .text import (  # noqa: F401
     doc_fingerprint,
+    gopher_rules,
     lang_id,
     quality_score,
     repetition_signals,

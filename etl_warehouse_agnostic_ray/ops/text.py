@@ -244,3 +244,189 @@ def repetition_signals(
             "top_word_frac": pa.array(top_word_frac),
         }
     )
+
+
+# Gopher quality-rule battery (Rae et al. 2021, public): the standard
+# doc-level web-text filters. Required-stopword set kept as DATA so the
+# SQL twin regenerates from it.
+_GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    batch: pa.Table,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> pa.Table:
+    """Gopher-style document quality rules, one vectorized pass per
+    batch (no shuffle): word-count bounds, mean word length 3-10,
+    '#' / ellipsis symbol-to-word ratios <= 0.1, bullet-start line
+    fraction <= 0.9, ellipsis-end line fraction <= 0.3, alphabetic-word
+    fraction >= 0.8, and >= 2 distinct required English stopwords.
+    Emits every signal plus the combined ``gopher_pass`` flag; all
+    arithmetic is exact-int division replayed bitwise by the SQL twin
+    (``gopher_sql``).
+
+    (Reference analogue: the additive completeness/validity scoring in
+    ``dbt/models/curated/repsly/visits.sql:328-340`` — semantics
+    generalized to the published web-corpus rule set.)
+    """
+    from .texthash import poly_hash_array, tokenize_ws
+
+    s = pc.fill_null(pc.cast(batch.column(col), pa.large_string()), "")
+    n = len(batch)
+
+    # words
+    flat, off = tokenize_ws(s)
+    n_words = np.diff(off).astype(np.int64)
+    wrows = np.repeat(np.arange(n, dtype=np.int64), n_words)
+    nonspace = pc.utf8_length(
+        pc.replace_substring_regex(s, r"\s", "")
+    ).to_numpy(zero_copy_only=False).astype(np.float64)
+    mean_word_len = np.where(n_words > 0, nonspace / np.maximum(n_words, 1), 0.0)
+
+    alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(zero_copy_only=False)
+    alpha_words = np.bincount(wrows[alpha], minlength=n)
+    alpha_word_frac = np.where(n_words > 0, alpha_words / np.maximum(n_words, 1), 0.0)
+
+    # distinct required stopwords present (lowered token membership)
+    th = poly_hash_array(pc.utf8_lower(flat))
+    stop_set = np.sort(
+        poly_hash_array(pa.array(list(_GOPHER_STOPWORDS), pa.large_string()))
+    )
+    hits = np.isin(th, stop_set)
+    _, stop_hits, _ = _per_row_runs(th[hits], wrows[hits], n)
+
+    # symbol-to-word ratios (leftmost non-overlapping counts, both sides)
+    hash_cnt = pc.count_substring(s, "#").to_numpy(zero_copy_only=False)
+    ell_cnt = (
+        pc.count_substring(s, "...").to_numpy(zero_copy_only=False)
+        + pc.count_substring(s, "…").to_numpy(zero_copy_only=False)
+    )
+    hash_word_ratio = np.where(n_words > 0, hash_cnt / np.maximum(n_words, 1), 0.0)
+    ellipsis_word_ratio = np.where(n_words > 0, ell_cnt / np.maximum(n_words, 1), 0.0)
+
+    # line fractions (ALL lines, like the published rules)
+    from .linededup import split_lines
+
+    lflat, loff = split_lines(s)
+    n_lines = np.diff(loff).astype(np.int64)
+    lrows = np.repeat(np.arange(n, dtype=np.int64), n_lines)
+    bullet = pc.match_substring_regex(lflat, r"^[-*•]").to_numpy(zero_copy_only=False)
+    ell_end = pc.match_substring_regex(lflat, r"(\.\.\.|…)$").to_numpy(
+        zero_copy_only=False
+    )
+    bullet_line_frac = np.where(
+        n_lines > 0, np.bincount(lrows[bullet], minlength=n) / np.maximum(n_lines, 1), 0.0
+    )
+    ellipsis_line_frac = np.where(
+        n_lines > 0, np.bincount(lrows[ell_end], minlength=n) / np.maximum(n_lines, 1), 0.0
+    )
+
+    ok = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (hash_word_ratio <= 0.1)
+        & (ellipsis_word_ratio <= 0.1)
+        & (bullet_line_frac <= 0.9)
+        & (ellipsis_line_frac <= 0.3)
+        & (alpha_word_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(mean_word_len),
+            "hash_word_ratio": pa.array(hash_word_ratio),
+            "ellipsis_word_ratio": pa.array(ellipsis_word_ratio),
+            "bullet_line_frac": pa.array(bullet_line_frac),
+            "ellipsis_line_frac": pa.array(ellipsis_line_frac),
+            "alpha_word_frac": pa.array(alpha_word_frac),
+            "stop_hits": pa.array(stop_hits.astype(np.int64)),
+            "gopher_pass": pa.array(ok),
+        }
+    )
+
+
+def gopher_sql(
+    doc_src: str = "documents",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``gopher_rules`` — identical tokenization
+    (``\\s+`` split of trimmed text), identical exact-int divisions,
+    stopword list injected from the same ``_GOPHER_STOPWORDS`` data."""
+    stop_list = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    return f"""
+WITH tk AS (
+  SELECT {id_col}, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM {doc_src}
+),
+w AS (
+  SELECT {id_col}, text,
+         array_length(toks)::BIGINT AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         array_length(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words,
+         array_length(list_intersect(
+             list_distinct(list_transform(toks, t -> lower(t))),
+             [{stop_list}])) AS stop_hits,
+         length(text) - length(replace(text, '#', '')) AS hash_cnt,
+         (length(text) - length(replace(text, '...', ''))) / 3
+           + length(text) - length(replace(text, '…', '')) AS ell_cnt
+  FROM tk
+),
+l AS (
+  SELECT {id_col}, count(*)::BIGINT AS n_lines,
+         sum(CASE WHEN regexp_matches(line, '^[-*•]') THEN 1 ELSE 0 END) AS bullets,
+         sum(CASE WHEN regexp_matches(line, '(\\.\\.\\.|…)$') THEN 1 ELSE 0 END) AS ells
+  FROM (SELECT {id_col}, unnest(string_split(text, chr(10))) AS line FROM {doc_src})
+  GROUP BY {id_col}
+),
+j AS (
+  SELECT w.{id_col}, w.n_words,
+         CASE WHEN w.n_words > 0 THEN w.nonspace / w.n_words::DOUBLE ELSE 0.0 END AS mean_word_len,
+         CASE WHEN w.n_words > 0 THEN w.hash_cnt / w.n_words::DOUBLE ELSE 0.0 END AS hash_word_ratio,
+         CASE WHEN w.n_words > 0 THEN w.ell_cnt / w.n_words::DOUBLE ELSE 0.0 END AS ellipsis_word_ratio,
+         CASE WHEN l.n_lines > 0 THEN l.bullets / l.n_lines::DOUBLE ELSE 0.0 END AS bullet_line_frac,
+         CASE WHEN l.n_lines > 0 THEN l.ells / l.n_lines::DOUBLE ELSE 0.0 END AS ellipsis_line_frac,
+         CASE WHEN w.n_words > 0 THEN w.alpha_words / w.n_words::DOUBLE ELSE 0.0 END AS alpha_word_frac,
+         coalesce(w.stop_hits, 0)::BIGINT AS stop_hits
+  FROM w LEFT JOIN l USING ({id_col})
+)
+SELECT {id_col}, n_words, mean_word_len, hash_word_ratio, ellipsis_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS gopher_pass
+FROM j
+"""
+
+
+# GPT-2-style pre-tokenizer, simplified to RE2 (no lookahead): letter
+# runs, digit runs, punctuation runs, each with an optional leading
+# space. Leftmost-first alternation — identical in Arrow and DuckDB
+# (both RE2), so the SQL twin counts bitwise the same.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(
+    batch: pa.Table, col: str = "text", out: str = "n_bpe_tokens"
+) -> pa.Table:
+    """BPE-ish token count (the pre-merge segment count a GPT-2-style
+    tokenizer would start from) — one vectorized RE2 pass. SQL twin:
+    ``array_length(regexp_extract_all(text, BPE_TOKEN_PATTERN))``."""
+    n = pc.count_substring_regex(
+        pc.cast(batch.column(col), pa.string()), BPE_TOKEN_PATTERN
+    )
+    return batch.append_column(out, pc.cast(n, pa.int64()))

@@ -1229,15 +1229,22 @@ SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
 def q_text_quality_tokens(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(token_count, batch_format="pyarrow").map_batches(
-        quality_score, batch_format="pyarrow"
-    ).select_columns(["doc_id", "n_tokens", "quality"])
+    from ..ops.text import bpe_token_count
+
+    return (
+        ds.map_batches(token_count, batch_format="pyarrow")
+        .map_batches(bpe_token_count, batch_format="pyarrow")
+        .map_batches(quality_score, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens", "n_bpe_tokens", "quality"])
+    )
 
 
 SQL_TEXT_QUALITY_TOKENS = """
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
             ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       array_length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))::BIGINT
+         AS n_bpe_tokens,
        round(100*(0.5*least(length(text), 500)/500.0
            + 0.4*coalesce(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                  / nullif(length(text), 0)::DOUBLE, 0)
@@ -1814,6 +1821,31 @@ FROM tot t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_gopher_quality_documents(sf_dir: str):
+    """Gopher quality-rule battery (Rae et al. 2021): word-count
+    bounds, mean word length, symbol-to-word ratios, bullet/ellipsis
+    line fractions, alphabetic-word fraction, required-stopword count,
+    and the combined pass flag. Pure vectorized map_batches — zero
+    shuffle; every signal is exact-int arithmetic replayed bitwise by
+    the SQL twin."""
+    import functools
+
+    from ..ops.text import gopher_rules
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        functools.partial(gopher_rules, min_words=25, max_words=100_000),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_gopher() -> str:
+    from ..ops.text import gopher_sql
+
+    return gopher_sql("documents", min_words=25, max_words=100_000)
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user 1-based
     session numbers over the events stream. One coarse keyed exchange
@@ -2157,6 +2189,7 @@ QUERIES = {
     "hash_sample_documents": q_hash_sample_documents,
     "domain_quota_documents": q_domain_quota_documents,
     "line_dedup_documents": q_line_dedup_documents,
+    "gopher_quality_documents": q_gopher_quality_documents,
     "sessionize_events": q_sessionize_events,
     "session_stats_events": q_session_stats_events,
     "vocab_topk_documents": q_vocab_topk_documents,
@@ -2214,6 +2247,7 @@ ORACLES = {
     "hash_sample_documents": SQL_HASH_SAMPLE_DOCUMENTS,
     "domain_quota_documents": SQL_DOMAIN_QUOTA_DOCUMENTS,
     "line_dedup_documents": SQL_LINE_DEDUP_DOCUMENTS,
+    "gopher_quality_documents": _sql_gopher(),
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "session_stats_events": SQL_SESSION_STATS_EVENTS,
     "vocab_topk_documents": SQL_VOCAB_TOPK_DOCUMENTS,

@@ -1335,3 +1335,103 @@ class TestLineDedup:
 
         with pytest.raises(ValueError):
             line_dedup(rd.from_arrow(corpus), min_df=1)
+
+
+class TestGopherRules:
+    @pytest.fixture()
+    def corpus(self):
+        return pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": [
+                    "The cat and the hat sat on a mat with that... extra",
+                    "### ## # tags only #",
+                    "- one\n- two\n- three\n- four",
+                    "",
+                    "word " * 60 + "the of and",
+                    "abc... def...\nghi…\njkl",
+                ],
+            }
+        )
+
+    def _oracle(self, corpus, min_words, max_words):
+        import duckdb
+
+        from etl_warehouse_agnostic_ray.ops.text import gopher_sql
+
+        con = duckdb.connect()
+        con.register("documents", corpus)
+        return (
+            con.execute(gopher_sql("documents", min_words, max_words))
+            .fetchdf()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_matches_sql_twin_bitwise(self, corpus):
+        from etl_warehouse_agnostic_ray.ops.text import gopher_rules
+
+        got = (
+            gopher_rules(corpus, min_words=5, max_words=100)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._oracle(corpus, 5, 100)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_rule_semantics(self, corpus):
+        from etl_warehouse_agnostic_ray.ops.text import gopher_rules
+
+        got = gopher_rules(corpus, min_words=5, max_words=100).to_pandas()
+        got = got.set_index("doc_id")
+        assert got.loc[1, "gopher_pass"]  # normal English-ish sentence
+        assert not got.loc[2, "gopher_pass"]  # symbol spam
+        assert got.loc[2, "hash_word_ratio"] > 0.1
+        assert got.loc[3, "bullet_line_frac"] == 1.0
+        assert got.loc[4, "n_words"] == 0 and not got.loc[4, "gopher_pass"]
+        assert got.loc[6, "ellipsis_line_frac"] > 0.3
+        assert got.loc[1, "stop_hits"] == 3  # the, and, with
+
+    def test_documents_table_matches(self, docs):
+        from etl_warehouse_agnostic_ray.ops.text import gopher_rules
+
+        sub = docs.select(["doc_id", "text"])
+        got = (
+            gopher_rules(sub, min_words=25, max_words=100_000)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._oracle(sub, 25, 100_000)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestBpeTokenCount:
+    def test_matches_duckdb(self, docs):
+        import duckdb
+
+        from etl_warehouse_agnostic_ray.ops.text import (
+            BPE_TOKEN_PATTERN,
+            bpe_token_count,
+        )
+
+        sub = docs.select(["doc_id", "text"])
+        got = bpe_token_count(sub).column("n_bpe_tokens").to_pylist()
+        con = duckdb.connect()
+        con.register("d", sub)
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT array_length(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) FROM d"
+            ).fetchall()
+        ]
+        assert got == want
+
+    def test_edge_cases(self):
+        from etl_warehouse_agnostic_ray.ops.text import bpe_token_count
+
+        t = pa.table(
+            {"text": ["Hello, world! It's 2026.", "", "  spaced   out  ", "### tags"]}
+        )
+        assert bpe_token_count(t).column("n_bpe_tokens").to_pylist() == [9, 0, 2, 2]
