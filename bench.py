@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "domain_quota_documents",
     "line_dedup_documents",
     "gopher_quality_documents",
+    "corpus_curate",
     "sessionize_events",
     "session_stats_events",
     "vocab_topk_documents",

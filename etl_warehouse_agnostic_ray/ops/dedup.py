@@ -118,6 +118,7 @@ def exact_dedup(
     id_col: str = "doc_id",
     broadcast_limit: int = 5_000_000,
     join_partitions: int = 32,
+    keep_cols: list[str] | None = None,
 ):
     """Keep the min-id row per exact text; returns (id, text) survivors.
 
@@ -162,7 +163,12 @@ def exact_dedup(
     ).materialize()
 
     return recover_rows_by_id(
-        ds, survivors, id_col, [id_col, text_col], broadcast_limit, join_partitions
+        ds,
+        survivors,
+        id_col,
+        keep_cols if keep_cols is not None else [id_col, text_col],
+        broadcast_limit,
+        join_partitions,
     )
 
 

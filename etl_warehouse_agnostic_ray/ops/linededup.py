@@ -145,7 +145,7 @@ def _dup_pairs_array(dup) -> np.ndarray:
 
 
 def _rewrite_broadcast(
-    b: pa.Table, ref, text_col: str, id_col: str
+    b: pa.Table, ref, text_col: str, id_col: str, passthrough: tuple = ()
 ) -> pa.Table:
     import ray
 
@@ -175,20 +175,22 @@ def _rewrite_broadcast(
     lst = pa.LargeListArray.from_arrays(
         pa.array(new_off), flat.filter(pa.array(keep))
     )
-    return pa.table(
-        {
-            id_col: b.column(id_col),
-            "text": pc.binary_join(lst, pa.scalar("\n", pa.large_string())),
-            "n_lines": pa.array(np.diff(offs).astype(np.int64)),
-            "n_removed": pa.array(
-                np.bincount(seg[remove], minlength=n).astype(np.int64)
-            ),
-        }
-    )
+    cols = {
+        id_col: b.column(id_col),
+        "text": pc.binary_join(lst, pa.scalar("\n", pa.large_string())),
+        "n_lines": pa.array(np.diff(offs).astype(np.int64)),
+        "n_removed": pa.array(
+            np.bincount(seg[remove], minlength=n).astype(np.int64)
+        ),
+    }
+    for c in passthrough:
+        cols[c] = b.column(c)
+    return pa.table(cols)
 
 
 def _project_lines(
-    b: pa.Table, text_col: str, id_col: str, num_buckets: int
+    b: pa.Table, text_col: str, id_col: str, num_buckets: int,
+    passthrough: tuple = (),
 ) -> pa.Table:
     """Scale-path projection: one row per line PLUS one anchor row per
     doc (ord = -1, never matches the dup set) so all-boilerplate docs
@@ -212,20 +214,24 @@ def _project_lines(
         [flat, pa.array([""] * len(b), type=flat.type)]
     )
     pk = (splitmix64(cat_ids.astype(np.int64).view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
-    return pa.table(
-        {
-            id_col: pa.array(cat_ids),
-            "_ord": pa.array(cat_ord),
-            "_line": line_cat,
-            "h1": pa.array(cat_h1),
-            "h2": pa.array(cat_h2),
-            "_nl": pa.array(cat_nl),
-            "_pk": pa.array(pk),
-        }
-    )
+    cols = {
+        id_col: pa.array(cat_ids),
+        "_ord": pa.array(cat_ord),
+        "_line": line_cat,
+        "h1": pa.array(cat_h1),
+        "h2": pa.array(cat_h2),
+        "_nl": pa.array(cat_nl),
+        "_pk": pa.array(pk),
+    }
+    for c in passthrough:
+        v = b.column(c)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        cols[c] = pa.concat_arrays([v.take(pa.array(seg)), v])
+    return pa.table(cols)
 
 
-def _reassemble(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+def _reassemble(g: pd.DataFrame, id_col: str, passthrough: tuple = ()) -> pd.DataFrame:
     """Reduce one doc bucket: sort by (id, ord) once, rebuild each
     doc's text via list offsets + binary_join."""
     ids = g[id_col].to_numpy()
@@ -249,14 +255,15 @@ def _reassemble(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
         pa.array(off), pa.array(lines[order][real], pa.large_string())
     )
     text = pc.binary_join(lst, pa.scalar("\n", pa.large_string())).to_numpy(zero_copy_only=False)
-    return pd.DataFrame(
-        {
-            id_col: uniq,
-            "text": text,
-            "n_lines": n_lines,
-            "n_removed": n_lines - counts,
-        }
-    )
+    out = {
+        id_col: uniq,
+        "text": text,
+        "n_lines": n_lines,
+        "n_removed": n_lines - counts,
+    }
+    for c in passthrough:
+        out[c] = g[c].to_numpy()[order][first]
+    return pd.DataFrame(out)
 
 
 def line_dedup(
@@ -267,9 +274,12 @@ def line_dedup(
     broadcast_limit: int = 5_000_000,
     join_partitions: int = 8,
     num_buckets: int = N_COARSE,
+    passthrough: tuple = (),
 ):
     """Remove every non-empty line appearing in >= ``min_df`` distinct
-    documents. Returns (id_col, text, n_lines, n_removed)."""
+    documents. Returns (id_col, text, n_lines, n_removed) plus any
+    ``passthrough`` columns copied from the input (so the op chains
+    into downstream stages without a recovery join)."""
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
     import ray
@@ -291,7 +301,8 @@ def line_dedup(
         ref = ray.put(_dup_pairs_array(dup))
         return ds.map_batches(
             functools.partial(
-                _rewrite_broadcast, ref=ref, text_col=text_col, id_col=id_col
+                _rewrite_broadcast, ref=ref, text_col=text_col,
+                id_col=id_col, passthrough=tuple(passthrough),
             ),
             batch_format="pyarrow",
         )
@@ -303,6 +314,7 @@ def line_dedup(
             text_col=text_col,
             id_col=id_col,
             num_buckets=num_buckets,
+            passthrough=tuple(passthrough),
         ),
         batch_format="pyarrow",
     ).join(
@@ -314,7 +326,9 @@ def line_dedup(
     return (
         kept.groupby("_pk")
         .map_groups(
-            functools.partial(_reassemble, id_col=id_col),
+            functools.partial(
+                _reassemble, id_col=id_col, passthrough=tuple(passthrough)
+            ),
             batch_format="pandas",
         )
     )

@@ -48,6 +48,7 @@ def domain_quota_sample(
     cap: int = 10,
     broadcast_limit: int = 5_000_000,
     join_partitions: int = 32,
+    keep_cols: list[str] | None = None,
 ):
     """Keep at most ``cap`` rows per ``group_col`` value; returns
     (id_col, group_col) for the kept rows. Deterministic: the kept rows
@@ -94,5 +95,10 @@ def domain_quota_sample(
     ).materialize()
 
     return recover_rows_by_id(
-        ds, survivors, id_col, [id_col, group_col], broadcast_limit, join_partitions
+        ds,
+        survivors,
+        id_col,
+        keep_cols if keep_cols is not None else [id_col, group_col],
+        broadcast_limit,
+        join_partitions,
     )

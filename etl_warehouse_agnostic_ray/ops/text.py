@@ -338,20 +338,21 @@ def gopher_rules(
         & (alpha_word_frac >= 0.8)
         & (stop_hits >= 2)
     )
-    return pa.table(
-        {
-            id_col: batch.column(id_col),
-            "n_words": pa.array(n_words),
-            "mean_word_len": pa.array(mean_word_len),
-            "hash_word_ratio": pa.array(hash_word_ratio),
-            "ellipsis_word_ratio": pa.array(ellipsis_word_ratio),
-            "bullet_line_frac": pa.array(bullet_line_frac),
-            "ellipsis_line_frac": pa.array(ellipsis_line_frac),
-            "alpha_word_frac": pa.array(alpha_word_frac),
-            "stop_hits": pa.array(stop_hits.astype(np.int64)),
-            "gopher_pass": pa.array(ok),
-        }
-    )
+    # APPEND signals (original columns survive), so the battery chains
+    # into downstream stages — filter on any signal, keep the text
+    for name, arr in (
+        ("n_words", pa.array(n_words)),
+        ("mean_word_len", pa.array(mean_word_len)),
+        ("hash_word_ratio", pa.array(hash_word_ratio)),
+        ("ellipsis_word_ratio", pa.array(ellipsis_word_ratio)),
+        ("bullet_line_frac", pa.array(bullet_line_frac)),
+        ("ellipsis_line_frac", pa.array(ellipsis_line_frac)),
+        ("alpha_word_frac", pa.array(alpha_word_frac)),
+        ("stop_hits", pa.array(stop_hits.astype(np.int64))),
+        ("gopher_pass", pa.array(ok)),
+    ):
+        batch = batch.append_column(name, arr)
+    return batch
 
 
 def gopher_sql(

@@ -641,14 +641,12 @@ def q_join_revenue_by_nation_segment(sf_dir: str):
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    nmap_ref = ray.put(
-        dict(
-            zip(
-                nation.column("n_nationkey").to_pylist(),
-                nation.column("n_name").to_pylist(),
-            )
-        )
-    )
+    # dense lookup array indexed by nationkey: one ray.put, vectorized
+    # np.take in every task (no per-row Python dict probes)
+    nk = nation.column("n_nationkey").to_numpy()
+    dense = np.empty(int(nk.max()) + 1, dtype=object)
+    dense[nk] = nation.column("n_name").to_numpy(zero_copy_only=False)
+    nmap_ref = ray.put(dense)
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
@@ -666,10 +664,10 @@ def q_join_revenue_by_nation_segment(sf_dir: str):
 
     def add_nation(b: pa.Table) -> pa.Table:
         nmap = ray.get(nmap_ref)
-        keys = b.column("c_nationkey").to_pylist()
+        keys = b.column("c_nationkey").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "n_name": pa.array([nmap[k] for k in keys], pa.string()),
+                "n_name": pa.array(nmap[keys], pa.string()),
                 "c_mktsegment": b.column("c_mktsegment"),
                 "o_totalprice": b.column("o_totalprice"),
             }
@@ -1837,6 +1835,19 @@ def q_gopher_quality_documents(sf_dir: str):
     return ds.map_batches(
         functools.partial(gopher_rules, min_words=25, max_words=100_000),
         batch_format="pyarrow",
+    ).select_columns(
+        [
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "hash_word_ratio",
+            "ellipsis_word_ratio",
+            "bullet_line_frac",
+            "ellipsis_line_frac",
+            "alpha_word_frac",
+            "stop_hits",
+            "gopher_pass",
+        ]
     )
 
 
@@ -1844,6 +1855,132 @@ def _sql_gopher() -> str:
     from ..ops.text import gopher_sql
 
     return gopher_sql("documents", min_words=25, max_words=100_000)
+
+
+def q_corpus_curate(sf_dir: str):
+    """The full C4/RefinedWeb-style curation chain, composed from the
+    engine's own stages and verified END-TO-END by one SQL oracle:
+
+      1. Gopher quality gate (word bounds, mean word length,
+         alpha-word fraction) — vectorized signals appended in-stream,
+         filtered, dropped; zero shuffle.
+      2. cross-document line dedup (boilerplate removal) over 8-word
+         reshaped lines — 24-byte hash-pair DF exchange, broadcast
+         rewrite; ``source`` rides through as a passthrough column
+         (no recovery join).
+      3. exact dedup on the post-scrub text — 128-bit content-hash
+         shuffle, min-id survivor per text.
+      4. per-source domain quota (cap 15, deterministic lowest
+         poly64(id)) — final mix balancing.
+
+    Blocks stream through all four stages; the only materializations
+    are the two small survivor/dup-set reductions each stage documents.
+    """
+    import functools
+
+    from ..ops.dedup import exact_dedup
+    from ..ops.linededup import line_dedup
+    from ..ops.quota import domain_quota_sample
+    from ..ops.text import gopher_rules
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def gate_and_reshape(b: pa.Table) -> pa.Table:
+        b = gopher_rules(b, min_words=30, max_words=100_000)
+        m = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(b.column("n_words"), 30),
+                    pc.less_equal(b.column("n_words"), 100_000),
+                ),
+                pc.and_(
+                    pc.greater_equal(b.column("mean_word_len"), 3.0),
+                    pc.less_equal(b.column("mean_word_len"), 10.0),
+                ),
+            ),
+            pc.greater_equal(b.column("alpha_word_frac"), 0.8),
+        )
+        b = b.filter(m).select(["doc_id", "text", "source"])
+        return b.set_column(
+            b.schema.get_field_index("text"),
+            "text",
+            pc.replace_substring_regex(
+                b.column("text"),
+                pattern=r"((?:\S+ ){7}\S+) ",
+                replacement="\\1\n",
+            ),
+        )
+
+    gated = ds.map_batches(gate_and_reshape, batch_format="pyarrow")
+    scrubbed = line_dedup(gated, min_df=2, passthrough=("source",)).select_columns(
+        ["doc_id", "text", "source"]
+    )
+    unique = exact_dedup(
+        scrubbed, keep_cols=["doc_id", "text", "source"]
+    )
+    return domain_quota_sample(
+        unique,
+        group_col="source",
+        id_col="doc_id",
+        cap=15,
+        keep_cols=["doc_id", "source", "text"],
+    )
+
+
+SQL_CORPUS_CURATE = f"""
+WITH tk AS (
+  SELECT doc_id, source, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+),
+gsig AS (
+  SELECT doc_id, source, text,
+         array_length(toks)::BIGINT AS n_words,
+         CASE WHEN array_length(toks) > 0
+              THEN length(regexp_replace(text, '\\s', '', 'g')) / array_length(toks)::DOUBLE
+              ELSE 0.0 END AS mwl,
+         CASE WHEN array_length(toks) > 0
+              THEN array_length(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) / array_length(toks)::DOUBLE
+              ELSE 0.0 END AS awf
+  FROM tk
+),
+g AS (
+  SELECT doc_id, source,
+         regexp_replace(text, '((?:\\S+ ){{7}}\\S+) ', '\\1' || chr(10), 'g') AS text
+  FROM gsig
+  WHERE n_words >= 30 AND n_words <= 100000
+    AND mwl >= 3.0 AND mwl <= 10.0 AND awf >= 0.8
+),
+l AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS ord
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM g)
+),
+df AS (SELECT line, count(DISTINCT doc_id) AS df FROM l WHERE length(line) > 0 GROUP BY line),
+dup AS (SELECT line FROM df WHERE df >= 2),
+kept AS (SELECT l.doc_id, l.line, l.ord FROM l LEFT JOIN dup p ON l.line = p.line WHERE p.line IS NULL),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text FROM kept GROUP BY doc_id),
+ld AS (
+  SELECT g.doc_id, g.source, coalesce(a.text, '') AS text
+  FROM g LEFT JOIN agg a USING (doc_id)
+),
+ed AS (SELECT min(doc_id) AS doc_id, text FROM ld GROUP BY text),
+edd AS (SELECT e.doc_id, l2.source, e.text FROM ed e JOIN ld l2 USING (doc_id)),
+pr AS (
+  SELECT doc_id, source, text,
+         {hash_sql.poly64_expr("CAST(doc_id AS VARCHAR)")} AS prio
+  FROM edd
+),
+r AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (PARTITION BY source ORDER BY prio, doc_id) AS rn
+  FROM pr
+)
+SELECT doc_id, source, text FROM r WHERE rn <= 15
+"""
 
 
 def q_sessionize_events(sf_dir: str):
@@ -2190,6 +2327,7 @@ QUERIES = {
     "domain_quota_documents": q_domain_quota_documents,
     "line_dedup_documents": q_line_dedup_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
+    "corpus_curate": q_corpus_curate,
     "sessionize_events": q_sessionize_events,
     "session_stats_events": q_session_stats_events,
     "vocab_topk_documents": q_vocab_topk_documents,
@@ -2248,6 +2386,7 @@ ORACLES = {
     "domain_quota_documents": SQL_DOMAIN_QUOTA_DOCUMENTS,
     "line_dedup_documents": SQL_LINE_DEDUP_DOCUMENTS,
     "gopher_quality_documents": _sql_gopher(),
+    "corpus_curate": SQL_CORPUS_CURATE,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "session_stats_events": SQL_SESSION_STATS_EVENTS,
     "vocab_topk_documents": SQL_VOCAB_TOPK_DOCUMENTS,

@@ -1373,6 +1373,7 @@ class TestGopherRules:
 
         got = (
             gopher_rules(corpus, min_words=5, max_words=100)
+            .drop_columns(["text"])
             .to_pandas()
             .sort_values("doc_id")
             .reset_index(drop=True)
@@ -1383,7 +1384,7 @@ class TestGopherRules:
     def test_rule_semantics(self, corpus):
         from etl_warehouse_agnostic_ray.ops.text import gopher_rules
 
-        got = gopher_rules(corpus, min_words=5, max_words=100).to_pandas()
+        got = gopher_rules(corpus, min_words=5, max_words=100).drop_columns(["text"]).to_pandas()
         got = got.set_index("doc_id")
         assert got.loc[1, "gopher_pass"]  # normal English-ish sentence
         assert not got.loc[2, "gopher_pass"]  # symbol spam
@@ -1399,6 +1400,7 @@ class TestGopherRules:
         sub = docs.select(["doc_id", "text"])
         got = (
             gopher_rules(sub, min_words=25, max_words=100_000)
+            .drop_columns(["text"])
             .to_pandas()
             .sort_values("doc_id")
             .reset_index(drop=True)
@@ -1435,3 +1437,75 @@ class TestBpeTokenCount:
             {"text": ["Hello, world! It's 2026.", "", "  spaced   out  ", "### tags"]}
         )
         assert bpe_token_count(t).column("n_bpe_tokens").to_pylist() == [9, 0, 2, 2]
+
+
+class TestLineDedupPassthrough:
+    def test_passthrough_both_paths(self, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.linededup import line_dedup
+
+        corpus = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["dup\na", "dup\nb", "dup"],
+                "source": ["s1", "s2", "s1"],
+            }
+        )
+        for kw in ({}, {"broadcast_limit": 0, "join_partitions": 2}):
+            got = (
+                line_dedup(
+                    rd.from_arrow(corpus), min_df=2, passthrough=("source",), **kw
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            assert got["source"].tolist() == ["s1", "s2", "s1"]
+            assert got["text"].tolist() == ["a", "b", ""]
+
+
+class TestKeepCols:
+    def test_exact_dedup_keep_cols(self, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.dedup import exact_dedup
+
+        t = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["same", "same", "other"],
+                "source": ["a", "b", "c"],
+            }
+        )
+        got = (
+            exact_dedup(rd.from_arrow(t), keep_cols=["doc_id", "text", "source"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == [1, 3]
+        assert got["source"].tolist() == ["a", "c"]
+
+    def test_quota_keep_cols(self, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.quota import domain_quota_sample
+
+        t = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["x", "y", "z"],
+                "source": ["a", "a", "b"],
+            }
+        )
+        got = (
+            domain_quota_sample(
+                rd.from_arrow(t), cap=5, keep_cols=["doc_id", "source", "text"]
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert set(got.columns) == {"doc_id", "source", "text"}
+        assert got["doc_id"].tolist() == [1, 2, 3]
