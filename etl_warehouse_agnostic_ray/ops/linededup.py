@@ -52,14 +52,15 @@ N_COARSE = 1024
 _PAIR_DT = np.dtype([("h1", "<u8"), ("h2", "<u8")])
 
 
-def split_lines(col) -> tuple[pa.Array, np.ndarray]:
-    """Split a string column on newline. Returns (flat line array,
-    per-row offsets int64[n+1]). '' rows yield one empty line, exactly
-    like DuckDB's string_split."""
+def split_lines(col, delimiter: str = "\n") -> tuple[pa.Array, np.ndarray]:
+    """Split a string column on ``delimiter`` (newline by default;
+    "\n\n" gives paragraph units). Returns (flat segment array,
+    per-row offsets int64[n+1]). '' rows yield one empty segment,
+    exactly like DuckDB's string_split."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     s = pc.fill_null(pc.cast(col, pa.large_string()), "")
-    lst = pc.split_pattern(s, pattern="\n")
+    lst = pc.split_pattern(s, pattern=delimiter)
     if isinstance(lst, pa.ChunkedArray):
         lst = lst.combine_chunks()
     flat = lst.flatten()
@@ -74,10 +75,12 @@ def _pair_hashes(flat: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return poly_hash_array(flat), poly_hash_array(flat, POLY_B2)
 
 
-def _df_partials(b: pa.Table, text_col: str, num_buckets: int) -> pa.Table:
+def _df_partials(
+    b: pa.Table, text_col: str, num_buckets: int, delimiter: str = "\n"
+) -> pa.Table:
     """Per-batch combiner: (h1, h2, cnt) where cnt = number of docs in
     this batch containing the (non-empty) line."""
-    flat, offs = split_lines(b.column(text_col))
+    flat, offs = split_lines(b.column(text_col), delimiter)
     h1, h2 = _pair_hashes(flat)
     lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
     seg = np.repeat(np.arange(len(b), dtype=np.int64), np.diff(offs))
@@ -145,12 +148,13 @@ def _dup_pairs_array(dup) -> np.ndarray:
 
 
 def _rewrite_broadcast(
-    b: pa.Table, ref, text_col: str, id_col: str, passthrough: tuple = ()
+    b: pa.Table, ref, text_col: str, id_col: str, passthrough: tuple = (),
+    delimiter: str = "\n",
 ) -> pa.Table:
     import ray
 
     dupset = ray.get(ref)
-    flat, offs = split_lines(b.column(text_col))
+    flat, offs = split_lines(b.column(text_col), delimiter)
     h1, h2 = _pair_hashes(flat)
     lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
     n = len(b)
@@ -177,7 +181,7 @@ def _rewrite_broadcast(
     )
     cols = {
         id_col: b.column(id_col),
-        "text": pc.binary_join(lst, pa.scalar("\n", pa.large_string())),
+        "text": pc.binary_join(lst, pa.scalar(delimiter, pa.large_string())),
         "n_lines": pa.array(np.diff(offs).astype(np.int64)),
         "n_removed": pa.array(
             np.bincount(seg[remove], minlength=n).astype(np.int64)
@@ -190,12 +194,12 @@ def _rewrite_broadcast(
 
 def _project_lines(
     b: pa.Table, text_col: str, id_col: str, num_buckets: int,
-    passthrough: tuple = (),
+    passthrough: tuple = (), delimiter: str = "\n",
 ) -> pa.Table:
     """Scale-path projection: one row per line PLUS one anchor row per
     doc (ord = -1, never matches the dup set) so all-boilerplate docs
     survive the anti join."""
-    flat, offs = split_lines(b.column(text_col))
+    flat, offs = split_lines(b.column(text_col), delimiter)
     h1, h2 = _pair_hashes(flat)
     ids = b.column(id_col).to_numpy(zero_copy_only=False)
     nl = np.diff(offs)
@@ -231,7 +235,10 @@ def _project_lines(
     return pa.table(cols)
 
 
-def _reassemble(g: pd.DataFrame, id_col: str, passthrough: tuple = ()) -> pd.DataFrame:
+def _reassemble(
+    g: pd.DataFrame, id_col: str, passthrough: tuple = (),
+    delimiter: str = "\n",
+) -> pd.DataFrame:
     """Reduce one doc bucket: sort by (id, ord) once, rebuild each
     doc's text via list offsets + binary_join."""
     ids = g[id_col].to_numpy()
@@ -254,7 +261,7 @@ def _reassemble(g: pd.DataFrame, id_col: str, passthrough: tuple = ()) -> pd.Dat
     lst = pa.LargeListArray.from_arrays(
         pa.array(off), pa.array(lines[order][real], pa.large_string())
     )
-    text = pc.binary_join(lst, pa.scalar("\n", pa.large_string())).to_numpy(zero_copy_only=False)
+    text = pc.binary_join(lst, pa.scalar(delimiter, pa.large_string())).to_numpy(zero_copy_only=False)
     out = {
         id_col: uniq,
         "text": text,
@@ -275,11 +282,14 @@ def line_dedup(
     join_partitions: int = 8,
     num_buckets: int = N_COARSE,
     passthrough: tuple = (),
+    delimiter: str = "\n",
 ):
     """Remove every non-empty line appearing in >= ``min_df`` distinct
     documents. Returns (id_col, text, n_lines, n_removed) plus any
     ``passthrough`` columns copied from the input (so the op chains
-    into downstream stages without a recovery join)."""
+    into downstream stages without a recovery join). ``delimiter``
+    picks the dedup unit: "\n" = lines (default), "\n\n" =
+    paragraphs."""
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
     import ray
@@ -287,7 +297,8 @@ def line_dedup(
     dup = (
         ds.map_batches(
             functools.partial(
-                _df_partials, text_col=text_col, num_buckets=num_buckets
+                _df_partials, text_col=text_col, num_buckets=num_buckets,
+                delimiter=delimiter,
             ),
             batch_format="pyarrow",
         )
@@ -303,6 +314,7 @@ def line_dedup(
             functools.partial(
                 _rewrite_broadcast, ref=ref, text_col=text_col,
                 id_col=id_col, passthrough=tuple(passthrough),
+                delimiter=delimiter,
             ),
             batch_format="pyarrow",
         )
@@ -315,6 +327,7 @@ def line_dedup(
             id_col=id_col,
             num_buckets=num_buckets,
             passthrough=tuple(passthrough),
+            delimiter=delimiter,
         ),
         batch_format="pyarrow",
     ).join(
@@ -327,7 +340,8 @@ def line_dedup(
         kept.groupby("_pk")
         .map_groups(
             functools.partial(
-                _reassemble, id_col=id_col, passthrough=tuple(passthrough)
+                _reassemble, id_col=id_col, passthrough=tuple(passthrough),
+                delimiter=delimiter,
             ),
             batch_format="pandas",
         )

@@ -1509,3 +1509,35 @@ class TestKeepCols:
         )
         assert set(got.columns) == {"doc_id", "source", "text"}
         assert got["doc_id"].tolist() == [1, 2, 3]
+
+
+class TestParagraphDedup:
+    def test_paragraph_delimiter(self, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.linededup import line_dedup
+
+        corpus = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "shared para\n\nunique one\nwith lines",
+                    "shared para\n\nother two",
+                    "solo doc",
+                ],
+            }
+        )
+        got = (
+            line_dedup(rd.from_arrow(corpus), min_df=2, delimiter="\n\n")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # the shared PARAGRAPH goes; embedded single newlines survive
+        assert got["text"].tolist() == [
+            "unique one\nwith lines",
+            "other two",
+            "solo doc",
+        ]
+        assert got["n_lines"].tolist() == [2, 2, 1]  # paragraph units
+        assert got["n_removed"].tolist() == [1, 1, 0]
