@@ -159,9 +159,14 @@ def quantiles_exact(
     is bitwise-equal to SQL ``quantile_disc``."""
     from ray.data.aggregate import Count, Max, Min
 
+    # pin: the stats pass, the histogram pass, and every per-bin
+    # candidate pull each consume `pruned`; unpinned, each consumption
+    # re-reads the source (up to ~2 + bins-touched full scans). The
+    # pinned set is ONE numeric column, nulls dropped — the smallest
+    # projection of the input.
     pruned = ds.map_batches(
         lambda b: b.select([col]).drop_null(), batch_format="pyarrow"
-    )
+    ).materialize()
     stats = pruned.aggregate(
         Count(alias_name="n"), Min(col, alias_name="lo"), Max(col, alias_name="hi")
     )
@@ -232,7 +237,7 @@ def grouped_quantiles(
     def prune(b: pa.Table) -> pa.Table:
         return b.select([group_col, col]).drop_null()
 
-    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    pruned = ds.map_batches(prune, batch_format="pyarrow").materialize()
     gstats = pa.concat_tables(
         pruned.groupby(group_col)
         .aggregate(Count(alias_name="n"), Min(col, alias_name="lo"), Max(col, alias_name="hi"))

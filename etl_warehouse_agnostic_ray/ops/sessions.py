@@ -59,19 +59,15 @@ def _assign_sessions(g: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     return pd.DataFrame({"event_id": i, "user_id": u, "session_num": cum - start})
 
 
-def sessionize(
+def _keyed(
     ds,
-    gap_minutes: int = 30,
-    num_buckets: int = 64,
+    num_buckets: int,
     id_col: str = "event_id",
     user_col: str = "user_id",
     ts_col: str = "ts",
 ):
-    """Returns (event_id, user_id, session_num) with session_num
-    1-based per user in (ts, event_id) order. `num_buckets` is the
-    coarse-shuffle width — size it to cluster cores, not user
-    cardinality."""
-    gap_us = int(gap_minutes) * 60_000_000
+    """Project to (event_id, user_id, ts, coarse user bucket) — the
+    only columns the session exchange ever moves."""
 
     def key(b: pa.Table) -> pa.Table:
         uid = b.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -87,22 +83,65 @@ def sessionize(
             }
         )
 
+    return ds.map_batches(key, batch_format="pyarrow")
+
+
+def sessionize(
+    ds,
+    gap_minutes: int = 30,
+    num_buckets: int = 64,
+    id_col: str = "event_id",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Returns (event_id, user_id, session_num) with session_num
+    1-based per user in (ts, event_id) order. `num_buckets` is the
+    coarse-shuffle width — size it to cluster cores, not user
+    cardinality."""
+    gap_us = int(gap_minutes) * 60_000_000
     fn = functools.partial(_assign_sessions, gap_us=gap_us)
     return (
-        ds.map_batches(key, batch_format="pyarrow")
+        _keyed(ds, num_buckets, id_col, user_col, ts_col)
         .groupby("_bk")
         .map_groups(fn, batch_format="pandas")
     )
 
 
-def session_stats(ds, gap_minutes: int = 30, num_buckets: int = 64):
-    """Per-user session summary: n_sessions + n_events, derived from
-    the same single-exchange plan (sessionize emits one row per event;
-    the rollup is a map-side-combining aggregate over user_id)."""
-    from ray.data.aggregate import Count, Max
-
-    return (
-        sessionize(ds, gap_minutes=gap_minutes, num_buckets=num_buckets)
-        .groupby("user_id")
-        .aggregate(Count(alias_name="n_events"), Max("session_num", alias_name="n_sessions"))
+def _session_rollup(g: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """Same lexsort + break pass as ``_assign_sessions``, but reduce to
+    per-user (n_events, n_sessions) from the run boundaries directly —
+    a user lives wholly in one bucket, so no second exchange is needed
+    and the output is user-cardinality-sized."""
+    users = g["user_id"].to_numpy()
+    ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    ids = g["event_id"].to_numpy()
+    order = np.lexsort((ids, ts, users))
+    u, t = users[order], ts[order]
+    new_user = np.ones(len(u), dtype=bool)
+    new_user[1:] = u[1:] != u[:-1]
+    brk = new_user.copy()
+    brk[1:] |= (t[1:] - t[:-1]) > gap_us
+    starts = np.flatnonzero(new_user)
+    n_events = np.diff(np.append(starts, len(u)))
+    # sessions per user = breaks within the user's run
+    cumbrk = np.cumsum(brk)
+    ends = np.append(starts[1:], len(u)) - 1
+    n_sessions = cumbrk[ends] - cumbrk[starts] + 1
+    return pd.DataFrame(
+        {
+            "user_id": u[starts],
+            "n_events": n_events.astype(np.int64),
+            "n_sessions": n_sessions.astype(np.int64),
+        }
     )
+
+
+def session_stats(ds, gap_minutes: int = 30, num_buckets: int = 64):
+    """Per-user session summary (n_events, n_sessions) in the SAME
+    single keyed exchange as sessionize: the rollup happens inside the
+    coarse bucket pass (run-boundary arithmetic), so no second
+    per-user shuffle and no per-event output ever materializes."""
+    gap_us = int(gap_minutes) * 60_000_000
+    keyed = _keyed(ds, num_buckets)
+    fn = functools.partial(_session_rollup, gap_us=gap_us)
+    return keyed.groupby("_bk").map_groups(fn, batch_format="pandas")

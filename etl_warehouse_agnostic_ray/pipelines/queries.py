@@ -1376,7 +1376,9 @@ def q_corpus_clean(sf_dir: str):
         )
         return b.filter(m).select(["doc_id", "text"])
 
-    filtered = scored.map_batches(keep, batch_format="pyarrow")
+    # pin: exact_dedup consumes its input twice (hash pass + survivor
+    # recovery) — without the pin the lang-id/quality chain re-executes
+    filtered = scored.map_batches(keep, batch_format="pyarrow").materialize()
     return exact_dedup(filtered).select_columns(["doc_id", "text"])
 
 
@@ -1914,13 +1916,22 @@ def q_corpus_curate(sf_dir: str):
             ),
         )
 
-    gated = ds.map_batches(gate_and_reshape, batch_format="pyarrow")
-    scrubbed = line_dedup(gated, min_df=2, passthrough=("source",)).select_columns(
-        ["doc_id", "text", "source"]
+    # Each dedup stage consumes its input TWICE (survivor reduction +
+    # payload recovery); without a pin the lazy upstream chain would
+    # re-execute once per consumption (~5× for the first stage).
+    # materialize() pins each stage's output in the object store —
+    # blocks spill under pressure; at 100 TB this is the standard
+    # persist-between-stages checkpoint (equivalently write_parquet +
+    # re-read on a real pipeline).
+    gated = ds.map_batches(gate_and_reshape, batch_format="pyarrow").materialize()
+    scrubbed = (
+        line_dedup(gated, min_df=2, passthrough=("source",))
+        .select_columns(["doc_id", "text", "source"])
+        .materialize()
     )
     unique = exact_dedup(
         scrubbed, keep_cols=["doc_id", "text", "source"]
-    )
+    ).materialize()
     return domain_quota_sample(
         unique,
         group_col="source",
