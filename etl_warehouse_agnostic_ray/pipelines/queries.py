@@ -654,10 +654,15 @@ def q_join_revenue_by_nation_segment(sf_dir: str):
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_nationkey", "c_mktsegment"],
     )
+    # partition count scales with input size, bounded by cluster CPUs:
+    # hash-join aggregator actors cost ~fixed startup each, so small
+    # inputs want few partitions while a 100-TB join wants ~cores
+    n_parts = max(8, min(int(ray.cluster_resources().get("CPU", 8)),
+                         2 * len(orders.input_files())))
     joined = orders.join(
         customer,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=n_parts,
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
