@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "line_dedup_documents",
     "gopher_quality_documents",
     "corpus_curate",
+    "hll_distinct_customers",
     "sessionize_events",
     "session_stats_events",
     "vocab_topk_documents",

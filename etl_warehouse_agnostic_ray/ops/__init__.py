@@ -32,6 +32,7 @@ from .linededup import line_dedup  # noqa: F401
 from .quota import domain_quota_sample  # noqa: F401
 from .sampling import hash_sample, hash_split, id_buckets  # noqa: F401
 from .sessions import session_stats, sessionize  # noqa: F401
+from .sketch import hll_estimate, hll_registers  # noqa: F401
 from .similarity import topk_cosine  # noqa: F401
 from .vocab import vocab_topk  # noqa: F401
 from .text import (  # noqa: F401

@@ -1,0 +1,141 @@
+"""HyperLogLog approximate distinct counting (Flajolet et al. 2007).
+
+The constant-memory cardinality sketch every corpus profiler runs:
+"how many distinct users / URLs / n-grams?" over 100 TB without a
+distinct shuffle. (Reference analogue: the validation rollups' exact
+``count(DISTINCT ..)`` checks, dbt/models/curated/repsly/visits.sql —
+semantics generalized to the sketch that stays cheap at corpus scale.)
+
+Determinism is the whole design: registers are a PURE FUNCTION of the
+data through the repo's shared hash family (poly64 → splitmix64
+finalizer), so the register table — integers only — is value-verified
+by a DuckDB twin that replays hash, bucket split, and rank with exact
+HUGEINT arithmetic (``hash_sql.splitmix64_expr`` + a powers-table
+bit-length; no float anywhere). The float ESTIMATE stays driver-side
+and is accuracy-tested in pytest rather than oracle-compared.
+
+Ray-Data shape (100-TB discipline):
+- Per-batch combiner: ONE vectorized pass hashes the batch, splits
+  (bucket, rank), and reduces to the batch's dense m-register max
+  vector via ``np.maximum.at`` — each batch contributes at most m
+  (bucket, rank) rows regardless of row count.
+- Merge is elementwise max — done on the DRIVER over ≤ blocks × m
+  integer rows (the same bounded-driver-reduction contract as
+  ops/contamination.py); NO shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .texthash import poly_hash_array, splitmix64
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit length of uint64 values (0 -> 0)."""
+    r = np.zeros(x.shape, np.int64)
+    v = x.copy()
+    for sh in (32, 16, 8, 4, 2, 1):
+        m = v >= np.uint64(1 << sh)
+        r[m] += sh
+        v[m] >>= np.uint64(sh)
+    return r + (v > 0)
+
+
+def hll_registers(ds, col: str, p: int = 10) -> pa.Table:
+    """HLL register table (bucket, max_rank) for the NON-EMPTY buckets
+    of ``col`` (values cast to string, nulls skipped). ``p`` is the
+    precision: m = 2^p registers, relative error ~1.04/sqrt(m)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    rest_bits = np.uint64(64 - p)
+    rest_mask = np.uint64((1 << (64 - p)) - 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column(col), pa.large_string())
+        s = s.drop_null()
+        regs = np.zeros(m, np.int64)
+        if len(s):
+            h = splitmix64(poly_hash_array(s))
+            bucket = (h >> rest_bits).astype(np.int64)
+            rest = h & rest_mask
+            rank = (64 - p) - _bit_length_u64(rest) + 1
+            np.maximum.at(regs, bucket, rank)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64)),
+                "max_rank": pa.array(regs[nz]),
+            }
+        )
+
+    regs = np.zeros(m, np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        nz = b.column("bucket").to_numpy(zero_copy_only=False)
+        rk = b.column("max_rank").to_numpy(zero_copy_only=False)
+        np.maximum.at(regs, nz, rk)
+    nz = np.flatnonzero(regs)
+    return pa.table(
+        {
+            "bucket": pa.array(nz.astype(np.int64)),
+            "max_rank": pa.array(regs[nz]),
+        }
+    )
+
+
+def hll_estimate(registers: pa.Table, p: int = 10) -> float:
+    """Cardinality estimate from a register table (standard HLL with
+    the small-range linear-counting correction). Float — accuracy is
+    pytest-verified (~1.04/sqrt(m) relative error), not oracle-hashed."""
+    m = 1 << p
+    regs = np.zeros(m, np.int64)
+    regs[registers.column("bucket").to_numpy(zero_copy_only=False)] = (
+        registers.column("max_rank").to_numpy(zero_copy_only=False)
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros > 0:
+        e = m * math.log(m / zeros)
+    return float(e)
+
+
+def hll_registers_sql(src: str, col: str, p: int = 10) -> str:
+    """DuckDB twin: identical hash (poly64 of the string form →
+    splitmix64 finalizer in exact HUGEINT arithmetic), identical
+    bucket/rank split (bit length via a 64-row powers table — integer
+    comparisons only), identical group-max."""
+    from ..pipelines.hash_sql import poly64_expr, splitmix64_expr
+
+    rest_bits = 64 - p
+    # exact integer power-of-two literals: DuckDB's ** returns DOUBLE,
+    # which off-by-ones the bucket split near 2^53
+    div = 1 << rest_bits
+    pw_rows = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(rest_bits))
+    return f"""
+WITH pw(i, v) AS (VALUES {pw_rows}),
+h0 AS (
+  SELECT {poly64_expr(f"CAST({col} AS VARCHAR)")} AS hv
+  FROM {src} WHERE {col} IS NOT NULL
+),
+h AS (SELECT {splitmix64_expr("hv")} AS x FROM h0),
+parts AS (
+  SELECT (x // {div}::HUGEINT)::BIGINT AS bucket,
+         x % {div}::HUGEINT AS rest
+  FROM h
+),
+ranked AS (
+  SELECT bucket,
+         ({rest_bits} - (SELECT coalesce(max(p2.i + 1), 0) FROM pw p2
+                         WHERE parts.rest >= p2.v) + 1)::BIGINT AS rank
+  FROM parts
+)
+SELECT bucket, max(rank) AS max_rank FROM ranked GROUP BY bucket
+"""

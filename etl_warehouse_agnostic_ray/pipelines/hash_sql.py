@@ -252,3 +252,32 @@ SELECT url,
   CASE WHEN html IS NULL OR octet_length(html) = 0 THEN 'none' ELSE 'RGB' END AS mode
 FROM read_parquet('{pages_path}')
 """
+
+
+# SplitMix64 finalizer twin (ops/texthash.splitmix64: xor-shift 30,
+# * C1, xor-shift 27, * C2, xor-shift 31 — no gamma add). Mod-2^64
+# multiplication splits the >2^63 constants into 32-bit halves so no
+# intermediate exceeds HUGEINT range: a*c mod 2^64 =
+# (a*c_lo + ((a*c_hi) mod 2^32) * 2^32) mod 2^64.
+_SM_C1 = 0xBF58476D1CE4E5B9
+_SM_C2 = 0x94D049BB133111EB
+
+
+def _mulmod64(a_expr: str, c: int) -> str:
+    c_hi, c_lo = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"((({a_expr}) * {c_lo} + ((({a_expr}) * {c_hi}) % 4294967296) "
+        f"* 4294967296) % {M64})"
+    )
+
+
+def splitmix64_expr(x_expr: str) -> str:
+    """SQL twin of ``texthash.splitmix64`` over a 0..2^64-1 HUGEINT
+    expression. ``x_expr`` should be a simple column reference — it is
+    substituted repeatedly."""
+    z1 = _mulmod64(f"xor(({x_expr})::HUGEINT, ({x_expr})::HUGEINT // 1073741824)", _SM_C1)
+    return (
+        f"(SELECT xor(z2, z2 // 2147483648) FROM ("
+        f"SELECT {_mulmod64('xor(z1, z1 // 134217728)', _SM_C2)} AS z2 FROM ("
+        f"SELECT {z1} AS z1) ) )"
+    )

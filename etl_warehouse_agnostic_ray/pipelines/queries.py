@@ -1999,6 +1999,26 @@ SELECT doc_id, source, text FROM r WHERE rn <= 15
 """
 
 
+def q_hll_distinct_customers(sf_dir: str):
+    """HyperLogLog distinct-customer sketch over orders (p=10, 1024
+    registers): per-batch dense register maxima, elementwise-max merge
+    on bounded driver rows, zero shuffle. The register table is a pure
+    function of the data through the shared poly64→splitmix64 hash
+    family, so the DuckDB twin replays it bit-for-bit in exact HUGEINT
+    arithmetic (ops/sketch.py)."""
+    from ..ops.sketch import hll_registers
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return hll_registers(ds, "o_custkey", p=10)
+
+
+def _sql_hll() -> str:
+    from ..ops.sketch import hll_registers_sql
+
+    return hll_registers_sql("orders", "o_custkey", p=10)
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user 1-based
     session numbers over the events stream. One coarse keyed exchange
@@ -2344,6 +2364,7 @@ QUERIES = {
     "line_dedup_documents": q_line_dedup_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
     "corpus_curate": q_corpus_curate,
+    "hll_distinct_customers": q_hll_distinct_customers,
     "sessionize_events": q_sessionize_events,
     "session_stats_events": q_session_stats_events,
     "vocab_topk_documents": q_vocab_topk_documents,
@@ -2403,6 +2424,7 @@ ORACLES = {
     "line_dedup_documents": SQL_LINE_DEDUP_DOCUMENTS,
     "gopher_quality_documents": _sql_gopher(),
     "corpus_curate": SQL_CORPUS_CURATE,
+    "hll_distinct_customers": _sql_hll(),
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "session_stats_events": SQL_SESSION_STATS_EVENTS,
     "vocab_topk_documents": SQL_VOCAB_TOPK_DOCUMENTS,

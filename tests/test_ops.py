@@ -1541,3 +1541,58 @@ class TestParagraphDedup:
         ]
         assert got["n_lines"].tolist() == [2, 2, 1]  # paragraph units
         assert got["n_removed"].tolist() == [1, 1, 0]
+
+
+class TestHLL:
+    def test_registers_match_sql_twin(self, docs, docs_ds):
+        import duckdb
+
+        from etl_warehouse_agnostic_ray.ops.sketch import (
+            hll_registers,
+            hll_registers_sql,
+        )
+
+        got = hll_registers(docs_ds, "source", p=8).sort_by("bucket")
+        con = duckdb.connect()
+        con.register("d", docs)
+        want = con.execute(
+            hll_registers_sql("d", "source", p=8) + " ORDER BY bucket"
+        ).fetch_arrow_table()
+        assert got.equals(want.cast(got.schema))
+
+    def test_estimate_accuracy(self, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.sketch import hll_estimate, hll_registers
+
+        n = 50_000
+        ds = rd.from_arrow(pa.table({"k": [f"key-{i}" for i in range(n)]}))
+        est = hll_estimate(hll_registers(ds, "k", p=10), p=10)
+        # 1.04/sqrt(1024) ~ 3.3% std error; allow 4 sigma
+        assert abs(est - n) / n < 0.13
+
+    def test_small_range_linear_counting(self, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.sketch import hll_estimate, hll_registers
+
+        ds = rd.from_arrow(pa.table({"k": [str(i) for i in range(40)]}))
+        est = hll_estimate(hll_registers(ds, "k", p=10), p=10)
+        assert abs(est - 40) < 3
+
+    def test_merge_is_batch_invariant(self, docs, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.sketch import hll_registers
+
+        one = hll_registers(rd.from_arrow(docs), "text", p=8).sort_by("bucket")
+        many = hll_registers(
+            rd.from_arrow(docs).repartition(7), "text", p=8
+        ).sort_by("bucket")
+        assert one.equals(many)
+
+    def test_p_validation(self, docs_ds):
+        from etl_warehouse_agnostic_ray.ops.sketch import hll_registers
+
+        with pytest.raises(ValueError):
+            hll_registers(docs_ds, "source", p=2)
