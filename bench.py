@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "gopher_quality_documents",
     "corpus_curate",
     "hll_distinct_customers",
+    "cms_event_users",
     "sessionize_events",
     "session_stats_events",
     "vocab_topk_documents",

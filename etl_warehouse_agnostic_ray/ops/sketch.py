@@ -139,3 +139,111 @@ ranked AS (
 )
 SELECT bucket, max(rank) AS max_rank FROM ranked GROUP BY bucket
 """
+
+
+# ------------------------------------------------------- count-min
+# Row seeds: fixed odd constants (data, like the minhash permutation
+# table) so the DuckDB twin regenerates from the same values.
+_CMS_SEEDS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+)
+
+
+def cms_sketch(ds, col: str, depth: int = 4, width: int = 1024) -> pa.Table:
+    """Count-Min sketch of ``col`` (values as strings, nulls skipped):
+    a depth × width counter matrix where row j counts occurrences at
+    column splitmix64(poly64(x) XOR seed_j) % width. Frequency upper
+    bound for any item = min over rows (``cms_query``); error ≤
+    2·N/width with prob 1 − 2^−depth (Cormode-Muthukrishnan 2005).
+
+    Distribution: per-batch partials are ONE vectorized ``np.add.at``
+    pass into a dense matrix; partial matrices merge by elementwise SUM
+    on the driver (≤ blocks × depth × width integer cells) — zero
+    shuffle, any batch order. Returns the non-zero (row, col, count)
+    cells — pure integers, replayed exactly by ``cms_sketch_sql``."""
+    if depth > len(_CMS_SEEDS):
+        raise ValueError(f"depth must be <= {len(_CMS_SEEDS)}, got {depth}")
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column(col), pa.large_string()).drop_null()
+        mat = np.zeros((depth, width), np.int64)
+        if len(s):
+            hv = poly_hash_array(s)
+            for j in range(depth):
+                cj = (splitmix64(hv ^ np.uint64(_CMS_SEEDS[j])) % np.uint64(width)).astype(
+                    np.int64
+                )
+                np.add.at(mat[j], cj, 1)
+        r, c = np.nonzero(mat)
+        return pa.table(
+            {
+                "row": pa.array(r.astype(np.int64)),
+                "col": pa.array(c.astype(np.int64)),
+                "count": pa.array(mat[r, c]),
+            }
+        )
+
+    mat = np.zeros((depth, width), np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        # np.add.at, NOT fancy-index += — one iterated block can hold
+        # several task partials, so (row, col) cells repeat within it
+        np.add.at(
+            mat,
+            (
+                b.column("row").to_numpy(zero_copy_only=False),
+                b.column("col").to_numpy(zero_copy_only=False),
+            ),
+            b.column("count").to_numpy(zero_copy_only=False),
+        )
+    r, c = np.nonzero(mat)
+    return pa.table(
+        {
+            "row": pa.array(r.astype(np.int64)),
+            "col": pa.array(c.astype(np.int64)),
+            "count": pa.array(mat[r, c]),
+        }
+    )
+
+
+def cms_query(sketch: pa.Table, items, depth: int = 4, width: int = 1024) -> np.ndarray:
+    """Estimated frequency (upper bound) per item: min over rows of
+    the item's counter. Integer-exact given the sketch."""
+    mat = np.zeros((depth, width), np.int64)
+    mat[
+        sketch.column("row").to_numpy(zero_copy_only=False),
+        sketch.column("col").to_numpy(zero_copy_only=False),
+    ] = sketch.column("count").to_numpy(zero_copy_only=False)
+    hv = poly_hash_array(pa.array([str(x) for x in items], pa.large_string()))
+    est = np.full(len(hv), np.iinfo(np.int64).max, np.int64)
+    for j in range(depth):
+        cj = (splitmix64(hv ^ np.uint64(_CMS_SEEDS[j])) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, mat[j, cj])
+    return est
+
+
+def cms_sketch_sql(src: str, col: str, depth: int = 4, width: int = 1024) -> str:
+    """DuckDB twin: same hash chain (poly64 → XOR row seed →
+    splitmix64, exact HUGEINT arithmetic), same row/col/count cells."""
+    from ..pipelines.hash_sql import poly64_expr, splitmix64_expr
+
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {j} AS row, ({splitmix64_expr(f'xor(hv, {_CMS_SEEDS[j]}::HUGEINT)')}) "
+        f"% {width} AS col FROM h0"
+        for j in range(depth)
+    )
+    return f"""
+WITH h0 AS (
+  SELECT {poly64_expr(f"CAST({col} AS VARCHAR)")} AS hv
+  FROM {src} WHERE {col} IS NOT NULL
+),
+cells AS ({rows})
+SELECT row::BIGINT AS row, col::BIGINT AS col, count(*)::BIGINT AS count
+FROM cells GROUP BY row, col
+"""

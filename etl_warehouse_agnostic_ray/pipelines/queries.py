@@ -2019,6 +2019,25 @@ def _sql_hll() -> str:
     return hll_registers_sql("orders", "o_custkey", p=10)
 
 
+def q_cms_event_users(sf_dir: str):
+    """Count-Min frequency sketch over events.user_id (depth 4 ×
+    width 1024): per-batch dense counter partials, elementwise-sum
+    driver merge over bounded integer cells, zero shuffle. The cell
+    table is a pure function of the data through poly64 → XOR row
+    seed → splitmix64, replayed exactly by the DuckDB twin."""
+    from ..ops.sketch import cms_sketch
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return cms_sketch(ds, "user_id", depth=4, width=1024)
+
+
+def _sql_cms() -> str:
+    from ..ops.sketch import cms_sketch_sql
+
+    return cms_sketch_sql("events", "user_id", depth=4, width=1024)
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user 1-based
     session numbers over the events stream. One coarse keyed exchange
@@ -2365,6 +2384,7 @@ QUERIES = {
     "gopher_quality_documents": q_gopher_quality_documents,
     "corpus_curate": q_corpus_curate,
     "hll_distinct_customers": q_hll_distinct_customers,
+    "cms_event_users": q_cms_event_users,
     "sessionize_events": q_sessionize_events,
     "session_stats_events": q_session_stats_events,
     "vocab_topk_documents": q_vocab_topk_documents,
@@ -2425,6 +2445,7 @@ ORACLES = {
     "gopher_quality_documents": _sql_gopher(),
     "corpus_curate": SQL_CORPUS_CURATE,
     "hll_distinct_customers": _sql_hll(),
+    "cms_event_users": _sql_cms(),
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "session_stats_events": SQL_SESSION_STATS_EVENTS,
     "vocab_topk_documents": SQL_VOCAB_TOPK_DOCUMENTS,

@@ -1596,3 +1596,58 @@ class TestHLL:
 
         with pytest.raises(ValueError):
             hll_registers(docs_ds, "source", p=2)
+
+
+class TestCMS:
+    def test_cells_match_sql_twin(self, docs, docs_ds):
+        import duckdb
+
+        from etl_warehouse_agnostic_ray.ops.sketch import cms_sketch, cms_sketch_sql
+
+        got = cms_sketch(docs_ds, "source", depth=3, width=128).sort_by(
+            [("row", "ascending"), ("col", "ascending")]
+        )
+        con = duckdb.connect()
+        con.register("d", docs)
+        want = con.execute(
+            cms_sketch_sql("d", "source", depth=3, width=128) + " ORDER BY row, col"
+        ).fetch_arrow_table()
+        assert got.equals(want.cast(got.schema))
+
+    def test_query_never_underestimates(self, docs, docs_ds):
+        import duckdb
+
+        from etl_warehouse_agnostic_ray.ops.sketch import cms_query, cms_sketch
+
+        sk = cms_sketch(docs_ds, "source", depth=4, width=1024)
+        con = duckdb.connect()
+        con.register("d", docs)
+        exact = dict(
+            con.execute("SELECT source, count(*) FROM d GROUP BY source").fetchall()
+        )
+        items = sorted(exact)
+        est = cms_query(sk, items, depth=4, width=1024)
+        for it, e in zip(items, est):
+            assert e >= exact[it]
+        # with width >> distinct sources the estimate is exact
+        assert sum(int(e) - exact[it] for it, e in zip(items, est)) == 0
+
+    def test_merge_is_batch_invariant(self, docs, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.sketch import cms_sketch
+
+        key = [("row", "ascending"), ("col", "ascending")]
+        one = cms_sketch(rd.from_arrow(docs), "text", depth=4, width=64).sort_by(key)
+        many = cms_sketch(
+            rd.from_arrow(docs).repartition(7), "text", depth=4, width=64
+        ).sort_by(key)
+        assert one.equals(many)
+
+    def test_param_validation(self, docs_ds):
+        from etl_warehouse_agnostic_ray.ops.sketch import cms_sketch
+
+        with pytest.raises(ValueError):
+            cms_sketch(docs_ds, "source", depth=9)
+        with pytest.raises(ValueError):
+            cms_sketch(docs_ds, "source", width=1)
