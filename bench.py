@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "corpus_curate",
     "hll_distinct_customers",
     "cms_event_users",
+    "jsonl_ingest_documents",
     "sessionize_events",
     "session_stats_events",
     "vocab_topk_documents",

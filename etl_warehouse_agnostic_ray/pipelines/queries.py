@@ -2038,6 +2038,68 @@ def _sql_cms() -> str:
     return cms_sketch_sql("events", "user_id", depth=4, width=1024)
 
 
+def q_jsonl_ingest_documents(sf_dir: str):
+    """JSONL source path (the other wire format web corpora arrive in,
+    WARC-extract → JSONL): stage the documents table as partitioned
+    JSONL once (deterministic, content-keyed scratch dir), ingest it
+    back with ``ray.data.read_json`` — schema inferred per block, no
+    driver parsing — and roll up per-source doc counts + char sums.
+    Verifies the JSON round trip value-for-value against the parquet
+    view. (Reference analogue: the CSV file-staged variant,
+    extractors/acumatica/extractor.py:397-419.)"""
+    import ray
+
+    rd = _rd()
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"jsonl_stage_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        shutil.rmtree(stage, ignore_errors=True)
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        ).write_json(stage)
+        with open(done, "w") as f:
+            f.write("ok")
+    ds = rd.read_json(
+        [os.path.join(stage, f) for f in sorted(os.listdir(stage)) if f.endswith(".json")]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        src = b.column("source")
+        tbl = pa.table(
+            {
+                "source": src,
+                "n_docs": pa.array(np.ones(len(b), np.int64)),
+                "chars": _pc.cast(b.column("n_chars"), pa.int64()),
+            }
+        )
+        return tbl.group_by("source").aggregate(
+            [("n_docs", "sum"), ("chars", "sum")]
+        ).rename_columns(["source", "n_docs", "chars"])
+
+    # map-side combine then a tiny native groupby (source cardinality
+    # is small — the per-key-rollup regime)
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("chars", alias_name="chars"))
+    )
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+SQL_JSONL_INGEST_DOCUMENTS = """
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+FROM documents GROUP BY source
+"""
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user 1-based
     session numbers over the events stream. One coarse keyed exchange
@@ -2385,6 +2447,7 @@ QUERIES = {
     "corpus_curate": q_corpus_curate,
     "hll_distinct_customers": q_hll_distinct_customers,
     "cms_event_users": q_cms_event_users,
+    "jsonl_ingest_documents": q_jsonl_ingest_documents,
     "sessionize_events": q_sessionize_events,
     "session_stats_events": q_session_stats_events,
     "vocab_topk_documents": q_vocab_topk_documents,
@@ -2446,6 +2509,7 @@ ORACLES = {
     "corpus_curate": SQL_CORPUS_CURATE,
     "hll_distinct_customers": _sql_hll(),
     "cms_event_users": _sql_cms(),
+    "jsonl_ingest_documents": SQL_JSONL_INGEST_DOCUMENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "session_stats_events": SQL_SESSION_STATS_EVENTS,
     "vocab_topk_documents": SQL_VOCAB_TOPK_DOCUMENTS,
