@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "hll_distinct_customers",
     "cms_event_users",
     "jsonl_ingest_documents",
+    "incremental_dedup_documents",
     "sessionize_events",
     "session_stats_events",
     "vocab_topk_documents",

@@ -1,0 +1,190 @@
+"""Incremental exact dedup against an already-ingested corpus.
+
+A 100-TB corpus is not deduped in one batch job: ingestion arrives in
+daily drops, and each drop must be deduped BOTH against itself and
+against everything already accepted — without rescanning the
+accepted corpus. (Reference analogue: the per-batch duplicate guard
+that skips already-loaded batch ids, ``airflow/dags/repsly_dag.py``;
+membership here is content-defined per document.)
+
+Design (the CDC lake pattern applied to dedup state):
+- The accepted-corpus state is a HASH INDEX: 16-byte content-hash
+  pairs (the ``ops/dedup.exact_dedup`` key family — collisions
+  ~n²/2¹²⁸), hash-partitioned into ``num_parts`` parquet files. The
+  index is ~1/1000th the corpus size and is the ONLY thing the
+  incremental path ever reads.
+- ``add(ds)``: (1) within-batch exact dedup (min-id per pair, coarse
+  bucket + lexsort pass); (2) anti-join the batch's pairs against the
+  index — each task reads ONLY the index partitions matching its hash
+  range (partition pruning by file, no shuffle of the index); (3)
+  survivors' pairs are appended to the index partitions (rewrite of
+  touched partitions only, tmp+rename).
+- Crash safety: the index write happens AFTER the survivor set is
+  computed; a retried ``add`` of the same batch yields zero survivors
+  (every pair already present) — idempotent, same as the engine's
+  batch replay contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .dedup import recover_rows_by_id
+from .texthash import POLY_B2, poly_hash_array
+
+N_COARSE = 1024
+
+
+class HashIndex:
+    """Partitioned on-disk set of 128-bit content-hash pairs."""
+
+    def __init__(self, root: str, num_parts: int = 64):
+        self.root = root
+        self.num_parts = num_parts
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, part: int) -> str:
+        return os.path.join(self.root, f"idx-{part:05d}.parquet")
+
+    def load_part(self, part: int) -> np.ndarray:
+        """Sorted structured (h1, h2) array of one partition (empty if
+        the partition file does not exist yet)."""
+        p = self._path(part)
+        dt = np.dtype([("h1", "<u8"), ("h2", "<u8")])
+        if not os.path.exists(p):
+            return np.empty(0, dt)
+        t = pq.read_table(p)
+        x = np.empty(t.num_rows, dt)
+        x["h1"] = t.column("h1").to_numpy(zero_copy_only=False).view(np.uint64)
+        x["h2"] = t.column("h2").to_numpy(zero_copy_only=False).view(np.uint64)
+        return np.sort(x)
+
+    def append_part(self, part: int, h1: np.ndarray, h2: np.ndarray) -> None:
+        """Union new pairs into a partition (tmp+rename rewrite)."""
+        cur = self.load_part(part)
+        dt = cur.dtype
+        new = np.empty(len(h1), dt)
+        new["h1"], new["h2"] = h1, h2
+        merged = np.unique(np.concatenate([cur, new]))
+        t = pa.table(
+            {
+                "h1": pa.array(merged["h1"].view(np.int64)),
+                "h2": pa.array(merged["h2"].view(np.int64)),
+            }
+        )
+        tmp = self._path(part) + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, self._path(part))
+
+    def count(self) -> int:
+        n = 0
+        for f in os.listdir(self.root):
+            if f.endswith(".parquet"):
+                n += pq.read_metadata(os.path.join(self.root, f)).num_rows
+        return n
+
+
+class IncrementalDeduper:
+    """Dedup successive document batches against a persistent corpus
+    hash index. Each ``add`` returns the batch's NEW-to-the-corpus
+    survivors and extends the index."""
+
+    def __init__(self, index_dir: str, num_parts: int = 64):
+        self.index = HashIndex(index_dir, num_parts)
+
+    def add(
+        self,
+        ds,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        broadcast_limit: int = 5_000_000,
+        join_partitions: int = 8,
+    ):
+        """Returns the (id, text) rows of ``ds`` that are new to the
+        corpus: within-batch min-id per content hash, then not present
+        in the index. Extends the index with the survivors' hashes."""
+        import ray
+
+        num_parts = self.index.num_parts
+        index_root = self.index.root
+
+        def project(b: pa.Table) -> pa.Table:
+            h1 = poly_hash_array(b.column(text_col))
+            h2 = poly_hash_array(b.column(text_col), base=POLY_B2)
+            return pa.table(
+                {
+                    id_col: b.column(id_col),
+                    "_h1": pa.array(h1.view(np.int64)),
+                    "_h2": pa.array(h2.view(np.int64)),
+                    "_pk": pa.array((h1 % np.uint64(num_parts)).astype(np.int64)),
+                }
+            )
+
+        def min_id_and_probe(g: pd.DataFrame) -> pd.DataFrame:
+            """One index partition's worth of work: within-batch min-id
+            per pair, then a sorted probe against the partition's index
+            slice (read in-task — the index never shuffles)."""
+            part = int(g["_pk"].iloc[0])
+            h1 = g["_h1"].to_numpy().view(np.uint64)
+            h2 = g["_h2"].to_numpy().view(np.uint64)
+            ids = g[id_col].to_numpy()
+            order = np.lexsort((ids, h2, h1))
+            h1s, h2s, ids_s = h1[order], h2[order], ids[order]
+            first = np.ones(len(ids_s), dtype=bool)
+            first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+            h1u, h2u, idu = h1s[first], h2s[first], ids_s[first]
+            idx = HashIndex(index_root, num_parts).load_part(part)
+            if len(idx):
+                q = np.empty(len(h1u), idx.dtype)
+                q["h1"], q["h2"] = h1u, h2u
+                pos = np.searchsorted(idx, q)
+                posc = np.minimum(pos, len(idx) - 1)
+                seen = (
+                    (idx["h1"][posc] == h1u)
+                    & (idx["h2"][posc] == h2u)
+                    & (pos < len(idx))
+                )
+            else:
+                seen = np.zeros(len(h1u), dtype=bool)
+            keep = ~seen
+            return pd.DataFrame(
+                {
+                    id_col: idu[keep],
+                    "_h1": h1u[keep].view(np.int64),
+                    "_h2": h2u[keep].view(np.int64),
+                    "_pk": np.full(int(keep.sum()), part, np.int64),
+                }
+            )
+
+        survivors = (
+            ds.map_batches(project, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(min_id_and_probe, batch_format="pandas")
+        ).materialize()
+
+        # extend the index: touched partitions only, driver-side
+        # (survivor hashes are the batch's distinct-new set — bounded
+        # by the batch, not the corpus)
+        for b in survivors.select_columns(["_pk", "_h1", "_h2"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            pk = b.column("_pk").to_numpy(zero_copy_only=False)
+            h1 = b.column("_h1").to_numpy(zero_copy_only=False).view(np.uint64)
+            h2 = b.column("_h2").to_numpy(zero_copy_only=False).view(np.uint64)
+            for part in np.unique(pk):
+                m = pk == part
+                self.index.append_part(int(part), h1[m], h2[m])
+
+        return recover_rows_by_id(
+            ds,
+            survivors.select_columns([id_col]),
+            id_col,
+            [id_col, text_col],
+            broadcast_limit,
+            join_partitions,
+        )

@@ -2100,6 +2100,39 @@ FROM documents GROUP BY source
 """
 
 
+def q_incremental_dedup_documents(sf_dir: str):
+    """Incremental exact dedup (daily-drop regime): the first half of
+    documents is already ingested (its content hashes live in a
+    partitioned on-disk hash index); the second half arrives as a new
+    batch and is deduped against itself AND the corpus by probing ONLY
+    the matching index partitions in-task — the accepted corpus is
+    never rescanned or shuffled (ops/incdedup.py). Output = the new
+    batch's truly-new documents."""
+    import tempfile as _tf
+
+    import ray.data as _rdm
+
+    from ..ops.incdedup import IncrementalDeduper
+
+    rd = _rd()
+    full = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    half = len(full) // 2
+    dedup = IncrementalDeduper(_tf.mkdtemp(prefix="incdedup_"), num_parts=16)
+    dedup.add(_rdm.from_arrow(full.slice(0, half)))
+    return dedup.add(_rdm.from_arrow(full.slice(half)))
+
+
+SQL_INCREMENTAL_DEDUP_DOCUMENTS = """
+WITH f AS (SELECT doc_id, text FROM documents
+           WHERE doc_id < (SELECT count(*) // 2 FROM documents)),
+s AS (SELECT doc_id, text FROM documents
+      WHERE doc_id >= (SELECT count(*) // 2 FROM documents))
+SELECT min(doc_id) AS doc_id, text FROM s
+WHERE text NOT IN (SELECT text FROM f)
+GROUP BY text
+"""
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user 1-based
     session numbers over the events stream. One coarse keyed exchange
@@ -2448,6 +2481,7 @@ QUERIES = {
     "hll_distinct_customers": q_hll_distinct_customers,
     "cms_event_users": q_cms_event_users,
     "jsonl_ingest_documents": q_jsonl_ingest_documents,
+    "incremental_dedup_documents": q_incremental_dedup_documents,
     "sessionize_events": q_sessionize_events,
     "session_stats_events": q_session_stats_events,
     "vocab_topk_documents": q_vocab_topk_documents,
@@ -2510,6 +2544,7 @@ ORACLES = {
     "hll_distinct_customers": _sql_hll(),
     "cms_event_users": _sql_cms(),
     "jsonl_ingest_documents": SQL_JSONL_INGEST_DOCUMENTS,
+    "incremental_dedup_documents": SQL_INCREMENTAL_DEDUP_DOCUMENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "session_stats_events": SQL_SESSION_STATS_EVENTS,
     "vocab_topk_documents": SQL_VOCAB_TOPK_DOCUMENTS,

@@ -1651,3 +1651,59 @@ class TestCMS:
             cms_sketch(docs_ds, "source", depth=9)
         with pytest.raises(ValueError):
             cms_sketch(docs_ds, "source", width=1)
+
+
+class TestIncrementalDedup:
+    def _mk(self, tmp_path, n_parts=8):
+        from etl_warehouse_agnostic_ray.ops.incdedup import IncrementalDeduper
+
+        return IncrementalDeduper(str(tmp_path / "idx"), num_parts=n_parts)
+
+    def test_two_batches(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        d = self._mk(tmp_path)
+        b1 = pa.table({"doc_id": [1, 2, 3], "text": ["a", "b", "a"]})
+        got1 = d.add(rd.from_arrow(b1)).to_pandas().sort_values("doc_id")
+        assert got1["doc_id"].tolist() == [1, 2]  # within-batch min-id
+        # batch 2: 'b' already in corpus, 'c' new, 'c' dup within batch
+        b2 = pa.table({"doc_id": [10, 11, 12], "text": ["b", "c", "c"]})
+        got2 = d.add(rd.from_arrow(b2)).to_pandas().sort_values("doc_id")
+        assert got2["doc_id"].tolist() == [11]
+        assert d.index.count() == 3  # a, b, c
+
+    def test_replay_is_idempotent(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        d = self._mk(tmp_path)
+        b = pa.table({"doc_id": [1, 2], "text": ["x", "y"]})
+        assert len(d.add(rd.from_arrow(b)).to_pandas()) == 2
+        assert len(d.add(rd.from_arrow(b)).to_pandas()) == 0
+        assert d.index.count() == 2
+
+    def test_matches_oracle_on_fixture(self, docs, ray_session, tmp_path):
+        import duckdb
+        import ray.data as rd
+
+        d = self._mk(tmp_path, n_parts=16)
+        n = len(docs)
+        half = n // 2
+        first = docs.slice(0, half).select(["doc_id", "text"])
+        second = docs.slice(half).select(["doc_id", "text"])
+        d.add(rd.from_arrow(first))
+        got = (
+            d.add(rd.from_arrow(second))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("f", first)
+        con.register("s", second)
+        want = con.execute("""
+            SELECT min(doc_id) AS doc_id, text FROM s
+            WHERE text NOT IN (SELECT text FROM f)
+            GROUP BY text ORDER BY doc_id
+        """).fetchdf()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["text"].tolist() == want["text"].tolist()
