@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "cms_event_users",
     "jsonl_ingest_documents",
     "incremental_dedup_documents",
+    "train_order_documents",
+    "time_travel_pages",
+    "incremental_rollup_pages",
     "sessionize_events",
     "session_stats_events",
     "vocab_topk_documents",

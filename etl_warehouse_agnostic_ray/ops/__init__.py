@@ -28,11 +28,17 @@ from .chunk import chunk_documents  # noqa: F401
 from .contamination import contamination_check, eval_shingle_set  # noqa: F401
 from .quantiles import grouped_quantiles, quantiles_exact  # noqa: F401
 from .redact import pii_redact  # noqa: F401
+from .incdedup import HashIndex, IncrementalDeduper  # noqa: F401
 from .linededup import line_dedup  # noqa: F401
 from .quota import domain_quota_sample  # noqa: F401
 from .sampling import hash_sample, hash_split, id_buckets  # noqa: F401
 from .sessions import session_stats, sessionize  # noqa: F401
-from .sketch import hll_estimate, hll_registers  # noqa: F401
+from .sketch import (  # noqa: F401
+    cms_query,
+    cms_sketch,
+    hll_estimate,
+    hll_registers,
+)
 from .similarity import topk_cosine  # noqa: F401
 from .vocab import vocab_topk  # noqa: F401
 from .text import (  # noqa: F401

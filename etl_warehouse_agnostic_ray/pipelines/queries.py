@@ -500,6 +500,150 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def _stream_halves(d: str) -> tuple[list[str], list[str]]:
+    """The fixture's LSN-sliced WAL files split into two apply batches
+    (first half / second half of the deterministic 4-file layout)."""
+    cdir = os.path.join(d, "change_events")
+    files = sorted(
+        os.path.join(cdir, f) for f in os.listdir(cdir) if f.endswith(".parquet")
+    )
+    mid = len(files) // 2
+    return files[:mid], files[mid:]
+
+
+def q_time_travel_pages(sf_dir: str):
+    """Versioned-lake time travel: bootstrap → apply half the WAL (v₁)
+    → apply the rest (v₂), then read the table AS OF v₁ *after* v₂ has
+    committed — the lakehouse snapshot-isolation read (manifest pins
+    the file set; newer commits never mutate old versions' files, so
+    the old state is byte-stable until vacuum). The reference has no
+    equivalent (ClickHouse tables are mutate-in-place); this is the
+    capability its `system.parts` + backup dance approximates."""
+    d = fixture_dir(sf_dir)
+    first, rest = _stream_halves(d)
+    root = tempfile.mkdtemp(prefix="lake_tt_", dir="/tmp")
+    try:
+        eng = CDCEngine(root, num_partitions=16)
+        eng.bootstrap(os.path.join(d, "pages.parquet"))
+        eng.apply(first, batch_id="tt-half-1")
+        v1 = eng.lake.current_version()
+        eng.apply(rest, batch_id="tt-half-2")
+        assert eng.lake.current_version() > v1
+        return eng.lake.to_arrow(version=v1).select(
+            ["url", "warc_ts", "text", "lang"]
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_TIME_TRAVEL_PAGES = f"""
+WITH unioned AS (
+  SELECT url, warc_ts, text, lang, CAST(-1 AS BIGINT) AS lsn, 'insert' AS op
+  FROM read_parquet('{FIX_ROOT}/sf0.01/pages.parquet')
+  UNION ALL
+  SELECT url, warc_ts, text, lang, lsn, op
+  FROM read_parquet(['{FIX_ROOT}/sf0.01/change_events/events-00000.parquet',
+                     '{FIX_ROOT}/sf0.01/change_events/events-00001.parquet'])
+  WHERE op <> 'schema_change'
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+  FROM unioned)
+SELECT url, warc_ts, text, lang FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def _lang_counts(ds) -> dict[str, int]:
+    """Per-lang live-row counts, map-side combined: each task emits its
+    partial (lang, n) table; the driver folds the ≤langs×blocks rows.
+    No shuffle — the groupby key has ~5 distinct values."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table(
+            {
+                "lang": pc.cast(b.column("lang"), pa.string()),
+                # count ROWS, not non-null langs: NULL lang is a group too
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by("lang").aggregate([("one", "sum")])
+        return pa.table({"lang": g.column("lang"),
+                         "n": pc.cast(g.column("one_sum"), pa.int64())})
+
+    out: dict[str, int] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for lang, n in zip(b.column("lang").to_pylist(), b.column("n").to_pylist()):
+            out[lang] = out.get(lang, 0) + n
+    return out
+
+
+def q_incremental_rollup_pages(sf_dir: str):
+    """Incremental materialized-view maintenance off the change feed:
+    a per-lang page-count rollup is computed ONCE at v₁, then — after
+    the second WAL batch commits v₂ — updated by reading ONLY the
+    partitions the manifest diff says changed (old state subtracted,
+    new state added). Never rescans the unchanged partitions: the
+    downstream-refresh pattern the reference schedules as full dbt
+    re-runs per DAG cycle (`airflow/dags/repsly_dag.py`), done as a
+    delta. The oracle recomputes the rollup from scratch over the
+    fully-replayed stream — if the maintenance math or the manifest
+    diff missed a partition, values mismatch."""
+    d = fixture_dir(sf_dir)
+    first, rest = _stream_halves(d)
+    root = tempfile.mkdtemp(prefix="lake_ivm_", dir="/tmp")
+    try:
+        eng = CDCEngine(root, num_partitions=16)
+        eng.bootstrap(os.path.join(d, "pages.parquet"))
+        eng.apply(first, batch_id="ivm-half-1")
+        v1 = eng.lake.current_version()
+        rollup = _lang_counts(eng.lake.dataset(version=v1))
+        eng.apply(rest, batch_id="ivm-half-2")
+        v2 = eng.lake.current_version()
+        changed = eng.lake.changed_partition_ids(v1, v2)
+        if changed:
+            for lang, n in _lang_counts(
+                eng.lake.dataset(version=v1, pids=changed)
+            ).items():
+                rollup[lang] = rollup.get(lang, 0) - n
+            for lang, n in _lang_counts(
+                eng.lake.dataset(version=v2, pids=changed)
+            ).items():
+                rollup[lang] = rollup.get(lang, 0) + n
+        langs = sorted(
+            (k for k, v in rollup.items() if v > 0),
+            key=lambda k: (k is None, k),
+        )
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_pages": pa.array([rollup[k] for k in langs], pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_INCREMENTAL_ROLLUP_PAGES = f"""
+WITH unioned AS (
+  SELECT url, warc_ts, lang, CAST(-1 AS BIGINT) AS lsn, 'insert' AS op
+  FROM read_parquet('{FIX_ROOT}/sf0.01/pages.parquet')
+  UNION ALL
+  SELECT url, warc_ts, lang, lsn, op
+  FROM read_parquet('{FIX_ROOT}/sf0.01/change_events/*.parquet')
+  WHERE op <> 'schema_change'
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+  FROM unioned)
+SELECT lang, count(*)::BIGINT AS n_pages
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+GROUP BY lang
+"""
+
+
 # ===================================================================
 # Aggregations / sorts / set ops (SURVEY.md §2.6-2.8 generic surface)
 # ===================================================================
@@ -2133,6 +2277,56 @@ GROUP BY text
 """
 
 
+def q_train_order_documents(sf_dir: str):
+    """Deterministic training-order shuffle: a reproducible global
+    pseudo-random ordering of the corpus (ORDER BY
+    splitmix64(poly64(doc_id))) — what a data loader needs so every
+    re-run, resume, and cluster size reads examples in the SAME order
+    without materializing an index. Exercises Ray's distributed sort
+    over a computed 8-byte key (the only shuffled columns are id +
+    key); the oracle replays the key in exact HUGEINT arithmetic and
+    the driver's row-order hash verifies the ORDER itself."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def key(b: pa.Table) -> pa.Table:
+        from ..ops.texthash import poly_hash_array, splitmix64
+
+        h = splitmix64(
+            poly_hash_array(pc.cast(b.column("doc_id"), pa.large_string()))
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "shuffle_key": pa.array(h.view(np.int64)),
+            }
+        )
+
+    # tie-break on doc_id to match the oracle's ORDER BY sk, doc_id
+    # (64-bit key collisions are ~never, but the contract is exact order)
+    out = ds.map_batches(key, batch_format="pyarrow").sort(
+        ["shuffle_key", "doc_id"]
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    # rank = explicit order column so the oracle comparison checks the
+    # ordering, not just the set
+    return t.append_column(
+        "rank", pa.array(np.arange(t.num_rows, dtype=np.int64))
+    )
+
+
+def _sql_train_order() -> str:
+    poly = hash_sql.poly64_expr("CAST(doc_id AS VARCHAR)")
+    sm = hash_sql.splitmix64_expr("hv")
+    return f"""
+WITH h0 AS (SELECT doc_id, {poly} AS hv FROM documents),
+h AS (SELECT doc_id, {hash_sql.as_int64(sm)} AS sk FROM h0)
+SELECT doc_id, sk AS shuffle_key,
+       (row_number() OVER (ORDER BY sk, doc_id) - 1)::BIGINT AS rank
+FROM h
+"""
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user 1-based
     session numbers over the events stream. One coarse keyed exchange
@@ -2482,6 +2676,9 @@ QUERIES = {
     "cms_event_users": q_cms_event_users,
     "jsonl_ingest_documents": q_jsonl_ingest_documents,
     "incremental_dedup_documents": q_incremental_dedup_documents,
+    "train_order_documents": q_train_order_documents,
+    "time_travel_pages": q_time_travel_pages,
+    "incremental_rollup_pages": q_incremental_rollup_pages,
     "sessionize_events": q_sessionize_events,
     "session_stats_events": q_session_stats_events,
     "vocab_topk_documents": q_vocab_topk_documents,
@@ -2545,6 +2742,9 @@ ORACLES = {
     "cms_event_users": _sql_cms(),
     "jsonl_ingest_documents": SQL_JSONL_INGEST_DOCUMENTS,
     "incremental_dedup_documents": SQL_INCREMENTAL_DEDUP_DOCUMENTS,
+    "train_order_documents": _sql_train_order(),
+    "time_travel_pages": SQL_TIME_TRAVEL_PAGES,
+    "incremental_rollup_pages": SQL_INCREMENTAL_ROLLUP_PAGES,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "session_stats_events": SQL_SESSION_STATS_EVENTS,
     "vocab_topk_documents": SQL_VOCAB_TOPK_DOCUMENTS,
