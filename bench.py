@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "train_order_documents",
     "time_travel_pages",
     "incremental_rollup_pages",
+    "scd2_history_pages",
     "sessionize_events",
     "session_stats_events",
     "vocab_topk_documents",

@@ -644,6 +644,134 @@ GROUP BY lang
 """
 
 
+def q_scd2_history_pages(sf_dir: str):
+    """SCD Type-2 dimension history built from the raw WAL: every
+    insert/update becomes a version row with ``[valid_from, valid_to)``
+    effectivity, deletes close the prior version without emitting one,
+    and the open version per url is flagged current. The warehouse
+    pattern the reference's ReplacingMergeTree LWW tables throw away
+    (only the latest row survives there) and dbt snapshot models
+    rebuild per run — here it is ONE pass: coarse hash partition on
+    poly64(url) co-locates each url's history, then a single vectorized
+    lexsort + run-boundary scan per partition computes next-event
+    timestamps and per-url version numbers with no per-url Python.
+    The WAL is at-least-once (replayed events appear verbatim twice);
+    versions are exactly-once, so identical (url, warc_ts, lsn) rows
+    are collapsed in the same sorted pass before versioning — this
+    also makes (warc_ts, lsn) a unique order key per url, keeping the
+    history deterministic."""
+    import pandas as pd
+
+    from ..ops.texthash import poly_hash_array
+
+    d = fixture_dir(sf_dir)
+    rd = _rd()
+    base = rd.read_parquet(
+        os.path.join(d, "pages.parquet"), columns=["url", "warc_ts", "lang"]
+    )
+
+    def stamp_base(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "warc_ts": b.column("warc_ts"),
+                "lang": b.column("lang"),
+                "lsn": pa.repeat(pa.scalar(-1, pa.int64()), n),
+                "op": pa.repeat(pa.scalar("insert"), n),
+            }
+        )
+
+    ev = rd.read_parquet(
+        os.path.join(d, "change_events"),
+        columns=["url", "warc_ts", "lang", "lsn", "op"],
+    )
+
+    def keep_dml(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b.column("op"), pa.scalar("schema_change")))
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        h = poly_hash_array(pc.cast(b.column("url"), pa.large_string()))
+        return b.append_column("pk", pa.array((h & np.uint64(255)).view(np.int64)))
+
+    unioned = (
+        base.map_batches(stamp_base, batch_format="pyarrow")
+        .union(ev.map_batches(keep_dml, batch_format="pyarrow"))
+        .map_batches(add_pk, batch_format="pyarrow")
+    )
+
+    def scd2(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["url"], sort=False)
+        ts = g["warc_ts"].to_numpy().view("int64")
+        lsn = g["lsn"].to_numpy()
+        order = np.lexsort((lsn, ts, codes))
+        c = codes[order]
+        t = ts[order]
+        l_s = lsn[order]
+        # collapse at-least-once replays: identical (url, ts, lsn)
+        # sort adjacent; keep the first of each run
+        fresh = np.ones(len(c), dtype=bool)
+        fresh[1:] = (c[1:] != c[:-1]) | (t[1:] != t[:-1]) | (l_s[1:] != l_s[:-1])
+        order = order[fresh]
+        c = c[fresh]
+        t = t[fresh]
+        op = g["op"].to_numpy()[order]
+        n = len(c)
+        # next event of the SAME url closes this version
+        same_next = np.zeros(n, dtype=bool)
+        same_next[:-1] = c[1:] == c[:-1]
+        nxt = np.empty(n, dtype="int64")
+        nxt[:-1] = t[1:]
+        nxt[-1] = 0
+        valid_to = np.where(
+            same_next, nxt.astype("datetime64[us]"), np.datetime64("NaT")
+        )
+        keep = op != "delete"
+        # per-url 1-based version number among kept rows: cumulative
+        # kept-count minus the url run's starting offset
+        kept_cum = np.cumsum(keep)
+        run_start = np.ones(n, dtype=bool)
+        run_start[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(run_start)
+        base_off = kept_cum[starts] - keep[starts]
+        lengths = np.diff(np.append(starts, n))
+        seq = kept_cum - np.repeat(base_off, lengths)
+        return pd.DataFrame(
+            {
+                "url": g["url"].to_numpy()[order][keep],
+                "lang": g["lang"].to_numpy()[order][keep],
+                "valid_from": t[keep].astype("datetime64[us]"),
+                "valid_to": valid_to[keep],
+                "change_lsn": lsn[order][keep],
+                "version_seq": seq[keep].astype(np.int64),
+                "is_current": ~same_next[keep],
+            }
+        )
+
+    return unioned.groupby("pk").map_groups(scd2, batch_format="pandas")
+
+
+SQL_SCD2_HISTORY_PAGES = f"""
+WITH unioned AS (
+  SELECT DISTINCT url, warc_ts, lang, lsn, op FROM (
+    SELECT url, warc_ts, lang, CAST(-1 AS BIGINT) AS lsn, 'insert' AS op
+    FROM read_parquet('{FIX_ROOT}/sf0.01/pages.parquet')
+    UNION ALL
+    SELECT url, warc_ts, lang, lsn, op
+    FROM read_parquet('{FIX_ROOT}/sf0.01/change_events/*.parquet')
+    WHERE op <> 'schema_change')
+), seq AS (
+  SELECT *, lead(warc_ts) OVER w AS valid_to
+  FROM unioned WINDOW w AS (PARTITION BY url ORDER BY warc_ts, lsn)
+), vers AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts, lsn) AS vs
+  FROM seq WHERE op <> 'delete')
+SELECT url, lang, warc_ts AS valid_from, valid_to, lsn AS change_lsn,
+       vs::BIGINT AS version_seq, (valid_to IS NULL) AS is_current
+FROM vers
+"""
+
+
 # ===================================================================
 # Aggregations / sorts / set ops (SURVEY.md §2.6-2.8 generic surface)
 # ===================================================================
@@ -2679,6 +2807,7 @@ QUERIES = {
     "train_order_documents": q_train_order_documents,
     "time_travel_pages": q_time_travel_pages,
     "incremental_rollup_pages": q_incremental_rollup_pages,
+    "scd2_history_pages": q_scd2_history_pages,
     "sessionize_events": q_sessionize_events,
     "session_stats_events": q_session_stats_events,
     "vocab_topk_documents": q_vocab_topk_documents,
@@ -2745,6 +2874,7 @@ ORACLES = {
     "train_order_documents": _sql_train_order(),
     "time_travel_pages": SQL_TIME_TRAVEL_PAGES,
     "incremental_rollup_pages": SQL_INCREMENTAL_ROLLUP_PAGES,
+    "scd2_history_pages": SQL_SCD2_HISTORY_PAGES,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "session_stats_events": SQL_SESSION_STATS_EVENTS,
     "vocab_topk_documents": SQL_VOCAB_TOPK_DOCUMENTS,
