@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "latest_order_per_customer",
     "windowed_event_counts",
     "asof_join_signup",
+    "antijoin_customers_urgent",
+    "pivot_docs_lang_source",
+    "rollup_revenue_nation_segment",
+    "running_total_orders",
     "case_ladder_order_tiers",
     "date_derivations_events",
     "string_funcs_customers",

@@ -1131,6 +1131,254 @@ WHERE event_type = 'purchase'
 """
 
 
+def q_antijoin_customers_urgent(sf_dir: str):
+    """Distributed ANTI-join (NOT EXISTS): customers with no URGENT
+    order. The probe side is reduced BEFORE the shuffle — a map-side
+    per-batch unique over the filtered key column (column-pruned read,
+    predicate applied in the batch) — then distinct keys come from a
+    distributed groupby, and the anti step is a left_outer hash join
+    with a null-marker filter. Nothing materializes on the driver, so
+    the shape holds when both sides are 100 TB; the key shuffle carries
+    8 bytes per surviving row."""
+    import ray
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def urgent_keys(b: pa.Table) -> pa.Table:
+        keys = b.filter(
+            pc.equal(b.column("o_orderpriority"), pa.scalar("1-URGENT"))
+        ).column("o_custkey")
+        return pa.table({"o_custkey": np.unique(keys.to_numpy(zero_copy_only=False))})
+
+    urgent = (
+        orders.map_batches(urgent_keys, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_hits"))
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    n_parts = max(8, min(int(ray.cluster_resources().get("CPU", 8)),
+                         2 * len(customer.input_files())))
+    joined = customer.join(
+        urgent,
+        join_type="left_outer",
+        num_partitions=n_parts,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def keep_missing(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_null(b.column("n_hits")))
+        return b.select(["c_custkey", "c_mktsegment"])
+
+    return joined.map_batches(keep_missing, batch_format="pyarrow")
+
+
+SQL_ANTIJOIN_CUSTOMERS_URGENT = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_pivot_docs_lang_source(sf_dir: str):
+    """PIVOT (long → wide): per-source document counts spread across
+    one column per language. The wide columns are built IN the batch
+    (vectorized one-hot against the fixed lang list — a pivot's column
+    set must be declared, same as SQL), pre-aggregated per batch by
+    source, then reduced by native map-side-combining Sum aggregates —
+    the shuffle carries one short row per (batch, source), never the
+    documents."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    cols = [f"{l}_docs" for l in _PIVOT_LANGS]
+
+    def partial_pivot(df: pd.DataFrame) -> pd.DataFrame:
+        oh = pd.DataFrame(
+            (df["lang"].to_numpy()[:, None] == np.array(_PIVOT_LANGS)).astype("int64"),
+            columns=cols,
+        )
+        oh["n_docs"] = np.int64(1)
+        oh["source"] = df["source"].to_numpy()
+        return oh.groupby("source", as_index=False, sort=False).sum()
+
+    return (
+        ds.map_batches(partial_pivot, batch_format="pandas")
+        .groupby("source")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols + ["n_docs"]])
+    )
+
+
+SQL_PIVOT_DOCS_LANG_SOURCE = """
+SELECT source,
+       {filters},
+       count(*) AS n_docs
+FROM documents GROUP BY source
+""".format(filters=",\n       ".join(
+    f"count(*) FILTER (lang = '{l}') AS {l}_docs" for l in _PIVOT_LANGS))
+
+
+def q_rollup_revenue_nation_segment(sf_dir: str):
+    """GROUP BY ROLLUP (grouping sets): revenue at (nation, segment),
+    (nation) and grand-total levels. Only the FINEST grain touches the
+    big tables — the same distributed hash join + broadcast dim as the
+    plain join query — and coarser levels are derived from that tiny
+    aggregate (nations × segments rows) on the driver: a rollup never
+    needs a second pass over the fact table. Money is summed as exact
+    integer cents so every level reproduces the SQL bit-for-bit (no
+    float association-order drift on the grand total)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk = nation.column("n_nationkey").to_numpy()
+    dense = np.empty(int(nk.max()) + 1, dtype=object)
+    dense[nk] = nation.column("n_name").to_numpy(zero_copy_only=False)
+    nmap_ref = ray.put(dense)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_mktsegment"]
+    )
+    n_parts = max(8, min(int(ray.cluster_resources().get("CPU", 8)),
+                         2 * len(orders.input_files())))
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def add_nation_cents(b: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        keys = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        cents = np.round(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array(nmap[keys], pa.string()),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "cents": pa.array(cents),
+            }
+        )
+
+    fine = (
+        joined.map_batches(add_nation_cents, batch_format="pyarrow")
+        .groupby(["n_name", "c_mktsegment"])
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="cents"))
+        .to_pandas()  # nations × segments rows — tiny by construction
+    )
+    by_nation = fine.groupby("n_name", as_index=False)[["n_orders", "cents"]].sum()
+    by_nation["c_mktsegment"] = None
+    total = pd.DataFrame(
+        {
+            "n_name": [None],
+            "c_mktsegment": [None],
+            "n_orders": [fine["n_orders"].sum()],
+            "cents": [fine["cents"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_nation, total], ignore_index=True)
+    out["revenue"] = out.pop("cents").to_numpy().astype(np.float64) / 100.0
+    return out[["n_name", "c_mktsegment", "n_orders", "revenue"]]
+
+
+SQL_ROLLUP_REVENUE_NATION_SEGMENT = """
+SELECT n.n_name, c.c_mktsegment, count(*) AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP(n.n_name, c.c_mktsegment)
+"""
+
+
+def q_running_total_orders(sf_dir: str):
+    """Per-key cumulative window aggregate: running order count and
+    running revenue per customer in (o_orderdate, o_orderkey) order —
+    ``sum(...) OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``. Coarse hash partition co-locates each customer's
+    orders, then ONE lexsort + cumsum-minus-run-offset pass per
+    partition computes every customer's running series with no
+    per-customer Python. Cents-int accumulation keeps the running sum
+    exact, so ours and the SQL window agree at every prefix, not just
+    in the limit."""
+    import pandas as pd
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pk", pc.bit_wise_and(b.column("o_custkey"), pa.scalar(255, pa.int64()))
+        )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["o_custkey"].to_numpy()
+        ts = g["o_orderdate"].to_numpy().view("int64")
+        okey = g["o_orderkey"].to_numpy()
+        cents = np.round(g["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        order = np.lexsort((okey, ts, k))
+        ks, cs = k[order], cents[order]
+        n = len(ks)
+        start = np.ones(n, dtype=bool)
+        start[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(start)
+        lengths = np.diff(np.append(starts, n))
+        cum = np.cumsum(cs)
+        offset = np.repeat(cum[starts] - cs[starts], lengths)
+        pos = np.arange(n, dtype=np.int64)
+        seq = pos - np.repeat(starts, lengths) + 1
+        return pd.DataFrame(
+            {
+                "o_custkey": ks,
+                "o_orderkey": okey[order],
+                "o_orderdate": g["o_orderdate"].to_numpy()[order],
+                "order_seq": seq,
+                "run_total": (cum - offset).astype(np.float64) / 100.0,
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+SQL_RUNNING_TOTAL_ORDERS = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       row_number() OVER w AS order_seq,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w / 100.0 AS run_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_distinct_segments(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -2764,6 +3012,10 @@ QUERIES = {
     "latest_order_per_customer": q_latest_order_per_customer,
     "windowed_event_counts": q_windowed_event_counts,
     "asof_join_signup": q_asof_join_signup,
+    "antijoin_customers_urgent": q_antijoin_customers_urgent,
+    "pivot_docs_lang_source": q_pivot_docs_lang_source,
+    "rollup_revenue_nation_segment": q_rollup_revenue_nation_segment,
+    "running_total_orders": q_running_total_orders,
     "distinct_segments": q_distinct_segments,
     "union_counts": q_union_counts,
     "case_ladder_order_tiers": q_case_ladder_order_tiers,
@@ -2843,6 +3095,10 @@ ORACLES = {
     "latest_order_per_customer": SQL_LATEST_ORDER_PER_CUSTOMER,
     "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
     "asof_join_signup": SQL_ASOF_JOIN_SIGNUP,
+    "antijoin_customers_urgent": SQL_ANTIJOIN_CUSTOMERS_URGENT,
+    "pivot_docs_lang_source": SQL_PIVOT_DOCS_LANG_SOURCE,
+    "rollup_revenue_nation_segment": SQL_ROLLUP_REVENUE_NATION_SEGMENT,
+    "running_total_orders": SQL_RUNNING_TOTAL_ORDERS,
     "distinct_segments": SQL_DISTINCT_SEGMENTS,
     "union_counts": SQL_UNION_COUNTS,
     "case_ladder_order_tiers": SQL_CASE_LADDER_ORDER_TIERS,
