@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "sessionize_events",
     "session_stats_events",
     "vocab_topk_documents",
+    "inverted_index_documents",
+    "tfidf_top_terms",
     "quantiles_event_value",
     "grouped_quantiles_events",
     "pii_redact_docs",

@@ -2773,6 +2773,64 @@ GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50
 """
 
 
+def q_inverted_index_documents(sf_dir: str):
+    """Inverted index (term → df + sorted doc-id posting list) over
+    the corpus: in-batch (doc, term, tf) combining, coarse token-hash
+    bucket reduce, one argsort + run-boundary pass per bucket
+    (ops/tfidf.inverted_index)."""
+    from ..ops.tfidf import inverted_index
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return inverted_index(ds)
+
+
+SQL_INVERTED_INDEX_DOCUMENTS = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL)
+  WHERE tok <> '')
+SELECT tok, count(*)::BIGINT AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY tok
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF terms: distributed df reduce, pair ⋈
+    df hash join ON THE TOKEN, score = round(tf·ln(N/df), 6), per-doc
+    top-k via coarse doc-hash partition + one lexsort pass
+    (ops/tfidf.tfidf_topk)."""
+    from ..ops.tfidf import tfidf_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=3)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH docs AS (
+  SELECT doc_id, lower(text) AS text FROM documents WHERE text IS NOT NULL
+), pairs AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM docs)
+  WHERE tok <> '' GROUP BY doc_id, tok
+), dft AS (
+  SELECT tok, count(*)::BIGINT AS df FROM pairs GROUP BY tok
+), scored AS (
+  SELECT p.doc_id, p.tok, p.tf,
+         round(p.tf * ln((SELECT count(*)::DOUBLE FROM docs) / dft.df), 6) AS tfidf_w
+  FROM pairs p JOIN dft USING (tok)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_w DESC, tok) AS rank
+  FROM scored)
+SELECT doc_id, tok, tf, tfidf_w, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_quantiles_event_value(sf_dir: str):
     """Exact distributed quantiles (p25..p99) of events.value without
     a global sort: shared histogram rank-finding + per-bin candidate
@@ -3016,6 +3074,8 @@ QUERIES = {
     "pivot_docs_lang_source": q_pivot_docs_lang_source,
     "rollup_revenue_nation_segment": q_rollup_revenue_nation_segment,
     "running_total_orders": q_running_total_orders,
+    "inverted_index_documents": q_inverted_index_documents,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "distinct_segments": q_distinct_segments,
     "union_counts": q_union_counts,
     "case_ladder_order_tiers": q_case_ladder_order_tiers,
@@ -3099,6 +3159,8 @@ ORACLES = {
     "pivot_docs_lang_source": SQL_PIVOT_DOCS_LANG_SOURCE,
     "rollup_revenue_nation_segment": SQL_ROLLUP_REVENUE_NATION_SEGMENT,
     "running_total_orders": SQL_RUNNING_TOTAL_ORDERS,
+    "inverted_index_documents": SQL_INVERTED_INDEX_DOCUMENTS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "distinct_segments": SQL_DISTINCT_SEGMENTS,
     "union_counts": SQL_UNION_COUNTS,
     "case_ladder_order_tiers": SQL_CASE_LADDER_ORDER_TIERS,
