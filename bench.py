@@ -33,6 +33,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "cdc_events_lww",
     "cdc_pages_replay",
+    "cdc_delta_replay",
+    "point_lookup_pages",
     "agg_pricing_summary",
     "filter_project_revenue",
     "sort_topk_orders",

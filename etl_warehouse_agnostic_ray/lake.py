@@ -102,6 +102,90 @@ def partition_ids(urls, num_partitions: int):
         return (h % np.uint64(num_partitions)).astype("int64")
 
 
+def _read_compact_partition(
+    root: str,
+    rel_files: list[str],
+    schema_ops: list[dict],
+    fs=None,
+    compact: bool = True,
+    url_filter: str | None = None,
+) -> pa.Table:
+    """Read one partition's base file + merge-on-read delta files and
+    LWW-compact them to the winning row per url (tombstones retained).
+    Files are conformed ONE AT A TIME (they may come from different
+    schema epochs); lineage columns survive for the compaction order.
+    ``url_filter`` pushes an equality predicate into each parquet read
+    (row-group pruning via column statistics)."""
+    import pyarrow.parquet as pq
+
+    from .stages.lww import lww_compact_table
+
+    reg = SchemaRegistry.from_dict(schema_ops)
+    tables = []
+    for rel in rel_files:
+        kw = {}
+        if url_filter is not None:
+            kw["filters"] = [("url", "=", url_filter)]
+        t = pq.read_table(os.path.join(root, rel), filesystem=fs, **kw)
+        lineage = {
+            c: t.column(c) for c in (LSN_COL, OP_COL, PID_COL) if c in t.column_names
+        }
+        conf = reg.conform(t.drop(list(lineage)))
+        for c, col in lineage.items():
+            conf = conf.append_column(c, col)
+        tables.append(conf)
+    merged = pa.concat_tables(tables)
+    return lww_compact_table(merged) if compact else merged
+
+
+def _logical_view(t: pa.Table, reg: SchemaRegistry, include_lineage: bool) -> pa.Table:
+    """Compacted physical rows -> logical table: tombstones out, lineage
+    columns dropped (or appended when requested)."""
+    import pyarrow.compute as pc
+
+    if OP_COL in t.column_names:
+        t = t.filter(pc.not_equal(t.column(OP_COL), pa.scalar("delete")))
+    extras = [c for c in (LSN_COL, PID_COL, OP_COL) if c in t.column_names]
+    out = reg.conform(t.drop(extras))
+    if include_lineage:
+        for c in extras:
+            out = out.append_column(c, t.column(c))
+    return out
+
+
+class _MorPartitionRead:
+    """map_batches callable resolving merge-on-read partitions: each
+    input row names one partition's file stack (base + deltas,
+    newline-joined rel paths); the task reads them directly from shared
+    storage — no shuffle — compacts, and emits the logical rows."""
+
+    def __init__(self, root: str, schema_ops: list[dict], fs, include_lineage: bool):
+        self.root = root
+        self.schema_ops = schema_ops
+        self.fs = fs
+        self.include_lineage = include_lineage
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        reg = SchemaRegistry.from_dict(self.schema_ops)
+        out = []
+        for stack in batch.column("files").to_pylist():
+            t = _read_compact_partition(
+                self.root, stack.split("\n"), self.schema_ops, self.fs
+            )
+            out.append(_logical_view(t, reg, self.include_lineage))
+        if not out:
+            empty = reg.conform(pa.table({}))
+            if self.include_lineage:
+                for c, typ in (
+                    (LSN_COL, pa.int64()),
+                    (PID_COL, pa.int64()),
+                    (OP_COL, pa.string()),
+                ):
+                    empty = empty.append_column(c, pa.array([], typ))
+            return empty
+        return pa.concat_tables(out)
+
+
 class LakeTable:
     def __init__(self, root: str, filesystem=None):
         """``filesystem``: an optional ``pyarrow.fs.FileSystem`` — the
@@ -187,6 +271,15 @@ class LakeTable:
                 raise IOError(
                     f"partition {pid}: wrote {md.num_rows} rows, expected {ent['rows']}"
                 )
+            for dent in ent.get("deltas", ()):  # merge-on-read side files
+                dmd = pq.read_metadata(
+                    os.path.join(self.root, dent["file"]), filesystem=self.fs
+                )
+                if dmd.num_rows != dent["rows"]:
+                    raise IOError(
+                        f"partition {pid} delta {dent['file']}: wrote "
+                        f"{dmd.num_rows} rows, expected {dent['rows']}"
+                    )
         manifest = {
             "version": version,
             "parent": version - 1,
@@ -205,10 +298,16 @@ class LakeTable:
 
     # ---- read ----
     def files(self, version: int | None = None) -> list[str]:
+        """Every live data file — base partition files AND any
+        merge-on-read delta side files."""
         m = self.load_manifest(version)
         if not m:
             return []
-        return [os.path.join(self.root, e["file"]) for e in m["partitions"].values()]
+        out = []
+        for e in m["partitions"].values():
+            out.append(os.path.join(self.root, e["file"]))
+            out.extend(os.path.join(self.root, d["file"]) for d in e.get("deltas", ()))
+        return out
 
     def files_by_epoch(
         self, version: int | None = None, pids: set[int] | None = None
@@ -240,8 +339,14 @@ class LakeTable:
         m_old = self.load_manifest(v_from) if v_from >= 0 else None
         old = {} if m_old is None else m_old["partitions"]
         changed = set()
+
+        def _sig(ent: dict | None) -> tuple | None:
+            if ent is None:
+                return None
+            return (ent["file"], tuple(d["file"] for d in ent.get("deltas", ())))
+
         for pid, ent in m_new["partitions"].items():
-            if old.get(pid, {}).get("file") != ent["file"]:
+            if _sig(old.get(pid)) != _sig(ent):
                 changed.add(int(pid))
         return changed
 
@@ -254,11 +359,26 @@ class LakeTable:
         """Current table state as a streaming ray.data.Dataset, conformed
         to the latest logical schema (older partition files may predate a
         schema op; conform renames/casts/backfills per file batch).
-        ``pids`` restricts the read to those partitions (change feed)."""
+        ``pids`` restricts the read to those partitions (change feed).
+
+        Partitions carrying merge-on-read delta side files are resolved
+        by a per-partition task that reads base ∪ deltas directly and
+        LWW-compacts in place (same no-shuffle shape as the apply merge:
+        one task per partition, nothing moves through an exchange);
+        delta-free partitions stream through plain ``read_parquet``."""
         import ray.data as rd
 
         m = self.load_manifest(version)
+        if not m:
+            raise FileNotFoundError(f"no committed version in {self.root}")
         reg_ops = m["schema_ops"]
+        sel = {
+            int(p): e
+            for p, e in m["partitions"].items()
+            if pids is None or int(p) in pids
+        }
+        plain = {p for p, e in sel.items() if not e.get("deltas")}
+        mor = {p: e for p, e in sel.items() if e.get("deltas")}
 
         def conform(batch: pa.Table) -> pa.Table:
             reg = SchemaRegistry.from_dict(reg_ops)
@@ -278,9 +398,24 @@ class LakeTable:
             return out
 
         ds = None
-        for _, files in sorted(self.files_by_epoch(version, pids=pids).items()):
-            d = rd.read_parquet(files, filesystem=self.fs).map_batches(
-                conform, batch_format="pyarrow"
+        if plain:
+            for _, files in sorted(self.files_by_epoch(version, pids=plain).items()):
+                d = rd.read_parquet(files, filesystem=self.fs).map_batches(
+                    conform, batch_format="pyarrow"
+                )
+                ds = d if ds is None else ds.union(d)
+        if mor:
+            items = [
+                {
+                    "files": "\n".join(
+                        [e["file"]] + [d["file"] for d in e["deltas"]]
+                    )
+                }
+                for _, e in sorted(mor.items())
+            ]
+            d = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+                _MorPartitionRead(self.root, reg_ops, self.fs, include_lineage),
+                batch_format="pyarrow",
             )
             ds = d if ds is None else ds.union(d)
         if ds is None:
@@ -289,28 +424,46 @@ class LakeTable:
 
     def to_arrow(self, version: int | None = None, include_lineage: bool = False) -> pa.Table:
         """Small-table convenience (tests / validation only)."""
-        import pyarrow.parquet as pq
-
         m = self.load_manifest(version)
         if not m:
             raise FileNotFoundError(f"no committed version in {self.root}")
-        import pyarrow.compute as pc
-
         reg = SchemaRegistry.from_dict(m["schema_ops"])
         parts = []
-        for f in self.files(version):
-            t = pq.read_table(f, filesystem=self.fs)
-            if OP_COL in t.column_names:
-                t = t.filter(pc.not_equal(t.column(OP_COL), pa.scalar("delete")))
-            extras = [c for c in (LSN_COL, PID_COL, OP_COL) if c in t.column_names]
-            out = reg.conform(t.drop(extras))
-            if include_lineage:
-                for c in extras:
-                    out = out.append_column(c, t.column(c))
-            parts.append(out)
+        for _, ent in sorted(m["partitions"].items()):
+            rels = [ent["file"]] + [d["file"] for d in ent.get("deltas", ())]
+            t = _read_compact_partition(
+                self.root, rels, m["schema_ops"], self.fs, compact=len(rels) > 1
+            )
+            parts.append(_logical_view(t, reg, include_lineage))
         if not parts:
             return reg.conform(pa.table({}))
         return pa.concat_tables(parts)
+
+    def lookup(self, url: str, version: int | None = None) -> pa.Table:
+        """Point lookup: the live LWW row for one key, touching exactly
+        ONE partition (hash routing) and pushing a ``url =`` predicate
+        into the parquet reads (row-group pruning via column stats) —
+        never a table scan. Returns 0 or 1 logical rows."""
+        m = self.load_manifest(version)
+        if not m:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        reg = SchemaRegistry.from_dict(m["schema_ops"])
+        pid = int(partition_ids([url], m["num_partitions"])[0])
+        ent = m["partitions"].get(str(pid))
+        if ent is None:
+            return _logical_view(
+                reg.conform(pa.table({})), reg, include_lineage=False
+            )
+        rels = [ent["file"]] + [d["file"] for d in ent.get("deltas", ())]
+        t = _read_compact_partition(
+            self.root,
+            rels,
+            m["schema_ops"],
+            self.fs,
+            compact=True,
+            url_filter=url,
+        )
+        return _logical_view(t, reg, include_lineage=False)
 
     # ---- observability ----
     def stats(self, version: int | None = None) -> dict:
@@ -324,7 +477,13 @@ class LakeTable:
         rows = sum(e["rows"] for e in parts.values())
         live = sum(e.get("live_rows", e["rows"]) for e in parts.values())
         sizes = [e.get("bytes", 0) for e in parts.values()]
+        delta_files = sum(len(e.get("deltas", ())) for e in parts.values())
+        delta_rows = sum(
+            d["rows"] for e in parts.values() for d in e.get("deltas", ())
+        )
         return {
+            "delta_files": delta_files,
+            "delta_rows": delta_rows,
             "version": m["version"],
             "batch_id": m["batch_id"],
             "applied_lsn": m["applied_lsn"],
@@ -352,7 +511,9 @@ class LakeTable:
         for v in range(max(0, cur - keep_versions + 1), cur + 1):
             m = self.load_manifest(v)
             if m:
-                live.update(e["file"] for e in m["partitions"].values())
+                for e in m["partitions"].values():
+                    live.add(e["file"])
+                    live.update(d["file"] for d in e.get("deltas", ()))
         removed = []
         data_root = os.path.join(self.root, "data")
         if self.fs is not None:

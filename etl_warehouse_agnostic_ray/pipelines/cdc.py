@@ -47,16 +47,27 @@ class CDCEngine:
         salt_threshold: int | None = 4_000_000,
         n_salts: int = 16,
         filesystem=None,
+        delta_max_files: int = 8,
+        delta_max_ratio: float = 0.5,
     ):
         """``filesystem``: optional pyarrow.fs.FileSystem for the LAKE
         side (manifests + partition files) — see LakeTable. The change
         STREAM inputs stay plain paths/Datasets (point read_parquet at
-        whatever filesystem holds them)."""
+        whatever filesystem holds them).
+
+        ``delta_max_files`` / ``delta_max_ratio``: merge-on-read bounds
+        (``apply(mode="delta")``). A partition accepts delta side files
+        until it has ``delta_max_files`` of them or their accumulated
+        rows exceed ``delta_max_ratio`` × its base live rows; past
+        either bound the next apply folds that partition (full rewrite),
+        keeping read amplification bounded by construction."""
         self.lake = LakeTable(lake_root, filesystem=filesystem)
         self.num_partitions = num_partitions
         self.merge_concurrency = merge_concurrency
         self.salt_threshold = salt_threshold
         self.n_salts = n_salts  # power of two (salt = lsn & (S-1))
+        self.delta_max_files = delta_max_files
+        self.delta_max_ratio = delta_max_ratio
 
     # ------------------------------------------------------------------
     def bootstrap(self, pages, batch_id: str = "bootstrap") -> dict:
@@ -106,11 +117,25 @@ class CDCEngine:
         return manifest
 
     # ------------------------------------------------------------------
-    def apply(self, stream, batch_id: str | None = None) -> dict:
+    def apply(self, stream, batch_id: str | None = None, mode: str = "cow") -> dict:
         """Apply one batch of change events (a parquet path/dir or an
         Arrow table). Idempotent per batch_id; resumable: only events
         with lsn > applied_lsn are considered, so re-running after a
-        crash (or feeding overlapping slices) converges."""
+        crash (or feeding overlapping slices) converges.
+
+        ``mode``:
+        - ``"cow"`` (copy-on-write, default): every affected partition
+          is fully rewritten (base ∪ delta compacted into a new file).
+        - ``"delta"`` (merge-on-read): small per-partition deltas are
+          LWW-compacted and written as side files WITHOUT touching the
+          base — O(delta) write amplification instead of O(partition)
+          per micro-batch. Readers fold base ∪ deltas per partition
+          in-task (no shuffle); a partition past ``delta_max_files`` /
+          ``delta_max_ratio`` is folded inline, and big batches
+          (footer shortcut) or DDL-carrying batches fall back to cow
+          for the affected partitions. LWW associativity guarantees
+          both modes converge to the identical table.
+        """
         import ray.data as rd
 
         t0 = time.perf_counter()
@@ -256,10 +281,39 @@ class CDCEngine:
         # barrier; measured ~2× on the merge execution). ---
         version = self.lake.current_version() + 1
         out_dir = self.lake.data_dir(version)
-        base_file_map: dict[int, str] = {
-            int(pid): os.path.join(self.lake.root, ent["file"])
+
+        # --- merge-on-read partition selection. A partition takes the
+        # delta path only while bounded: base must exist, the stack must
+        # stay under delta_max_files, accumulated delta rows under
+        # delta_max_ratio × base live rows — past either bound this very
+        # apply folds it (cow). DDL batches and footer-shortcut big
+        # deltas always fold: the former so schema epochs don't stack
+        # unboundedly, the latter because a table-sized delta rewrites
+        # everything anyway. ---
+        if mode not in ("cow", "delta"):
+            raise ValueError(f"apply mode must be 'cow' or 'delta', got {mode!r}")
+        delta_pids: set[int] = set()
+        if mode == "delta" and big_delta_rows is None and not schema_rows:
+            for pid in affected:
+                ent = manifest["partitions"].get(str(pid))
+                if ent is None:
+                    continue  # fresh partition: its first file IS a base file
+                dents = ent.get("deltas", [])
+                acc = sum(d["rows"] for d in dents) + pid_counts.get(pid, 0)
+                if (
+                    len(dents) + 1 > self.delta_max_files
+                    or acc > max(1, ent.get("live_rows", ent["rows"])) * self.delta_max_ratio
+                ):
+                    continue  # fold now — bounds read amplification
+                delta_pids.add(pid)
+
+        # cow partitions merge against base + any existing delta stack
+        # (each file conformed separately — epochs may differ)
+        base_file_map: dict[int, list[str]] = {
+            int(pid): [os.path.join(self.lake.root, ent["file"])]
+            + [os.path.join(self.lake.root, d["file"]) for d in ent.get("deltas", ())]
             for pid, ent in manifest["partitions"].items()
-            if int(pid) in affected
+            if int(pid) in affected and int(pid) not in delta_pids
         }
 
         # --- skew mitigation: salted two-level merge for hot partitions.
@@ -310,7 +364,11 @@ class CDCEngine:
                 delta.groupby(PID_COL, num_partitions=P)
                 .map_groups(
                     partition_merger(
-                        out_dir, base_file_map, schema_ops, filesystem=self.lake.fs
+                        out_dir,
+                        base_file_map,
+                        schema_ops,
+                        filesystem=self.lake.fs,
+                        delta_pids=delta_pids or None,
                     ),
                     batch_format="pyarrow",
                     **self._merge_opts(),
@@ -321,7 +379,39 @@ class CDCEngine:
             stats = []
         t_ = _mark("merge", t_)
         cur_schema_lsn = max((o["lsn"] for o in schema_ops), default=-1)
-        new_partitions = self._stats_to_partitions(stats, schema_lsn=cur_schema_lsn)
+        new_partitions = self._stats_to_partitions(
+            [r for r in stats if not r.get("is_delta")], schema_lsn=cur_schema_lsn
+        )
+        # merge-on-read appends: old entry + one more delta side file;
+        # entry-level lineage (max_lsn) advances so resume/feed remain
+        # exact without opening the delta files
+        delta_appended: dict[int, dict] = {}
+        for r in stats:
+            if not r.get("is_delta"):
+                continue
+            pid = int(r["pid"])
+            ent = dict(manifest["partitions"][str(pid)])
+            dents = list(ent.get("deltas", []))
+            dents.append(
+                {
+                    "file": os.path.join("data", r["file"]),
+                    "rows": int(r["rows"]),
+                    "live_rows": int(r.get("live_rows", r["rows"])),
+                    "max_lsn": int(r["max_lsn"]),
+                    "watermark_ts": str(r.get("watermark_ts")),
+                    "bytes": int(r["bytes"]),
+                    "schema_lsn": int(cur_schema_lsn),
+                }
+            )
+            ent["deltas"] = dents
+            ent["max_lsn"] = max(int(ent["max_lsn"]), int(r["max_lsn"]))
+            # entry-level watermark = max event time across base + deltas
+            # (ISO timestamp strings compare lexicographically; "None"
+            # sorts above digits so guard it explicitly)
+            old_wm, new_wm = ent.get("watermark_ts"), str(r.get("watermark_ts"))
+            if new_wm != "None" and (old_wm in (None, "None") or new_wm > old_wm):
+                ent["watermark_ts"] = new_wm
+            delta_appended[pid] = ent
 
         # --- carry forward by reference: untouched partitions, plus any
         # "affected" pid that produced no merge group (possible under the
@@ -329,9 +419,11 @@ class CDCEngine:
         partitions = {
             int(pid): ent
             for pid, ent in manifest["partitions"].items()
-            if int(pid) not in affected or int(pid) not in new_partitions
+            if int(pid) not in affected
+            or (int(pid) not in new_partitions and int(pid) not in delta_appended)
         }
         partitions.update(new_partitions)
+        partitions.update(delta_appended)
 
         committed = self.lake.commit(
             partitions,
@@ -344,6 +436,7 @@ class CDCEngine:
                 "events_applied": delta_rows,
                 "schema_ops_applied": len(schema_rows),
                 "partitions_rewritten": len(new_partitions),
+                "partitions_delta_appended": len(delta_appended),
                 "partitions_total": len(partitions),
                 "wall_sec": round(time.perf_counter() - t0, 3),
             },
@@ -356,12 +449,15 @@ class CDCEngine:
             "events_applied": delta_rows,
             "applied_lsn": max_event_lsn,
             "partitions_rewritten": len(new_partitions),
+            "delta_appended": len(delta_appended),
             "phase_sec": phases,
             "wall_sec": round(time.perf_counter() - t0, 3),
         }
 
     # ------------------------------------------------------------------
-    def apply_stream(self, stream_dir: str, max_files_per_batch: int = 8) -> list[dict]:
+    def apply_stream(
+        self, stream_dir: str, max_files_per_batch: int = 8, mode: str = "cow"
+    ) -> list[dict]:
         """Consume a WAL directory to completion in LSN-ordered
         micro-batches — the reference's scheduled extraction loop
         (cron cadence, SURVEY.md §1.1) collapsed into a drain: each
@@ -373,7 +469,7 @@ class CDCEngine:
         reports = []
         cursor = self.lake.load_manifest()["applied_lsn"] if self.lake.load_manifest() else -1
         for batch_id, files in src.batches(cursor=cursor, max_files=max_files_per_batch):
-            reports.append(self.apply(files, batch_id=batch_id))
+            reports.append(self.apply(files, batch_id=batch_id, mode=mode))
         return reports
 
     # ------------------------------------------------------------------
@@ -598,12 +694,13 @@ class CDCEngine:
 
     def compact(self, batch_id: str | None = None) -> dict:
         """Physically rewrite partitions whose files predate the current
-        schema epoch, conforming them to the latest logical schema (the
-        engine otherwise conforms stale epochs lazily on read and only
-        rewrites a partition when a delta next touches it). ClickHouse
-        ``OPTIMIZE`` analogue, scoped to schema-stale partitions; a
-        no-op commit is skipped. LWW-idempotent: re-compacting an
-        already-compacted partition is byte-stable."""
+        schema epoch OR carry merge-on-read delta side files, conforming
+        them to the latest logical schema and folding base ∪ deltas into
+        one file per partition (the engine otherwise resolves both
+        lazily on read and only rewrites a partition when a delta next
+        touches it). ClickHouse ``OPTIMIZE`` analogue; a no-op commit is
+        skipped. LWW-idempotent: re-compacting an already-compacted
+        partition is byte-stable."""
         manifest = self.lake.load_manifest()
         if manifest is None:
             raise RuntimeError("bootstrap() the lake before compact()")
@@ -611,10 +708,10 @@ class CDCEngine:
         stale = {
             int(pid): ent
             for pid, ent in manifest["partitions"].items()
-            if int(ent.get("schema_lsn", -1)) < cur_schema_lsn
+            if int(ent.get("schema_lsn", -1)) < cur_schema_lsn or ent.get("deltas")
         }
         if not stale:
-            return {"skipped": True, "reason": "no stale-epoch partitions"}
+            return {"skipped": True, "reason": "no stale-epoch or delta-bearing partitions"}
         if batch_id is None:
             batch_id = f"compact-{uuid.uuid4().hex[:12]}"
         import ray.data as rd
@@ -623,12 +720,16 @@ class CDCEngine:
         # group stale files by THEIR epoch: files from different epochs
         # have different physical schemas and must not share one
         # read_parquet (column mis-unification), same rule as
-        # LakeTable.dataset
+        # LakeTable.dataset. Delta side files carry their own epoch.
         by_epoch: dict[int, list[str]] = {}
         for ent in stale.values():
             by_epoch.setdefault(int(ent.get("schema_lsn", -1)), []).append(
                 os.path.join(self.lake.root, ent["file"])
             )
+            for dent in ent.get("deltas", ()):
+                by_epoch.setdefault(int(dent.get("schema_lsn", -1)), []).append(
+                    os.path.join(self.lake.root, dent["file"])
+                )
 
         def conform_keep_lineage(batch: pa.Table) -> pa.Table:
             reg = SchemaRegistry.from_dict(schema_ops)

@@ -500,6 +500,85 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_delta_replay(sf_dir: str):
+    """The flagship replay in MERGE-ON-READ mode: the WAL is drained in
+    single-file micro-batches with ``apply(mode="delta")`` — each apply
+    writes only O(delta) bytes as per-partition side files, never
+    rewriting the base — and the final table is produced by the
+    distributed merge-on-read reader (one task per partition folds
+    base ∪ deltas in place, no shuffle). Verified value-for-value
+    against the SAME LWW oracle as the copy-on-write replay: LWW
+    associativity makes the deferred fold equivalent."""
+    d = fixture_dir(sf_dir)
+    root = tempfile.mkdtemp(prefix="lake_mor_", dir="/tmp")
+    try:
+        eng = CDCEngine(
+            root, num_partitions=16, delta_max_files=64, delta_max_ratio=1e9
+        )
+        eng.bootstrap(os.path.join(d, "pages.parquet"))
+        eng.apply_stream(
+            os.path.join(d, "change_events"), max_files_per_batch=1, mode="delta"
+        )
+        if eng.lake.stats()["delta_files"] == 0:
+            raise RuntimeError("merge-on-read path was not exercised")
+        return (
+            eng.lake.dataset()
+            .select_columns(["url", "warc_ts", "text", "lang"])
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_CDC_DELTA_REPLAY = SQL_CDC_PAGES_REPLAY  # identical final state by contract
+
+
+def q_point_lookup_pages(sf_dir: str):
+    """Point lookups against the merge-on-read lake: each key routes to
+    exactly ONE partition (hash routing from the manifest) and pushes a
+    ``url =`` predicate into the base + delta reads (row-group pruning)
+    — never a scan. Keys: the 8 lexicographically-smallest snapshot
+    urls; LWW-deleted ones must come back empty."""
+    d = fixture_dir(sf_dir)
+    root = tempfile.mkdtemp(prefix="lake_lkp_", dir="/tmp")
+    try:
+        eng = CDCEngine(
+            root, num_partitions=16, delta_max_files=64, delta_max_ratio=1e9
+        )
+        eng.bootstrap(os.path.join(d, "pages.parquet"))
+        eng.apply_stream(
+            os.path.join(d, "change_events"), max_files_per_batch=2, mode="delta"
+        )
+        import pyarrow.parquet as pq
+
+        pages = pq.read_table(os.path.join(d, "pages.parquet"), columns=["url"])
+        keys = sorted(set(pages.column("url").to_pylist()))[:8]
+        hits = [eng.lake.lookup(u) for u in keys]
+        return pa.concat_tables(hits).select(["url", "warc_ts", "text", "lang"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_POINT_LOOKUP_PAGES = f"""
+WITH unioned AS (
+  SELECT url, warc_ts, text, lang, CAST(-1 AS BIGINT) AS lsn, 'insert' AS op
+  FROM read_parquet('{FIX_ROOT}/sf0.01/pages.parquet')
+  UNION ALL
+  SELECT url, warc_ts, text, lang, lsn, op
+  FROM read_parquet('{FIX_ROOT}/sf0.01/change_events/*.parquet')
+  WHERE op <> 'schema_change'
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+  FROM unioned)
+SELECT url, warc_ts, text, lang FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+  AND url IN (
+    SELECT url FROM (
+      SELECT DISTINCT url FROM read_parquet('{FIX_ROOT}/sf0.01/pages.parquet')
+      ORDER BY url LIMIT 8))
+"""
+
+
 def _stream_halves(d: str) -> tuple[list[str], list[str]]:
     """The fixture's LSN-sliced WAL files split into two apply batches
     (first half / second half of the deterministic 4-file layout)."""
@@ -3062,6 +3141,8 @@ FROM e
 QUERIES = {
     "cdc_events_lww": q_cdc_events_lww,
     "cdc_pages_replay": q_cdc_pages_replay,
+    "cdc_delta_replay": q_cdc_delta_replay,
+    "point_lookup_pages": q_point_lookup_pages,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "agg_pricing_summary": q_agg_pricing_summary,
     "filter_project_revenue": q_filter_project_revenue,
@@ -3135,6 +3216,8 @@ QUERIES = {
 ORACLES = {
     "cdc_events_lww": SQL_CDC_EVENTS_LWW,
     "cdc_pages_replay": SQL_CDC_PAGES_REPLAY,
+    "cdc_delta_replay": SQL_CDC_DELTA_REPLAY,
+    "point_lookup_pages": SQL_POINT_LOOKUP_PAGES,
     "cdc_schema_evolution": SQL_CDC_SCHEMA_EVOLUTION,
     "lang_id_documents": SQL_LANG_ID_DOCUMENTS,
     "fingerprint_documents": SQL_FINGERPRINT_DOCUMENTS,

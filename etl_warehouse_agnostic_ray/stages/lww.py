@@ -38,6 +38,7 @@ MERGE_STATS_SCHEMA = pa.schema(
         ("max_lsn", pa.int64()),
         ("bytes", pa.int64()),
         ("file", pa.string()),
+        ("is_delta", pa.bool_()),
     ]
 )
 
@@ -73,20 +74,30 @@ def lww_compact_table(tbl: pa.Table) -> pa.Table:
 def merge_partition_group(
     group: pa.Table,
     out_dir: str,
-    base_files: dict[int, str] | None = None,
+    base_files: dict[int, str | list[str]] | None = None,
     schema_ops: list[dict] | None = None,
     filesystem=None,
+    delta_pids: set[int] | None = None,
 ) -> pa.Table:
     """map_groups fn: compacts one partition's delta group against its
-    base partition file and writes the next version's parquet file
+    base partition file(s) and writes the next version's parquet file
     (2PC step 1), returning a one-row stats table for the manifest.
 
     The base side is NOT shuffled: lake partitions are one file per
-    pid, so the merge task reads its base file directly (local FS /
-    shared storage) and only the delta moves through the exchange —
-    half the shuffle bytes and no Union barrier (measured ~2× on the
-    merge execution). Base rows are conformed to the current logical
-    schema here (rename/add/widen, tombstones kept).
+    pid (plus any merge-on-read delta files), so the merge task reads
+    its base file(s) directly (local FS / shared storage) and only the
+    delta moves through the exchange — half the shuffle bytes and no
+    Union barrier (measured ~2× on the merge execution). Base rows are
+    conformed to the current logical schema here (rename/add/widen,
+    tombstones kept); files are conformed one at a time because they
+    may come from different schema epochs.
+
+    ``delta_pids``: partitions applied in MERGE-ON-READ mode — the
+    compacted delta group is written as a ``delta-*.parquet`` side file
+    WITHOUT reading the base at all (zero write amplification for a
+    small micro-batch against a large partition; readers/compaction
+    fold base ∪ deltas later). LWW associativity makes the deferred
+    fold equivalent to an eager one.
 
     Writing inside the task keeps the wide rows off the driver and makes
     retries idempotent (tmp file + rename; same pid → same final name).
@@ -97,23 +108,28 @@ def merge_partition_group(
         # empty untyped block mixes into take_all)
         return MERGE_STATS_SCHEMA.empty_table()
     pid = int(group.column(PID_COL)[0].as_py())
-    base_path = (base_files or {}).get(pid)
+    as_delta = delta_pids is not None and pid in delta_pids
+    base_path = None if as_delta else (base_files or {}).get(pid)
     if base_path is not None:
         from ..state.schema_registry import SchemaRegistry
 
-        base = pq.read_table(base_path, filesystem=filesystem)
         reg = SchemaRegistry.from_dict(schema_ops or [])
-        lineage = {
-            c: base.column(c)
-            for c in (LSN_COL, OP_COL, PID_COL)
-            if c in base.column_names
-        }
-        conformed = reg.conform(base.drop(list(lineage)))
-        for c in (LSN_COL, OP_COL, PID_COL):
-            conformed = conformed.append_column(c, lineage[c])
-        group = pa.concat_tables([group, conformed])
+        paths = [base_path] if isinstance(base_path, str) else list(base_path)
+        tables = [group]
+        for p in paths:
+            base = pq.read_table(p, filesystem=filesystem)
+            lineage = {
+                c: base.column(c)
+                for c in (LSN_COL, OP_COL, PID_COL)
+                if c in base.column_names
+            }
+            conformed = reg.conform(base.drop(list(lineage)))
+            for c in (LSN_COL, OP_COL, PID_COL):
+                conformed = conformed.append_column(c, lineage[c])
+            tables.append(conformed)
+        group = pa.concat_tables(tables)
     winners = lww_compact_table(group)
-    fname = f"part-{pid:05d}.parquet"
+    fname = f"{'delta' if as_delta else 'part'}-{pid:05d}.parquet"
     final = os.path.join(out_dir, fname)
     tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}-{fname}")
     if filesystem is not None:
@@ -153,15 +169,17 @@ def merge_partition_group(
             "file": pa.array(
                 [os.path.join(os.path.basename(os.path.dirname(final)), fname)], pa.string()
             ),
+            "is_delta": pa.array([as_delta], pa.bool_()),
         }
     )
 
 
 def partition_merger(
     out_dir: str,
-    base_files: dict[int, str] | None = None,
+    base_files: dict[int, str | list[str]] | None = None,
     schema_ops: list[dict] | None = None,
     filesystem=None,
+    delta_pids: set[int] | None = None,
 ):
     """Picklable map_groups callable bound to the target version dir,
     (optionally) the per-pid base partition files, and the lake's
@@ -174,4 +192,5 @@ def partition_merger(
         base_files=base_files,
         schema_ops=schema_ops,
         filesystem=filesystem,
+        delta_pids=delta_pids,
     )
