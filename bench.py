@@ -335,8 +335,98 @@ def scaling() -> dict:
     }
 
 
+def write_amp() -> dict:
+    """Write-amplification comparison: the same WAL re-cut into K small
+    micro-batches, drained once in copy-on-write mode and once in
+    merge-on-read delta mode (default bounds — folds WILL occur when a
+    partition's stack hits delta_max_files, which is the policy being
+    measured, not a confound). Reports physical bytes written past
+    bootstrap, wall time, and the read-back cost each mode pays."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_warehouse_agnostic_ray import CDCEngine
+    from etl_warehouse_agnostic_ray.pipelines.queries import fixture_dir
+
+    d = fixture_dir(SF_DIR)
+    ev_dir = os.path.join(d, "change_events")
+    events = pa.concat_tables(
+        pq.read_table(os.path.join(ev_dir, f)) for f in sorted(os.listdir(ev_dir))
+    ).sort_by("lsn")
+    k = int(os.environ.get("GRAFT_WRITEAMP_BATCHES", "16"))
+    step = (events.num_rows + k - 1) // k
+    slices = [events.slice(i * step, step) for i in range(k) if i * step < events.num_rows]
+
+    def du(root: str) -> int:
+        total = 0
+        for dirpath, _, names in os.walk(root):
+            total += sum(os.path.getsize(os.path.join(dirpath, n)) for n in names)
+        return total
+
+    def run(mode: str) -> dict:
+        lake_root = tempfile.mkdtemp(prefix=f"wamp_{mode}_", dir="/tmp")
+        try:
+            eng = CDCEngine(lake_root, num_partitions=64)
+            eng.bootstrap(os.path.join(d, "pages.parquet"))
+            data_dir = os.path.join(lake_root, "data")
+            boot_bytes = du(data_dir)
+            t0 = time.perf_counter()
+            rewrites = appends = 0
+            for i, sl in enumerate(slices):
+                r = eng.apply(sl, batch_id=f"m{i}", mode=mode)
+                rewrites += r.get("partitions_rewritten", 0)
+                appends += r.get("delta_appended", 0)
+            t1 = time.perf_counter()
+            rows = eng.table().count()
+            t2 = time.perf_counter()
+            return {
+                "bytes_written": du(data_dir) - boot_bytes,
+                "apply_sec": round(t1 - t0, 3),
+                "read_back_sec": round(t2 - t1, 3),
+                "partitions_rewritten": rewrites,
+                "delta_appended": appends,
+                "final_rows": rows,
+                "delta_files_live": eng.lake.stats()["delta_files"],
+            }
+        finally:
+            shutil.rmtree(lake_root, ignore_errors=True)
+
+    try:
+        cow, delta = run("cow"), run("delta")
+    finally:
+        ray.shutdown()
+    return {
+        "metric": f"micro-batch write amplification, {len(slices)} batches of ~{step} events",
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "n_events": events.num_rows,
+        "cow": cow,
+        "delta": delta,
+        "bytes_ratio_cow_over_delta": round(cow["bytes_written"] / max(1, delta["bytes_written"]), 2),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(scaling()))
+    elif "--write-amp" in sys.argv:
+        print(json.dumps(write_amp()))
     else:
         print(json.dumps(main()))
