@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "domain_quota_documents",
     "line_dedup_documents",
     "gopher_quality_documents",
+    "lm_quality_documents",
     "corpus_curate",
     "hll_distinct_customers",
     "cms_event_users",

@@ -1856,6 +1856,37 @@ FROM documents
 """
 
 
+def q_lm_quality_documents(sf_dir: str):
+    """CCNet-style unigram-LM quality score: fit the model over the
+    corpus (map-side combined token partials, coarse-bucket reduce,
+    min_count=5), broadcast it once, then a zero-shuffle scoring pass
+    — mean per-token surprisal in micro-nat integer arithmetic so the
+    SQL twin replays bit-for-bit (ops/lm.py)."""
+    from ..ops.lm import unigram_lm_scores
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return unigram_lm_scores(ds, min_count=5)
+
+
+SQL_LM_QUALITY_DOCUMENTS = """
+WITH tt AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL)
+  WHERE tok <> ''),
+vocab AS (SELECT tok, count(*)::BIGINT AS cnt FROM tt GROUP BY tok HAVING count(*) >= 5),
+costs AS (
+  SELECT t.doc_id,
+         CAST(floor(ln((SELECT count(*)::DOUBLE FROM tt) / coalesce(v.cnt, 1))
+              * 1000000) AS BIGINT) AS c
+  FROM tt t LEFT JOIN vocab v USING (tok))
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       CAST(sum(c) // count(*) AS BIGINT) AS lm_score_micro
+FROM costs GROUP BY doc_id
+"""
+
+
 def q_lang_id_documents(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -3171,6 +3202,7 @@ QUERIES = {
     "dedup_exact_documents": q_dedup_exact_documents,
     "text_quality_tokens": q_text_quality_tokens,
     "lang_id_documents": q_lang_id_documents,
+    "lm_quality_documents": q_lm_quality_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "minhash_neardup_pairs": q_minhash_neardup_pairs,
     "neardup_dedup_documents": q_neardup_dedup_documents,
@@ -3220,6 +3252,7 @@ ORACLES = {
     "point_lookup_pages": SQL_POINT_LOOKUP_PAGES,
     "cdc_schema_evolution": SQL_CDC_SCHEMA_EVOLUTION,
     "lang_id_documents": SQL_LANG_ID_DOCUMENTS,
+    "lm_quality_documents": SQL_LM_QUALITY_DOCUMENTS,
     "fingerprint_documents": SQL_FINGERPRINT_DOCUMENTS,
     "minhash_neardup_pairs": SQL_MINHASH_NEARDUP_PAIRS,
     "neardup_dedup_documents": SQL_NEARDUP_DEDUP_DOCUMENTS,

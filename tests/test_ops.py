@@ -835,6 +835,85 @@ class TestVocab:
         assert small.equals(wide)
 
 
+class TestUnigramLM:
+    def test_scores_match_reference_counter(self, ray_session):
+        """Fit + score vs a pure-Python replay: exact token counts,
+        min_count vocabulary cut, OOV → count 1, integer micro-nat
+        floor, floor-div doc mean; tokenless docs excluded."""
+        import collections
+        import math
+
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.lm import unigram_lm_scores
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog sat on the log the the",
+            "rare unicorn words here",
+            "   ",  # tokenless -> excluded
+            None,  # null -> excluded
+            "the the the",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = (
+            unigram_lm_scores(rd.from_arrow(t), min_count=2, num_buckets=4)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        c = collections.Counter()
+        for s in texts:
+            c.update((s or "").lower().split())
+        n = sum(c.values())
+        vocab = {k: v for k, v in c.items() if v >= 2}
+        exp = {}
+        for i, s in enumerate(texts):
+            toks = (s or "").lower().split()
+            if not toks:
+                continue
+            costs = [
+                math.floor(math.log(n / vocab.get(tk, 1)) * 1_000_000) for tk in toks
+            ]
+            exp[i] = (len(toks), sum(costs) // len(toks))
+        assert list(out["doc_id"]) == sorted(exp)
+        for _, row in out.iterrows():
+            want_n, want_score = exp[row["doc_id"]]
+            assert (row["n_tokens"], row["lm_score_micro"]) == (want_n, want_score)
+
+    def test_common_docs_score_lower(self, ray_session):
+        """An all-frequent-tokens doc must score below an all-OOV doc
+        (the CCNet keep criterion is the low tail)."""
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.lm import unigram_lm_scores
+
+        rows = ["common words appear here"] * 20 + ["zxqj vwpk mmtr unseen"]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array(rows, pa.string()),
+            }
+        )
+        out = unigram_lm_scores(rd.from_arrow(t), min_count=2).to_pandas()
+        by_id = dict(zip(out["doc_id"], out["lm_score_micro"]))
+        assert by_id[0] < by_id[20]
+
+    def test_vocab_broadcast_limit_fails_loud(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.lm import fit_unigram_lm
+
+        t = pa.table({"text": pa.array(["a b c d e f g h"] * 3, pa.string())})
+        with _pytest.raises(RuntimeError, match="broadcast_limit"):
+            fit_unigram_lm(rd.from_arrow(t), min_count=1, broadcast_limit=2)
+
+
 class TestQuantiles:
     QS = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
 
