@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "hll_distinct_customers",
     "cms_event_users",
     "jsonl_ingest_documents",
+    "csv_ingest_documents",
     "incremental_dedup_documents",
     "train_order_documents",
     "time_travel_pages",

@@ -2730,6 +2730,68 @@ FROM documents GROUP BY source
 """
 
 
+def q_csv_ingest_documents(sf_dir: str):
+    """CSV source path — the reference's actual file-staged wire format
+    (CSV staging, ``extractors/acumatica/extractor.py:397-419``; CSV
+    debug sink §2.2): stage the documents table as partitioned CSV once
+    (deterministic scratch dir), ingest it back with
+    ``ray.data.read_csv`` (Arrow CSV reader per block, typed via
+    explicit convert_options — never driver-parsed), and roll up
+    per-language doc counts + char sums, verified value-for-value
+    against the parquet view."""
+    rd = _rd()
+    from pyarrow import csv as pacsv
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"csv_stage_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        shutil.rmtree(stage, ignore_errors=True)
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+        ).write_csv(stage)
+        with open(done, "w") as f:
+            f.write("ok")
+    ds = rd.read_csv(
+        [os.path.join(stage, f) for f in sorted(os.listdir(stage)) if f.endswith(".csv")],
+        convert_options=pacsv.ConvertOptions(
+            column_types={"doc_id": pa.int64(), "lang": pa.string(), "n_chars": pa.int64()}
+        ),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        tbl = pa.table(
+            {
+                "lang": b.column("lang"),
+                "n_docs": pa.array(np.ones(len(b), np.int64)),
+                "chars": pc.cast(b.column("n_chars"), pa.int64()),
+            }
+        )
+        return (
+            tbl.group_by("lang")
+            .aggregate([("n_docs", "sum"), ("chars", "sum")])
+            .rename_columns(["lang", "n_docs", "chars"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("chars", alias_name="chars"))
+    )
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+SQL_CSV_INGEST_DOCUMENTS = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+FROM documents GROUP BY lang
+"""
+
+
 def q_incremental_dedup_documents(sf_dir: str):
     """Incremental exact dedup (daily-drop regime): the first half of
     documents is already ingested (its content hashes live in a
@@ -3228,6 +3290,7 @@ QUERIES = {
     "hll_distinct_customers": q_hll_distinct_customers,
     "cms_event_users": q_cms_event_users,
     "jsonl_ingest_documents": q_jsonl_ingest_documents,
+    "csv_ingest_documents": q_csv_ingest_documents,
     "incremental_dedup_documents": q_incremental_dedup_documents,
     "train_order_documents": q_train_order_documents,
     "time_travel_pages": q_time_travel_pages,
@@ -3304,6 +3367,7 @@ ORACLES = {
     "hll_distinct_customers": _sql_hll(),
     "cms_event_users": _sql_cms(),
     "jsonl_ingest_documents": SQL_JSONL_INGEST_DOCUMENTS,
+    "csv_ingest_documents": SQL_CSV_INGEST_DOCUMENTS,
     "incremental_dedup_documents": SQL_INCREMENTAL_DEDUP_DOCUMENTS,
     "train_order_documents": _sql_train_order(),
     "time_travel_pages": SQL_TIME_TRAVEL_PAGES,
