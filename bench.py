@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "jsonl_ingest_documents",
     "csv_ingest_documents",
     "incremental_dedup_documents",
+    "incremental_neardup_documents",
     "train_order_documents",
     "time_travel_pages",
     "incremental_rollup_pages",

@@ -1,0 +1,291 @@
+"""Incremental NEAR-duplicate dedup against a persistent LSH band index.
+
+The fuzzy-dedup twin of ops/incdedup.py: a 100-TB corpus ingests in
+daily drops, and each drop must be near-dup-filtered against itself AND
+every already-ACCEPTED document — without rescanning or re-signing the
+corpus. (Reference analogue: the same batch-guard idea as the exact
+variant, ``airflow/dags/repsly_dag.py``; membership here is MinHash
+similarity, the standard web-corpus fuzzy-dedup contract.)
+
+Semantics (deterministic, order-free, SQL-replayable): a batch document
+is DROPPED iff
+  (a) it shares an LSH band bucket with an accepted corpus document and
+      their signatures agree on ≥ ceil(threshold · n_perm) minhashes, or
+  (b) a SMALLER-id batch document qualifies the same way against it
+      (the greedy "drop any doc with an earlier match" rule — partner
+      fate does not matter, so the rule needs no transitive closure).
+Survivors extend the index; re-adding the same batch yields zero
+survivors (every signature is now present) — idempotent replay, the
+engine's batch contract.
+
+Design (the CDC lake pattern applied to LSH state):
+- The accepted-corpus state is a BAND INDEX: for each of ``bands``
+  bands, (band_hash, signature) rows hash-partitioned by band_hash
+  into ``num_parts`` files (partition id = band · P + band_hash mod P,
+  so one file holds one band's hash slice, sorted by band_hash). The
+  index stores bands · n_perm · 8 bytes per kept doc — ~1/50th of a
+  web document — and is the ONLY corpus-side state ever read.
+- ``add``: signatures once (actor pool, vectorized); within-batch
+  pairs via the SAME candidate+verify pipeline as
+  ``ops/dedup.minhash_lsh_pairs`` (value-parity with its SQL twin);
+  cross-corpus probe = explode batch band rows, group by index
+  partition, each task binary-searches ONLY its partition file
+  (read in-task — the index never shuffles) and lane-compares
+  signatures vectorized; drops are batch-bounded, so survivor
+  filtering broadcasts one sorted id array.
+- Index parameters (n_perm/bands/k/threshold/seed/num_parts) are a
+  PERSISTED-FORMAT contract stamped in params.json at creation;
+  reopening with different parameters refuses loudly (the
+  lake.ROUTING_HASH_VERSION rule applied to LSH state).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import warnings
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .dedup import MinHashSignatures, _sig_matrix, _sig_to_binary, minhash_lsh_pairs
+from .texthash import band_hashes
+
+
+class BandIndex:
+    """Partitioned on-disk LSH band index: per partition a parquet file
+    of (bh, sig) rows sorted by band_hash."""
+
+    def __init__(self, root: str, num_parts: int, bands: int, n_perm: int):
+        self.root = root
+        self.num_parts = num_parts
+        self.bands = bands
+        self.n_perm = n_perm
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, pk: int) -> str:
+        return os.path.join(self.root, f"band-{pk:05d}.parquet")
+
+    def load_part(self, pk: int) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted band hashes uint64[n], signature matrix uint64[n, n_perm])."""
+        p = self._path(pk)
+        if not os.path.exists(p):
+            return np.empty(0, np.uint64), np.zeros((0, self.n_perm), np.uint64)
+        t = pq.read_table(p)
+        bh = t.column("bh").to_numpy(zero_copy_only=False).view(np.uint64)
+        sig = _sig_matrix(t.column("sig"))
+        return bh, sig
+
+    def append_part(self, pk: int, bh: np.ndarray, sig: np.ndarray) -> None:
+        """Union new (bh, sig) rows into a partition, kept sorted by bh
+        (tmp+rename rewrite of the touched partition only)."""
+        cur_bh, cur_sig = self.load_part(pk)
+        all_bh = np.concatenate([cur_bh, bh.astype(np.uint64)])
+        all_sig = np.vstack([cur_sig, sig.astype(np.uint64)])
+        rec = np.empty(
+            len(all_bh),
+            dtype=[("bh", "<u8"), ("sig", f"V{self.n_perm * 8}")],
+        )
+        rec["bh"] = all_bh
+        rec["sig"] = np.ascontiguousarray(all_sig.astype("<u8")).view(
+            f"V{self.n_perm * 8}"
+        )[:, 0]
+        rec = np.unique(rec)
+        sig_m = np.frombuffer(rec["sig"].tobytes(), dtype="<u8").reshape(
+            len(rec), self.n_perm
+        )
+        t = pa.table(
+            {
+                "bh": pa.array(rec["bh"].view(np.int64)),
+                "sig": _sig_to_binary(sig_m),
+            }
+        )
+        tmp = self._path(pk) + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, self._path(pk))
+
+    def count(self) -> int:
+        n = 0
+        for f in os.listdir(self.root):
+            if f.endswith(".parquet"):
+                n += pq.read_metadata(os.path.join(self.root, f)).num_rows
+        return n
+
+
+class IncrementalNearDeduper:
+    """Near-dup-filter successive document batches against a persistent
+    band index. Each ``add`` returns the batch's accepted (doc_id, text)
+    rows and extends the index with their band rows. Expects the
+    ``documents`` column convention (doc_id int64, text)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_parts: int = 16,
+        n_perm: int = 64,
+        bands: int = 16,
+        k: int = 5,
+        jaccard_threshold: float = 0.8,
+        seed: int = 13,
+    ):
+        params = {
+            "num_parts": num_parts,
+            "n_perm": n_perm,
+            "bands": bands,
+            "k": k,
+            "jaccard_threshold": jaccard_threshold,
+            "seed": seed,
+        }
+        os.makedirs(index_dir, exist_ok=True)
+        pfile = os.path.join(index_dir, "params.json")
+        if os.path.exists(pfile):
+            stamped = json.load(open(pfile))
+            if stamped != params:
+                raise RuntimeError(
+                    f"band index at {index_dir} was built with {stamped}, "
+                    f"reopened with {params} — signatures would be "
+                    "incomparable. Rebuild the index to change parameters."
+                )
+        else:
+            with open(pfile, "w") as f:
+                json.dump(params, f)
+        self.p = params
+        self.min_equal = int(np.ceil(jaccard_threshold * n_perm - 1e-9))
+        self.index = BandIndex(index_dir, num_parts, bands, n_perm)
+
+    def add(
+        self,
+        ds,
+        bucket_cap: int = 20_000,
+        broadcast_limit: int = 5_000_000,
+    ):
+        import ray
+
+        p = self.p
+        num_parts, bands, n_perm = p["num_parts"], p["bands"], p["n_perm"]
+        index_root, min_equal = self.index.root, self.min_equal
+
+        sig_ds = ds.map_batches(
+            MinHashSignatures(n_perm=n_perm, k=p["k"], seed=p["seed"]),
+            batch_format="pyarrow",
+            batch_size=1024,
+        ).materialize()
+
+        # (b) within-batch: doc_b of every qualifying pair (doc_a < doc_b)
+        within = minhash_lsh_pairs(
+            ds,
+            n_perm=n_perm,
+            bands=bands,
+            k=p["k"],
+            jaccard_threshold=p["jaccard_threshold"],
+            seed=p["seed"],
+        )
+        within_drop = {
+            i
+            for b in within.select_columns(["doc_b"]).iter_batches(
+                batch_format="pyarrow"
+            )
+            for i in b.column("doc_b").to_pylist()
+        }
+
+        # (a) cross-corpus probe: explode band rows, group by index
+        # partition, binary-search + lane-compare in-task
+        def explode(b: pa.Table) -> pa.Table:
+            sigs = _sig_matrix(b.column("sig"))
+            n = len(b)
+            if n == 0:
+                return pa.table(
+                    {
+                        "_pk": pa.array([], pa.int64()),
+                        "_bh": pa.array([], pa.int64()),
+                        "doc_id": pa.array([], pa.int64()),
+                        "sig": pa.array([], pa.large_binary()),
+                    }
+                )
+            bh = band_hashes(sigs, bands)  # (n, bands) uint64
+            pk = (
+                np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(num_parts)
+                + bh % np.uint64(num_parts)
+            ).ravel()
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "_pk": pa.array(pk.astype(np.int64)),
+                    "_bh": pa.array(bh.ravel().view(np.int64)),
+                    "doc_id": pa.array(np.repeat(ids, bands)),
+                    "sig": _sig_to_binary(np.repeat(sigs, bands, axis=0)),
+                }
+            )
+
+        def probe(g: pa.Table) -> pa.Table:
+            pk = int(g.column("_pk")[0].as_py())
+            idx_bh, idx_sig = BandIndex(
+                index_root, num_parts, bands, n_perm
+            ).load_part(pk)
+            empty = pa.table({"doc_id": pa.array([], pa.int64())})
+            if len(idx_bh) == 0:
+                return empty
+            q_bh = g.column("_bh").to_numpy(zero_copy_only=False).view(np.uint64)
+            q_sig = _sig_matrix(g.column("sig"))
+            lo = np.searchsorted(idx_bh, q_bh, side="left")
+            hi = np.searchsorted(idx_bh, q_bh, side="right")
+            span = hi - lo
+            capped = np.minimum(span, bucket_cap)
+            n_trunc = int((span > bucket_cap).sum())
+            if n_trunc:
+                warnings.warn(
+                    f"incneardup: {n_trunc} probe rows truncated at "
+                    f"bucket_cap={bucket_cap} in partition {pk} — matches "
+                    "beyond the cap were not checked"
+                )
+            total = int(capped.sum())
+            if total == 0:
+                return empty
+            row_of = np.repeat(np.arange(len(q_bh)), capped)
+            csum = np.concatenate([[0], np.cumsum(capped)])
+            offs = np.arange(total) - np.repeat(csum[:-1], capped)
+            corpus_rows = np.repeat(lo, capped) + offs
+            n_eq = (q_sig[row_of] == idx_sig[corpus_rows]).sum(axis=1)
+            hit = n_eq >= min_equal
+            ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+            dropped = np.unique(ids[row_of[hit]])
+            return pa.table({"doc_id": pa.array(dropped)})
+
+        band_rows = sig_ds.map_batches(explode, batch_format="pyarrow")
+        cross = band_rows.groupby("_pk").map_groups(probe, batch_format="pyarrow")
+        cross_drop = {
+            i
+            for b in cross.iter_batches(batch_format="pyarrow")
+            for i in b.column("doc_id").to_pylist()
+        }
+        drops = within_drop | cross_drop
+
+        # survivors: batch-bounded id set, broadcast once
+        if len(drops) > broadcast_limit:
+            raise RuntimeError(
+                f"{len(drops)} dropped ids exceed broadcast_limit="
+                f"{broadcast_limit}; raise the limit or shrink the batch"
+            )
+        drop_arr = np.sort(np.fromiter(drops, np.int64, len(drops)))
+        drop_ref = ray.put(drop_arr)
+
+        # extend the index with SURVIVOR band rows (touched partitions
+        # only, driver-side — bounded by batch × bands, never the corpus)
+        def keep_rows(b: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(~np.isin(ids, d)))
+
+        surv_bands = band_rows.map_batches(keep_rows, batch_format="pyarrow")
+        for b in surv_bands.iter_batches(batch_format="pyarrow"):
+            pk = b.column("_pk").to_numpy(zero_copy_only=False)
+            bh = b.column("_bh").to_numpy(zero_copy_only=False).view(np.uint64)
+            sig = _sig_matrix(b.column("sig"))
+            for part in np.unique(pk):
+                m = pk == part
+                self.index.append_part(int(part), bh[m], sig[m])
+
+        return ds.map_batches(keep_rows, batch_format="pyarrow").select_columns(
+            ["doc_id", "text"]
+        )

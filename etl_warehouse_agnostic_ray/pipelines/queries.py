@@ -2825,6 +2825,58 @@ GROUP BY text
 """
 
 
+def q_incremental_neardup_documents(sf_dir: str):
+    """Incremental NEAR-dup dedup (the fuzzy twin of
+    incremental_dedup_documents): the first half of documents is
+    accepted into a persistent LSH band index; the second half arrives
+    as a new batch and is dropped when it (a) MinHash-matches an
+    accepted doc (shared band bucket + ≥ threshold signature agreement,
+    probed against ONLY the matching index partitions in-task) or (b)
+    has a smaller-id near-dup within the batch. The accepted corpus is
+    never rescanned or re-signed (ops/incneardup.py). Output = the new
+    batch's accepted documents."""
+    import tempfile as _tf
+
+    import ray.data as _rdm
+
+    from ..ops.incneardup import IncrementalNearDeduper
+
+    rd = _rd()
+    full = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    half = len(full) // 2
+    dd = IncrementalNearDeduper(
+        _tf.mkdtemp(prefix="incneardup_"), num_parts=8, jaccard_threshold=0.8
+    )
+    _consume_all(dd.add(_rdm.from_arrow(full.slice(0, half))))
+    return dd.add(_rdm.from_arrow(full.slice(half)))
+
+
+def _consume_all(ds) -> int:
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def _sql_incremental_neardup() -> str:
+    pairs = hash_sql.minhash_pairs_sql("documents", jaccard_threshold=0.8).strip()
+    return f"""
+WITH allp AS ({pairs}),
+mid AS (SELECT count(*) // 2 AS m FROM documents),
+keptf AS (
+  SELECT d.doc_id FROM documents d, mid
+  WHERE d.doc_id < mid.m
+    AND NOT EXISTS (SELECT 1 FROM allp p, mid m2
+                    WHERE p.doc_b = d.doc_id AND p.doc_a < m2.m))
+SELECT d.doc_id, d.text FROM documents d, mid
+WHERE d.doc_id >= mid.m
+  AND NOT EXISTS (SELECT 1 FROM allp p JOIN keptf kf ON p.doc_a = kf.doc_id
+                  WHERE p.doc_b = d.doc_id)
+  AND NOT EXISTS (SELECT 1 FROM allp p, mid m2
+                  WHERE p.doc_b = d.doc_id AND p.doc_a >= m2.m)
+"""
+
+
 def q_train_order_documents(sf_dir: str):
     """Deterministic training-order shuffle: a reproducible global
     pseudo-random ordering of the corpus (ORDER BY
@@ -3292,6 +3344,7 @@ QUERIES = {
     "jsonl_ingest_documents": q_jsonl_ingest_documents,
     "csv_ingest_documents": q_csv_ingest_documents,
     "incremental_dedup_documents": q_incremental_dedup_documents,
+    "incremental_neardup_documents": q_incremental_neardup_documents,
     "train_order_documents": q_train_order_documents,
     "time_travel_pages": q_time_travel_pages,
     "incremental_rollup_pages": q_incremental_rollup_pages,
@@ -3369,6 +3422,7 @@ ORACLES = {
     "jsonl_ingest_documents": SQL_JSONL_INGEST_DOCUMENTS,
     "csv_ingest_documents": SQL_CSV_INGEST_DOCUMENTS,
     "incremental_dedup_documents": SQL_INCREMENTAL_DEDUP_DOCUMENTS,
+    "incremental_neardup_documents": _sql_incremental_neardup(),
     "train_order_documents": _sql_train_order(),
     "time_travel_pages": SQL_TIME_TRAVEL_PAGES,
     "incremental_rollup_pages": SQL_INCREMENTAL_ROLLUP_PAGES,

@@ -835,6 +835,69 @@ class TestVocab:
         assert small.equals(wide)
 
 
+class TestIncrementalNearDedup:
+    @staticmethod
+    def _docs(rows):
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+
+    def test_cross_batch_neardup_dropped(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.incneardup import IncrementalNearDeduper
+
+        base = " ".join(f"word{i}" for i in range(120))
+        near = base.replace("word119", "changed")  # one-word edit: J ~ 0.96
+        other = "completely different content about distributed stream engines " * 5
+        dd = IncrementalNearDeduper(str(tmp_path / "idx"), num_parts=4)
+        first = dd.add(rd.from_arrow(self._docs([(0, base), (1, other)])))
+        assert sorted(
+            b for t in first.iter_batches(batch_format="pyarrow")
+            for b in t.column("doc_id").to_pylist()
+        ) == [0, 1]
+        second = dd.add(
+            rd.from_arrow(self._docs([(10, near), (11, "fresh unseen text " * 20)]))
+        )
+        kept = sorted(
+            b for t in second.iter_batches(batch_format="pyarrow")
+            for b in t.column("doc_id").to_pylist()
+        )
+        assert kept == [11]  # 10 is a near-dup of accepted doc 0
+
+    def test_within_batch_smaller_id_wins_and_replay_is_idempotent(
+        self, ray_session, tmp_path
+    ):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.incneardup import IncrementalNearDeduper
+
+        a = " ".join(f"tok{i}" for i in range(120))
+        b = a.replace("tok119", "variant")  # one-word edit: J ~ 0.96
+        dd = IncrementalNearDeduper(str(tmp_path / "idx"), num_parts=4)
+        batch = self._docs([(5, a), (9, b), (12, "unrelated words entirely " * 10)])
+        kept = sorted(
+            i for t in dd.add(rd.from_arrow(batch)).iter_batches(batch_format="pyarrow")
+            for i in t.column("doc_id").to_pylist()
+        )
+        assert kept == [5, 12]  # 9 near-dups smaller-id 5
+        # replaying the SAME batch: every signature is in the index now
+        again = dd.add(rd.from_arrow(batch))
+        assert sum(t.num_rows for t in again.iter_batches(batch_format="pyarrow")) == 0
+
+    def test_params_contract_refuses_mismatch(self, ray_session, tmp_path):
+        import pytest as _pytest
+
+        from etl_warehouse_agnostic_ray.ops.incneardup import IncrementalNearDeduper
+
+        IncrementalNearDeduper(str(tmp_path / "idx"), num_parts=4, bands=16)
+        with _pytest.raises(RuntimeError, match="incomparable"):
+            IncrementalNearDeduper(str(tmp_path / "idx"), num_parts=4, bands=8)
+
+
 class TestUnigramLM:
     def test_scores_match_reference_counter(self, ray_session):
         """Fit + score vs a pure-Python replay: exact token counts,
