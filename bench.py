@@ -426,10 +426,106 @@ def write_amp() -> dict:
     }
 
 
+def skew() -> dict:
+    """Viral-url skew stress (the north rule's 'salted hot-key
+    splitting for high-churn urls'): a zipf(a=2) stream where ONE url
+    carries the majority of events, applied under three configs —
+    (1) production (map-side LWW combiner + salted two-level merge),
+    (2) salt only (combiner off: every hot row reaches the exchange,
+    the salt splits the hot partition's merge), (3) neither (the hot
+    partition's merge serializes on one task). Same input, same
+    partition count; pure-stream ingest (init_empty) so the merge is
+    the whole job."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from etl_warehouse_agnostic_ray.datagen import gen_change_events
+
+    n_ev = int(os.environ.get("GRAFT_SKEW_EVENTS", "2000000"))
+    fix = os.path.join("/tmp/graft_fix", f"skew{n_ev // 1_000_000}m")
+    done = os.path.join(fix, "_STAGED")
+    if not os.path.exists(done):
+        shutil.rmtree(fix, ignore_errors=True)
+        os.makedirs(fix)
+        ev = gen_change_events(
+            n_ev, max(1000, n_ev // 20), seed=7, schema_change_frac=0.0, zipf_a=2.0
+        )
+        step = (ev.num_rows + 15) // 16
+        for i in range(16):
+            sl = ev.slice(i * step, step)
+            if sl.num_rows:
+                pq.write_table(sl, os.path.join(fix, f"events-{i:03d}.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    files = [os.path.join(fix, f) for f in sorted(os.listdir(fix)) if f.endswith(".parquet")]
+    # hot-key share (diagnostic)
+    import duckdb
+
+    hot = duckdb.sql(
+        f"SELECT max(c)::DOUBLE / sum(c) FROM (SELECT count(*) c FROM "
+        f"read_parquet('{fix}/*.parquet') GROUP BY url)"
+    ).fetchone()[0]
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
+    from etl_warehouse_agnostic_ray import CDCEngine
+
+    configs = {
+        "combiner+salt": dict(precompact=True, salt_threshold=50_000),
+        "salt_only": dict(precompact=False, salt_threshold=50_000),
+        "unmitigated": dict(precompact=False, salt_threshold=None),
+    }
+    out = {}
+    try:
+        _warmup()
+        for name, kw in configs.items():
+            root = tempfile.mkdtemp(prefix=f"skew_{name}_", dir="/tmp")
+            try:
+                eng = CDCEngine(root, num_partitions=64, **kw)
+                eng.init_empty()
+                t0 = time.perf_counter()
+                eng.apply(files, batch_id="skew")
+                dt = time.perf_counter() - t0
+                out[name] = {
+                    "apply_sec": round(dt, 3),
+                    "events_per_sec": round(n_ev / dt, 1),
+                }
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+    finally:
+        ray.shutdown()
+    return {
+        "metric": "viral-url skew mitigation (apply wall, zipf a=2 stream)",
+        "sf": f"{n_ev} events",
+        "num_cpus": NUM_CPUS,
+        "hot_key_share": round(hot, 3),
+        **out,
+        "speedup_vs_unmitigated": round(
+            out["unmitigated"]["apply_sec"] / out["combiner+salt"]["apply_sec"], 2
+        ),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(scaling()))
     elif "--write-amp" in sys.argv:
         print(json.dumps(write_amp()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(skew()))
     else:
         print(json.dumps(main()))

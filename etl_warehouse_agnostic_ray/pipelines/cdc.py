@@ -49,6 +49,7 @@ class CDCEngine:
         filesystem=None,
         delta_max_files: int = 8,
         delta_max_ratio: float = 0.5,
+        precompact: bool = True,
     ):
         """``filesystem``: optional pyarrow.fs.FileSystem for the LAKE
         side (manifests + partition files) — see LakeTable. The change
@@ -68,6 +69,10 @@ class CDCEngine:
         self.n_salts = n_salts  # power of two (salt = lsn & (S-1))
         self.delta_max_files = delta_max_files
         self.delta_max_ratio = delta_max_ratio
+        # the map-side LWW combiner (stages/normalize.py). True in
+        # production; the off switch exists so skew benchmarks can
+        # isolate what the combiner vs the salted merge contributes.
+        self.precompact = precompact
 
     # ------------------------------------------------------------------
     def bootstrap(self, pages, batch_id: str = "bootstrap") -> dict:
@@ -259,7 +264,9 @@ class CDCEngine:
         else:
             ev = stream
         delta = ev.map_batches(
-            NormalizeEvents(schema_ops, P, min_lsn=applied_lsn),
+            NormalizeEvents(
+                schema_ops, P, min_lsn=applied_lsn, precompact=self.precompact
+            ),
             batch_format="pyarrow",
             batch_size=65536,  # bigger batches → better pre-compaction ratio
         )
@@ -352,9 +359,13 @@ class CDCEngine:
 
                 return lww_compact_table(g.drop(["_salt"]))
 
+            # partition count: P·S gives every (pid, salt) cell its own
+            # exchange partition, but exchange constant costs grow with
+            # partition count — 4·P keeps the hot partition S-way
+            # parallel (S ≤ salts share cells) without a 1000-way sort
             delta = (
                 delta.map_batches(add_salt, batch_format="pyarrow")
-                .groupby([PID_COL, "_salt"], num_partitions=min(P * S, 4096))
+                .groupby([PID_COL, "_salt"], num_partitions=min(P * S, 4 * P, 4096))
                 .map_groups(compact_group, batch_format="pyarrow")
             )
 
