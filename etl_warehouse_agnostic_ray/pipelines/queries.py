@@ -512,8 +512,12 @@ def q_cdc_delta_replay(sf_dir: str):
     d = fixture_dir(sf_dir)
     root = tempfile.mkdtemp(prefix="lake_mor_", dir="/tmp")
     try:
+        # P sized so a single WAL-file micro-batch stays under the
+        # big-delta footer shortcut (512·P) at every sf tier — the
+        # shortcut correctly forces cow for table-sized batches, and
+        # this query's purpose is the small-batch delta regime
         eng = CDCEngine(
-            root, num_partitions=16, delta_max_files=64, delta_max_ratio=1e9
+            root, num_partitions=128, delta_max_files=64, delta_max_ratio=1e9
         )
         eng.bootstrap(os.path.join(d, "pages.parquet"))
         eng.apply_stream(
@@ -543,11 +547,11 @@ def q_point_lookup_pages(sf_dir: str):
     root = tempfile.mkdtemp(prefix="lake_lkp_", dir="/tmp")
     try:
         eng = CDCEngine(
-            root, num_partitions=16, delta_max_files=64, delta_max_ratio=1e9
+            root, num_partitions=128, delta_max_files=64, delta_max_ratio=1e9
         )
         eng.bootstrap(os.path.join(d, "pages.parquet"))
         eng.apply_stream(
-            os.path.join(d, "change_events"), max_files_per_batch=2, mode="delta"
+            os.path.join(d, "change_events"), max_files_per_batch=1, mode="delta"
         )
         import pyarrow.parquet as pq
 

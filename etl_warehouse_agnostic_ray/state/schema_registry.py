@@ -14,6 +14,14 @@ Semantics:
   int32 -> int64); existing files cast on read/compaction.
 - ``rename(old, new)``: logical rename; physical payload columns keep
   their wire name and are mapped at normalize/conform time.
+- ``drop(column)``: column leaves the logical schema (dbt
+  ``sync_all_columns`` removes departed wire columns); physical files
+  keep the bytes until compaction rewrites them — readers just stop
+  projecting the column (conform ignores physical columns outside the
+  logical schema). Re-ADDING a dropped name is REFUSED: files written
+  before the drop still hold the old values under that name, and
+  without per-file column-mapping ids a re-add would silently
+  resurrect them on read — use a new name or full_refresh.
 """
 
 from __future__ import annotations
@@ -32,8 +40,16 @@ class SchemaRegistry:
     def apply_event(self, lsn: int, kind: str, column: str, type_name: str | None):
         if any(o["lsn"] == lsn for o in self.ops):
             return  # idempotent redelivery
-        if kind not in ("add", "widen", "rename"):
+        if kind not in ("add", "widen", "rename", "drop"):
             raise ValueError(f"unknown schema op kind {kind!r}")
+        if kind == "add" and any(
+            o["kind"] == "drop" and o["column"] == column for o in self.ops
+        ):
+            raise ValueError(
+                f"column {column!r} was dropped earlier; re-adding it would "
+                "resurrect pre-drop values from old partition files — use a "
+                "new name or full_refresh the table"
+            )
         self.ops.append({"lsn": int(lsn), "kind": kind, "column": column, "type": type_name})
         self.ops.sort(key=lambda o: o["lsn"])
 
@@ -63,6 +79,8 @@ class SchemaRegistry:
             elif o["kind"] == "rename":
                 # rename ops carry the target name in the "type" slot
                 fields = [(o["type"], t) if n == o["column"] else (n, t) for n, t in fields]
+            elif o["kind"] == "drop":
+                fields = [(n, t) for n, t in fields if n != o["column"]]
         return pa.schema([pa.field(n, t) for n, t in fields])
 
     def rename_map(self, upto_lsn: int | None = None) -> dict[str, str]:

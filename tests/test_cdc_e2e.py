@@ -390,3 +390,59 @@ def test_wide_binary_rows(tmp_path):
     want = oracle_final_state(pages, events)
     assert _norm(got) == _norm(want)  # includes byte-exact 256KB html
     assert str(got.schema.field("html").type) == "large_binary"
+
+
+def test_schema_drop_column(tmp_path):
+    """``drop`` schema op (dbt sync_all_columns removing a departed wire
+    column): the logical table loses the column immediately (old files'
+    bytes ignored on read), compaction physically removes it, and
+    re-adding the dropped name is refused (resurrection guard)."""
+    import pytest as _pytest
+
+    from etl_warehouse_agnostic_ray.state.schema_registry import SchemaRegistry
+
+    pages = gen_pages(60, seed=3)
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(pages)
+    assert "lang" in eng.to_arrow().schema.names
+
+    def _ev(lsn, op, url=None, kind=None, col=None, typ=None):
+        return {
+            "lsn": lsn, "op": op,
+            "url": url, "warc_ts": pages.column("warc_ts")[0].as_py(),
+            "html": None, "text": "updated", "lang": "de",
+            "schema_kind": kind, "schema_column": col, "schema_type": typ,
+        }
+
+    u = pages.column("url")[0].as_py()
+    delta = pa.Table.from_pylist(
+        [
+            _ev(10, "update", url=u),
+            _ev(11, "schema_change", kind="drop", col="lang"),
+            _ev(12, "update", url=pages.column("url")[1].as_py()),
+        ]
+    )
+    eng.apply(delta, batch_id="drop-lang")
+    t = eng.to_arrow()
+    assert "lang" not in t.schema.names  # logical drop, old bytes ignored
+    assert t.num_rows == pages.num_rows
+    # compaction physically conforms every partition to the current epoch
+    rep = eng.compact()
+    assert not rep.get("skipped")
+    import pyarrow.parquet as pq_
+
+    for f in eng.lake.files():
+        assert "lang" not in pq_.read_metadata(f).schema.to_arrow_schema().names
+    # resurrection guard
+    reg = SchemaRegistry.from_dict(eng.lake.load_manifest()["schema_ops"])
+    with _pytest.raises(ValueError, match="resurrect"):
+        reg.apply_event(99, "add", "lang", "string")
+    # dropping and adding a DIFFERENT name still works end-to-end
+    delta2 = pa.Table.from_pylist(
+        [
+            _ev(20, "schema_change", kind="add", col="lang_v2", typ="string"),
+            _ev(21, "update", url=u),
+        ]
+    )
+    eng.apply(delta2, batch_id="add-lang-v2")
+    assert "lang_v2" in eng.to_arrow().schema.names
