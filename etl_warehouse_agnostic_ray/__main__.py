@@ -4,6 +4,8 @@
     python -m etl_warehouse_agnostic_ray bootstrap --lake /data/lake --pages pages.parquet
     python -m etl_warehouse_agnostic_ray apply     --lake /data/lake --stream change_events/
     python -m etl_warehouse_agnostic_ray drain     --lake /data/lake --stream change_events/
+    python -m etl_warehouse_agnostic_ray drain     --lake /data/lake --stream change_events/ --mode delta
+    python -m etl_warehouse_agnostic_ray lookup    --lake /data/lake --url https://a.example/x
     python -m etl_warehouse_agnostic_ray compact   --lake /data/lake
     python -m etl_warehouse_agnostic_ray validate  --lake /data/lake
     python -m etl_warehouse_agnostic_ray stats     --lake /data/lake
@@ -39,10 +41,16 @@ def build_parser() -> argparse.ArgumentParser:
     c = lake_cmd("apply", "apply one change-event batch")
     c.add_argument("--stream", required=True, help="events parquet file/dir")
     c.add_argument("--batch-id", default=None)
+    c.add_argument("--mode", choices=("cow", "delta"), default="cow",
+                   help="delta = merge-on-read side files (O(delta) writes)")
 
     c = lake_cmd("drain", "consume a WAL dir in LSN-ordered micro-batches")
     c.add_argument("--stream", required=True)
     c.add_argument("--max-files", type=int, default=8)
+    c.add_argument("--mode", choices=("cow", "delta"), default="cow")
+
+    c = lake_cmd("lookup", "point-read the live row for one url")
+    c.add_argument("--url", required=True)
 
     lake_cmd("compact", "rewrite stale-schema-epoch partitions")
     c = lake_cmd("validate", "post-load integrity report")
@@ -62,9 +70,18 @@ def run(args) -> dict:
         return {"cmd": "bootstrap", "version": m["version"],
                 "rows": m["stats"].get("rows")}
     if args.cmd == "apply":
-        return {"cmd": "apply", **eng.apply(args.stream, batch_id=args.batch_id)}
+        return {"cmd": "apply",
+                **eng.apply(args.stream, batch_id=args.batch_id, mode=args.mode)}
+    if args.cmd == "lookup":
+        t = eng.lake.lookup(args.url)
+        row = t.to_pylist()[0] if t.num_rows else None
+        if row is not None:
+            row.pop("html", None)  # binary payload stays out of the JSON line
+        return {"cmd": "lookup", "url": args.url, "found": t.num_rows > 0, "row": row}
     if args.cmd == "drain":
-        reports = eng.apply_stream(args.stream, max_files_per_batch=args.max_files)
+        reports = eng.apply_stream(
+            args.stream, max_files_per_batch=args.max_files, mode=args.mode
+        )
         applied = sum(r.get("events_applied", 0) for r in reports)
         return {"cmd": "drain", "batches": len(reports), "events_applied": applied,
                 "applied_lsn": eng.lake.load_manifest()["applied_lsn"]}

@@ -94,6 +94,14 @@ class TestCLI:
         assert r["events_applied"] > 0
         r = run("stats", "--lake", lake)
         assert r["partitions"] == 4 and r["rows"] > 0
+        # point lookup through the CLI (binary payload excluded)
+        import pyarrow.parquet as _pq
+
+        url = _pq.read_table(f"{fix}/pages.parquet", columns=["url"]).column("url")[0].as_py()
+        r = run("lookup", "--lake", lake, "--url", url, "--partitions", "4")
+        assert r["found"] and r["row"]["url"] == url and "html" not in r["row"]
+        r = run("lookup", "--lake", lake, "--url", "https://no.example/", "--partitions", "4")
+        assert not r["found"] and r["row"] is None
         r = run("vacuum", "--lake", lake, "--keep", "1")
         assert r["removed"] >= 0
         assert ray.is_initialized()  # session not stolen
