@@ -177,3 +177,75 @@ def test_dedup_guard_in_pipeline(ray_session):
         lsns.extend(b.column("lsn").to_pylist())
     assert min(lsns) == 100           # HWM shed
     assert len(lsns) == len(set(lsns))  # in-actor duplicate shed
+
+
+def _small_delta(eng, lsn0: int, n: int = 3) -> pa.Table:
+    import datetime
+
+    urls = eng.to_arrow().column("url").to_pylist()[:n]
+    ts = datetime.datetime(2031, 1, 1)
+    return pa.table(
+        {
+            "lsn": pa.array(range(lsn0, lsn0 + n), pa.int64()),
+            "op": pa.array(["update"] * n, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([ts] * n, pa.timestamp("us")),
+            "html": pa.array([b"y"] * n, pa.large_binary()),
+            "text": pa.array([f"d{lsn0}"] * n, pa.large_string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+
+
+def test_delta_crash_before_manifest_leaves_old_version_live(lake_with_data):
+    """Merge-on-read 2PC: delta side files written but no manifest (step
+    1 done, crash before step 2) — readers still see the committed
+    state, point lookups ignore the orphan, vacuum removes it, and the
+    SAME batch re-applies cleanly afterwards."""
+    eng = lake_with_data
+    v = eng.lake.current_version()
+    state = eng.to_arrow().sort_by("url")
+    orphan_dir = eng.lake.data_dir(v + 1)
+    os.makedirs(orphan_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"url": ["junk"]}), os.path.join(orphan_dir, "delta-00001.parquet")
+    )
+    assert eng.lake.current_version() == v
+    assert eng.to_arrow().sort_by("url").equals(state)
+    removed = eng.lake.vacuum(keep_versions=10)
+    assert any("delta-00001" in r for r in removed)
+    # the interrupted batch re-applies (fresh delta mode run) cleanly
+    eng2 = CDCEngine(
+        eng.lake.root, num_partitions=4, delta_max_files=64, delta_max_ratio=1e9
+    )
+    r = eng2.apply(_small_delta(eng, 10_000), batch_id="retry", mode="delta")
+    assert not r.get("skipped") and r["delta_appended"] >= 1
+
+
+def test_delta_count_verification_refuses_corrupt_commit(lake_with_data):
+    """A truncated/corrupt delta side file must fail the pre-flip count
+    verification — the pointer never advances over bad bytes."""
+    eng = CDCEngine(
+        lake_with_data.lake.root,
+        num_partitions=4,
+        delta_max_files=64,
+        delta_max_ratio=1e9,
+    )
+    eng.apply(_small_delta(lake_with_data, 20_000), batch_id="d-ok", mode="delta")
+    m = eng.lake.load_manifest()
+    v_before = m["version"]
+    # corrupt one live delta file, then attempt a commit referencing it
+    ent = next(e for e in m["partitions"].values() if e.get("deltas"))
+    victim = os.path.join(eng.lake.root, ent["deltas"][0]["file"])
+    with open(victim, "wb") as f:
+        f.write(b"not parquet")
+    with pytest.raises(Exception):
+        eng.lake.commit(
+            {int(p): e for p, e in m["partitions"].items()},
+            batch_id="bad-commit",
+            applied_lsn=m["applied_lsn"],
+            schema_ops=m["schema_ops"],
+            num_partitions=m["num_partitions"],
+            expected_parent=v_before,
+        )
+    assert eng.lake.current_version() == v_before  # pointer untouched
