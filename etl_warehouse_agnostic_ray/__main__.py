@@ -56,6 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     c = lake_cmd("validate", "post-load integrity report")
     c.add_argument("--fresh-after-us", type=int, default=None)
     lake_cmd("stats", "manifest partition-health rollup")
+    c = lake_cmd("history", "per-version commit log (lineage + metrics)")
+    c.add_argument("--limit", type=int, default=20)
     c = lake_cmd("vacuum", "GC unreferenced data files")
     c.add_argument("--keep", type=int, default=2)
     return p
@@ -92,6 +94,8 @@ def run(args) -> dict:
                 **eng.validate(fresh_after_us=args.fresh_after_us)}
     if args.cmd == "stats":
         return {"cmd": "stats", **eng.lake.stats()}
+    if args.cmd == "history":
+        return {"cmd": "history", "versions": eng.history(limit=args.limit)}
     if args.cmd == "vacuum":
         removed = eng.lake.vacuum(keep_versions=args.keep)
         return {"cmd": "vacuum", "removed": len(removed)}

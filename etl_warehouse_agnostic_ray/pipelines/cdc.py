@@ -484,6 +484,72 @@ class CDCEngine:
         return reports
 
     # ------------------------------------------------------------------
+    def follow(
+        self,
+        stream_dir: str,
+        poll_interval: float = 5.0,
+        max_files_per_batch: int = 8,
+        mode: str = "cow",
+        max_polls: int | None = None,
+        sleep=None,
+    ):
+        """Tail the WAL directory continuously — the binlog-follower
+        daemon: drain whatever is present, sleep, re-list, drain again.
+        Yields one report per applied micro-batch (a generator, so the
+        caller decides when to stop; ``max_polls`` bounds the loop for
+        scripted runs and tests, ``sleep`` is injectable for tests).
+        Every yield point is a committed, resumable state — killing the
+        follower anywhere loses nothing (the next ``follow`` or
+        ``apply_stream`` resumes from applied_lsn). Files must be
+        published ATOMICALLY into the directory (write elsewhere +
+        rename), the standard WAL-shipping contract; a half-written
+        file would fail its footer read loudly, not corrupt state."""
+        import time as _time
+
+        sleep = sleep or _time.sleep
+        polls = 0
+        while True:
+            for rep in self.apply_stream(
+                stream_dir, max_files_per_batch=max_files_per_batch, mode=mode
+            ):
+                yield rep
+            polls += 1
+            if max_polls is not None and polls >= max_polls:
+                return
+            sleep(poll_interval)
+
+    # ------------------------------------------------------------------
+    def history(self, limit: int | None = None) -> list[dict]:
+        """The commit log: per-version operational metrics walked from
+        the manifest chain (version, batch, applied_lsn, events applied,
+        partitions rewritten / delta-appended, wall seconds) — the
+        north-rule 'per-partition lineage + metrics' surfaced without
+        reading any data file. Newest first."""
+        cur = self.lake.current_version()
+        out = []
+        v = cur
+        while v >= 0 and (limit is None or len(out) < limit):
+            m = self.lake.load_manifest(v)
+            if m is None:
+                break
+            st = m.get("stats", {})
+            out.append(
+                {
+                    "version": m["version"],
+                    "batch_id": m["batch_id"],
+                    "applied_lsn": m["applied_lsn"],
+                    "op": st.get("op", "apply"),
+                    "events_applied": st.get("events_applied"),
+                    "partitions_rewritten": st.get("partitions_rewritten"),
+                    "partitions_delta_appended": st.get("partitions_delta_appended"),
+                    "wall_sec": st.get("wall_sec"),
+                    "schema_ops": len(m.get("schema_ops", [])),
+                }
+            )
+            v = m.get("parent", v - 1)
+        return out
+
+    # ------------------------------------------------------------------
     def validate(
         self,
         critical: list[str] | None = None,

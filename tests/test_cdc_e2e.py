@@ -446,3 +446,52 @@ def test_schema_drop_column(tmp_path):
     )
     eng.apply(delta2, batch_id="add-lang-v2")
     assert "lang_v2" in eng.to_arrow().schema.names
+
+
+def test_follow_tails_new_wal_files(fixture_dir, tmp_path):
+    """The binlog-follower loop: drain what exists, then pick up a file
+    PUBLISHED AFTER the first drain on the next poll; every yield is a
+    committed state, and stopping anywhere resumes cleanly."""
+    import shutil
+
+    ev_dir = os.path.join(fixture_dir, "change_events")
+    files = sorted(f for f in os.listdir(ev_dir) if f.endswith(".parquet"))
+    live = str(tmp_path / "wal")
+    os.makedirs(live)
+    shutil.copy(os.path.join(ev_dir, files[0]), os.path.join(live, files[0]))
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+
+    published = {"done": False}
+
+    def fake_sleep(_):
+        # the producer ships the rest of the WAL between polls
+        if not published["done"]:
+            for f in files[1:]:
+                shutil.copy(os.path.join(ev_dir, f), os.path.join(live, f))
+            published["done"] = True
+
+    reports = list(
+        eng.follow(live, poll_interval=0, max_polls=3, sleep=fake_sleep)
+    )
+    assert sum(r["events_applied"] for r in reports if not r.get("skipped")) > 0
+    # followed state == one-shot apply of the full WAL
+    one = CDCEngine(str(tmp_path / "lake_oneshot"), num_partitions=4)
+    one.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    one.apply(ev_dir, batch_id="oneshot")
+    assert _norm(eng.to_arrow()) == _norm(one.to_arrow())
+
+
+def test_history_walks_manifest_chain(fixture_dir, tmp_path):
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    eng.apply_stream(os.path.join(fixture_dir, "change_events"), max_files_per_batch=2)
+    h = eng.history()
+    assert h[0]["version"] == eng.lake.current_version()  # newest first
+    assert h[-1]["op"] == "bootstrap"
+    applies = [r for r in h if r["op"] == "apply"]
+    assert applies and all(r["events_applied"] > 0 for r in applies)
+    lsns = [r["applied_lsn"] for r in h]
+    assert lsns == sorted(lsns, reverse=True)  # monotone lineage
+    assert len(eng.history(limit=2)) == 2
