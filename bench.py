@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "line_dedup_documents",
     "gopher_quality_documents",
     "lm_quality_documents",
+    "pack_sequences_documents",
     "corpus_curate",
     "hll_distinct_customers",
     "cms_event_users",

@@ -2881,6 +2881,40 @@ WHERE d.doc_id >= mid.m
 """
 
 
+def q_pack_sequences_documents(sf_dir: str):
+    """Pretraining sequence packing (concat-and-chunk): where each
+    document's first token lands when the corpus is concatenated in
+    doc_id order and cut into 512-token sequences — a distributed
+    two-pass prefix sum (map-side range partials → driver exclusive
+    prefix → one 16-byte-row co-partitioning exchange; ops/pack.py).
+    The oracle replays it as an all-integer window cumsum."""
+    from ..ops.pack import pack_sequences
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=512, range_size=200)
+
+
+SQL_PACK_SEQUENCES_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS before
+  FROM t)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       (before // 512)::BIGINT AS seq_id,
+       (before % 512)::BIGINT AS seq_offset
+FROM c
+"""
+
+
 def q_train_order_documents(sf_dir: str):
     """Deterministic training-order shuffle: a reproducible global
     pseudo-random ordering of the corpus (ORDER BY
@@ -3349,6 +3383,7 @@ QUERIES = {
     "csv_ingest_documents": q_csv_ingest_documents,
     "incremental_dedup_documents": q_incremental_dedup_documents,
     "incremental_neardup_documents": q_incremental_neardup_documents,
+    "pack_sequences_documents": q_pack_sequences_documents,
     "train_order_documents": q_train_order_documents,
     "time_travel_pages": q_time_travel_pages,
     "incremental_rollup_pages": q_incremental_rollup_pages,
@@ -3427,6 +3462,7 @@ ORACLES = {
     "csv_ingest_documents": SQL_CSV_INGEST_DOCUMENTS,
     "incremental_dedup_documents": SQL_INCREMENTAL_DEDUP_DOCUMENTS,
     "incremental_neardup_documents": _sql_incremental_neardup(),
+    "pack_sequences_documents": SQL_PACK_SEQUENCES_DOCUMENTS,
     "train_order_documents": _sql_train_order(),
     "time_travel_pages": SQL_TIME_TRAVEL_PAGES,
     "incremental_rollup_pages": SQL_INCREMENTAL_ROLLUP_PAGES,

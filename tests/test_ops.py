@@ -1849,3 +1849,49 @@ class TestIncrementalDedup:
         """).fetchdf()
         assert got["doc_id"].tolist() == want["doc_id"].tolist()
         assert got["text"].tolist() == want["text"].tolist()
+
+
+class TestPackSequences:
+    def test_matches_serial_prefix_sum(self, ray_session):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.pack import pack_sequences
+
+        texts = ["a b c", "", None, "   ", "one two three four five", "x " * 600]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = (
+            pack_sequences(rd.from_arrow(t), seq_len=7, range_size=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        counts = [len((s or "").split()) for s in texts]
+        before = 0
+        for i, c in enumerate(counts):
+            row = out.iloc[i]
+            assert row["n_tokens"] == c
+            assert row["seq_id"] == before // 7
+            assert row["seq_offset"] == before % 7
+            before += c
+
+    def test_invariant_under_range_size(self, docs_ds):
+        from etl_warehouse_agnostic_ray.ops.pack import pack_sequences
+
+        a = (
+            pack_sequences(docs_ds, seq_len=128, range_size=37)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            pack_sequences(docs_ds, seq_len=128, range_size=10_000)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
