@@ -209,8 +209,13 @@ def connected_components_distributed(
     old_sum = _combine(labels)
     for round_no in range(max_rounds):
         # neighbour labels: edges ⋈ labels on src
+        from ..stages.typed import with_schema
+
         prop = edges.join(
-            labels,
+            with_schema(
+                labels,
+                pa.schema([("doc_id", pa.int64()), ("component", pa.int64())]),
+            ),
             join_type="inner",
             num_partitions=num_partitions,
             on=("src",),

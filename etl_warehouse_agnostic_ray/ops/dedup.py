@@ -212,8 +212,14 @@ def recover_rows_by_id(
 
         return ds.map_batches(keep, batch_format="pyarrow")
     # scale path: distributed hash join on id (ids + payload shuffled
-    # once by a uniform 8-byte key — no driver involvement)
-    return survivors.select_columns([id_col]).join(
+    # once by a uniform 8-byte key — no driver involvement). Survivor
+    # sets come from groupby exchanges → pin block schemas for the join
+    # (stages/typed.py)
+    from ..stages.typed import with_schema
+
+    return with_schema(
+        survivors.select_columns([id_col]), pa.schema([(id_col, pa.int64())])
+    ).join(
         ds.select_columns(cols),
         join_type="inner",
         num_partitions=join_partitions,
@@ -462,8 +468,14 @@ def minhash_lsh_pairs(
         ).map_batches(verify_bcast, batch_format="pyarrow")
     else:
         # scale path: hash-join pairs against signatures on doc id
-        # (replaces the r1 driver-side take_all + closure-captured dict)
-        with_a = uniq.join(
+        # (replaces the r1 driver-side take_all + closure-captured dict);
+        # pin the exchange output's block schemas for the join
+        from ..stages.typed import with_schema
+
+        uniq_t = with_schema(
+            uniq, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+        )
+        with_a = uniq_t.join(
             sig_ds,
             join_type="inner",
             num_partitions=join_partitions,
@@ -1022,7 +1034,14 @@ def ngram_jaccard_pairs(
     # scale path (> broadcast_limit docs, VERDICT r2 task 6): hash-join
     # the counted pairs against the distributed per-doc gram counts on
     # each endpoint — nothing materializes on the driver.
-    pairs_nc = counted.map_groups(count_pairs_only, batch_format="pandas")
+    from ..stages.typed import with_schema
+
+    pairs_nc = with_schema(
+        counted.map_groups(count_pairs_only, batch_format="pandas"),
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_common", pa.int64())]
+        ),
+    )
     join_partitions = 8
 
     def _rename_a(t: pa.Table) -> pa.Table:

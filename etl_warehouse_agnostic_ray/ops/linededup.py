@@ -46,6 +46,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.typed import with_schema
 from .texthash import POLY_B2, poly_hash_array, splitmix64
 
 N_COARSE = 1024
@@ -331,7 +332,7 @@ def line_dedup(
         ),
         batch_format="pyarrow",
     ).join(
-        dup,
+        with_schema(dup, pa.schema([("h1", pa.int64()), ("h2", pa.int64())])),
         join_type="left_anti",
         num_partitions=join_partitions,
         on=("h1", "h2"),

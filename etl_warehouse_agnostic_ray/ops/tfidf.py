@@ -172,8 +172,15 @@ def tfidf_topk(ds, id_col: str = "doc_id", text_col: str = "text",
         ),
         batch_format="pyarrow",
     ).sum("n")
+    from ..stages.typed import with_schema
+
     pairs = doc_term_pairs(ds, id_col, text_col).drop_columns(["_bk"])
-    df_tbl = pairs.groupby("tok").aggregate(Count(alias_name="df"))
+    # native-aggregate outputs carry schema-less empty blocks for empty
+    # partitions; pin the join's right side (stages/typed.py)
+    df_tbl = with_schema(
+        pairs.groupby("tok").aggregate(Count(alias_name="df")),
+        pa.schema([("tok", pa.string()), ("df", pa.int64())]),
+    )
     n_parts = max(8, min(int(ray.cluster_resources().get("CPU", 8)), num_partitions))
     joined = pairs.join(
         df_tbl, join_type="inner", num_partitions=n_parts, on=("tok",)

@@ -1237,10 +1237,13 @@ def q_antijoin_customers_urgent(sf_dir: str):
         ).column("o_custkey")
         return pa.table({"o_custkey": np.unique(keys.to_numpy(zero_copy_only=False))})
 
-    urgent = (
+    from ..stages.typed import with_schema
+
+    urgent = with_schema(
         orders.map_batches(urgent_keys, batch_format="pyarrow")
         .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_hits"))
+        .aggregate(Count(alias_name="n_hits")),
+        pa.schema([("o_custkey", pa.int64()), ("n_hits", pa.int64())]),
     )
     customer = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
