@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "pack_sequences_documents",
     "corpus_curate",
     "hll_distinct_customers",
+    "hll_grouped_event_users",
     "cms_event_users",
     "jsonl_ingest_documents",
     "csv_ingest_documents",

@@ -247,3 +247,114 @@ cells AS ({rows})
 SELECT row::BIGINT AS row, col::BIGINT AS col, count(*)::BIGINT AS count
 FROM cells GROUP BY row, col
 """
+
+
+def hll_registers_grouped(
+    ds, group_col: str, col: str, p: int = 10, max_groups: int = 10_000
+) -> pa.Table:
+    """Per-GROUP HLL register tables — "distinct users per event type"
+    over 100 TB with no distinct shuffle: one (group, bucket, max_rank)
+    row set per group value, still a pure function of the data through
+    the shared hash family (same SQL-twin contract as the global
+    sketch).
+
+    Per batch: hash once, np.unique the batch's group values, ONE
+    ``np.maximum.at`` scatter into a (groups_in_batch × m) dense
+    matrix. The driver merge is bounded by groups × m integer rows per
+    block; ``max_groups`` fails LOUDLY when group cardinality outgrows
+    the driver-merge regime (the scale path there is a (group, bucket)
+    groupby exchange, which this deliberately avoids for the
+    modest-cardinality telemetry case)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    rest_bits = np.uint64(64 - p)
+    rest_mask = np.uint64((1 << (64 - p)) - 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, col]).drop_null()
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.large_string()),
+                "bucket": pa.array([], pa.int64()),
+                "max_rank": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g = np.asarray(pc.cast(t.column(group_col), pa.large_string()))
+        s = pc.cast(t.column(col), pa.large_string())
+        h = splitmix64(poly_hash_array(s))
+        bucket = (h >> rest_bits).astype(np.int64)
+        rank = (64 - p) - _bit_length_u64(h & rest_mask) + 1
+        ug, inv = np.unique(g, return_inverse=True)
+        regs = np.zeros((len(ug), m), np.int64)
+        np.maximum.at(regs, (inv, bucket), rank)
+        gi, nz = np.nonzero(regs)
+        return pa.table(
+            {
+                group_col: pa.array(ug[gi], pa.large_string()),
+                "bucket": pa.array(nz.astype(np.int64)),
+                "max_rank": pa.array(regs[gi, nz]),
+            }
+        )
+
+    acc: dict[tuple, int] = {}
+    groups: set = set()
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        gs = b.column(group_col).to_pylist()
+        bks = b.column("bucket").to_pylist()
+        rks = b.column("max_rank").to_pylist()
+        for gv, bk, rk in zip(gs, bks, rks):
+            key = (gv, bk)
+            if rk > acc.get(key, 0):
+                acc[key] = rk
+            groups.add(gv)
+        if len(groups) > max_groups:
+            raise RuntimeError(
+                f"hll_registers_grouped: > {max_groups} distinct groups — "
+                "driver merge regime exceeded; shuffle by (group, bucket) "
+                "instead for high-cardinality groups"
+            )
+    keys = sorted(acc)
+    return pa.table(
+        {
+            group_col: pa.array([k[0] for k in keys], pa.large_string()),
+            "bucket": pa.array([k[1] for k in keys], pa.int64()),
+            "max_rank": pa.array([acc[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def hll_registers_grouped_sql(src: str, group_col: str, col: str, p: int = 10) -> str:
+    """DuckDB twin of the grouped register table: hash/bucket/rank in
+    exact HUGEINT arithmetic, grouped by the (stringified) group value."""
+    from ..pipelines.hash_sql import poly64_expr, splitmix64_expr
+
+    rest_bits = 64 - p
+    div = 1 << rest_bits
+    pw_rows = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(rest_bits))
+    return f"""
+WITH pw(i, v) AS (VALUES {pw_rows}),
+h0 AS (
+  SELECT CAST({group_col} AS VARCHAR) AS grp,
+         {poly64_expr(f"CAST({col} AS VARCHAR)")} AS hv
+  FROM {src} WHERE {col} IS NOT NULL AND {group_col} IS NOT NULL
+),
+h AS (SELECT grp, {splitmix64_expr("hv")} AS x FROM h0),
+parts AS (
+  SELECT grp, (x // {div}::HUGEINT)::BIGINT AS bucket,
+         x % {div}::HUGEINT AS rest
+  FROM h
+),
+ranked AS (
+  SELECT grp, bucket,
+         ({rest_bits} - (SELECT coalesce(max(p2.i + 1), 0) FROM pw p2
+                         WHERE parts.rest >= p2.v) + 1)::BIGINT AS rank
+  FROM parts
+)
+SELECT grp AS {group_col}, bucket, max(rank) AS max_rank
+FROM ranked GROUP BY grp, bucket
+"""

@@ -2656,6 +2656,27 @@ def _sql_hll() -> str:
     return hll_registers_sql("orders", "o_custkey", p=10)
 
 
+def q_hll_grouped_event_users(sf_dir: str):
+    """Per-event-type distinct-user HLL sketches ("distinct users per
+    event type" telemetry without a distinct shuffle): grouped register
+    tables, per-batch dense scatter + bounded driver max-merge, the
+    same bit-exact HUGEINT SQL-twin contract as the global sketch
+    (ops/sketch.hll_registers_grouped)."""
+    from ..ops.sketch import hll_registers_grouped
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_registers_grouped(ds, "event_type", "user_id", p=10)
+
+
+def _sql_hll_grouped() -> str:
+    from ..ops.sketch import hll_registers_grouped_sql
+
+    return hll_registers_grouped_sql("events", "event_type", "user_id", p=10)
+
+
 def q_cms_event_users(sf_dir: str):
     """Count-Min frequency sketch over events.user_id (depth 4 ×
     width 1024): per-batch dense counter partials, elementwise-sum
@@ -3381,6 +3402,7 @@ QUERIES = {
     "gopher_quality_documents": q_gopher_quality_documents,
     "corpus_curate": q_corpus_curate,
     "hll_distinct_customers": q_hll_distinct_customers,
+    "hll_grouped_event_users": q_hll_grouped_event_users,
     "cms_event_users": q_cms_event_users,
     "jsonl_ingest_documents": q_jsonl_ingest_documents,
     "csv_ingest_documents": q_csv_ingest_documents,
@@ -3460,6 +3482,7 @@ ORACLES = {
     "gopher_quality_documents": _sql_gopher(),
     "corpus_curate": SQL_CORPUS_CURATE,
     "hll_distinct_customers": _sql_hll(),
+    "hll_grouped_event_users": _sql_hll_grouped(),
     "cms_event_users": _sql_cms(),
     "jsonl_ingest_documents": SQL_JSONL_INGEST_DOCUMENTS,
     "csv_ingest_documents": SQL_CSV_INGEST_DOCUMENTS,

@@ -1895,3 +1895,56 @@ class TestPackSequences:
             .reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+class TestGroupedHLL:
+    def test_grouped_matches_per_group_global(self, ray_session):
+        """Each group's register rows must equal the GLOBAL sketch run
+        on that group's rows alone (group isolation), and estimates
+        must track exact distinct counts within HLL error."""
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.sketch import (
+            hll_estimate,
+            hll_registers,
+            hll_registers_grouped,
+        )
+
+        rng = np.random.default_rng(5)
+        groups = rng.choice(["click", "view", "error"], 5000)
+        users = rng.integers(0, 800, 5000)
+        t = pa.table(
+            {
+                "event_type": pa.array(groups, pa.string()),
+                "user_id": pa.array(users, pa.int64()),
+            }
+        )
+        import pyarrow.compute as pc
+
+        out = hll_registers_grouped(rd.from_arrow(t), "event_type", "user_id", p=8)
+        for g in ("click", "view", "error"):
+            mask = groups == g
+            sub = pa.table({"user_id": pa.array(users[mask], pa.int64())})
+            want = hll_registers(rd.from_arrow(sub), "user_id", p=8)
+            got = out.filter(pc.equal(out.column("event_type"), pa.scalar(g))).select(
+                ["bucket", "max_rank"]
+            )
+            assert got.sort_by("bucket").equals(want.sort_by("bucket").cast(got.schema))
+            est = hll_estimate(got, p=8)
+            exact = len(set(users[mask]))
+            assert abs(est - exact) / exact < 0.15  # ~1.04/sqrt(256) * 2
+
+    def test_max_groups_fails_loud(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.sketch import hll_registers_grouped
+
+        t = pa.table(
+            {
+                "g": pa.array([str(i) for i in range(50)], pa.string()),
+                "v": pa.array(range(50), pa.int64()),
+            }
+        )
+        with _pytest.raises(RuntimeError, match="distinct groups"):
+            hll_registers_grouped(rd.from_arrow(t), "g", "v", max_groups=10)
