@@ -109,28 +109,46 @@ def _read_compact_partition(
     fs=None,
     compact: bool = True,
     url_filter: str | None = None,
+    columns: list[str] | None = None,
+    file_lsns: list[int] | None = None,
 ) -> pa.Table:
     """Read one partition's base file + merge-on-read delta files and
     LWW-compact them to the winning row per url (tombstones retained).
     Files are conformed ONE AT A TIME (they may come from different
     schema epochs); lineage columns survive for the compaction order.
     ``url_filter`` pushes an equality predicate into each parquet read
-    (row-group pruning via column statistics)."""
+    (row-group pruning via column statistics). ``columns`` pushes a
+    PROJECTION into each read (``file_lsns`` gives each file's schema
+    epoch so renamed columns resolve to their wire name) — only those
+    pages leave storage; the LWW keys (url, warc_ts) are added when
+    compacting."""
     import pyarrow.parquet as pq
 
     from .stages.lww import lww_compact_table
 
     reg = SchemaRegistry.from_dict(schema_ops)
+    needed = None
+    if columns is not None:
+        needed = list(
+            dict.fromkeys((["url", "warc_ts"] if compact else []) + list(columns))
+        )
     tables = []
-    for rel in rel_files:
+    for i, rel in enumerate(rel_files):
         kw = {}
         if url_filter is not None:
             kw["filters"] = [("url", "=", url_filter)]
+        if needed is not None:
+            epoch = file_lsns[i] if file_lsns is not None else -1
+            kw["columns"] = reg.physical_columns(needed, epoch) + [
+                LSN_COL,
+                OP_COL,
+                PID_COL,
+            ]
         t = pq.read_table(os.path.join(root, rel), filesystem=fs, **kw)
         lineage = {
             c: t.column(c) for c in (LSN_COL, OP_COL, PID_COL) if c in t.column_names
         }
-        conf = reg.conform(t.drop(list(lineage)))
+        conf = reg.conform(t.drop(list(lineage)), columns=needed)
         for c, col in lineage.items():
             conf = conf.append_column(c, col)
         tables.append(conf)
@@ -138,7 +156,12 @@ def _read_compact_partition(
     return lww_compact_table(merged) if compact else merged
 
 
-def _logical_view(t: pa.Table, reg: SchemaRegistry, include_lineage: bool) -> pa.Table:
+def _logical_view(
+    t: pa.Table,
+    reg: SchemaRegistry,
+    include_lineage: bool,
+    columns: list[str] | None = None,
+) -> pa.Table:
     """Compacted physical rows -> logical table: tombstones out, lineage
     columns dropped (or appended when requested)."""
     import pyarrow.compute as pc
@@ -146,7 +169,7 @@ def _logical_view(t: pa.Table, reg: SchemaRegistry, include_lineage: bool) -> pa
     if OP_COL in t.column_names:
         t = t.filter(pc.not_equal(t.column(OP_COL), pa.scalar("delete")))
     extras = [c for c in (LSN_COL, PID_COL, OP_COL) if c in t.column_names]
-    out = reg.conform(t.drop(extras))
+    out = reg.conform(t.drop(extras), columns=columns)
     if include_lineage:
         for c in extras:
             out = out.append_column(c, t.column(c))
@@ -159,22 +182,40 @@ class _MorPartitionRead:
     newline-joined rel paths); the task reads them directly from shared
     storage — no shuffle — compacts, and emits the logical rows."""
 
-    def __init__(self, root: str, schema_ops: list[dict], fs, include_lineage: bool):
+    def __init__(
+        self,
+        root: str,
+        schema_ops: list[dict],
+        fs,
+        include_lineage: bool,
+        columns: list[str] | None = None,
+    ):
         self.root = root
         self.schema_ops = schema_ops
         self.fs = fs
         self.include_lineage = include_lineage
+        self.columns = columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         reg = SchemaRegistry.from_dict(self.schema_ops)
         out = []
         for stack in batch.column("files").to_pylist():
+            rels, epochs = [], []
+            for line in stack.split("\n"):
+                rel, _, ep = line.partition("|")
+                rels.append(rel)
+                epochs.append(int(ep) if ep else -1)
             t = _read_compact_partition(
-                self.root, stack.split("\n"), self.schema_ops, self.fs
+                self.root,
+                rels,
+                self.schema_ops,
+                self.fs,
+                columns=self.columns,
+                file_lsns=epochs,
             )
-            out.append(_logical_view(t, reg, self.include_lineage))
+            out.append(_logical_view(t, reg, self.include_lineage, self.columns))
         if not out:
-            empty = reg.conform(pa.table({}))
+            empty = reg.conform(pa.table({}), columns=self.columns)
             if self.include_lineage:
                 for c, typ in (
                     (LSN_COL, pa.int64()),
@@ -355,11 +396,16 @@ class LakeTable:
         version: int | None = None,
         include_lineage: bool = False,
         pids: set[int] | None = None,
+        columns: list[str] | None = None,
     ):
         """Current table state as a streaming ray.data.Dataset, conformed
         to the latest logical schema (older partition files may predate a
         schema op; conform renames/casts/backfills per file batch).
         ``pids`` restricts the read to those partitions (change feed).
+        ``columns`` pushes a PROJECTION all the way into the parquet
+        reads (per-epoch wire names resolved through the registry) — a
+        consumer wanting (url, text) from a 100-TB lake never pages in
+        html.
 
         Partitions carrying merge-on-read delta side files are resolved
         by a per-partition task that reads base ∪ deltas directly and
@@ -372,6 +418,11 @@ class LakeTable:
         if not m:
             raise FileNotFoundError(f"no committed version in {self.root}")
         reg_ops = m["schema_ops"]
+        if columns is not None:
+            legal = set(SchemaRegistry.from_dict(reg_ops).logical_schema().names)
+            bad = [c for c in columns if c not in legal]
+            if bad:
+                raise ValueError(f"unknown columns {bad}; logical schema has {sorted(legal)}")
         sel = {
             int(p): e
             for p, e in m["partitions"].items()
@@ -391,7 +442,7 @@ class LakeTable:
                     pc.not_equal(batch.column(OP_COL), pa.scalar("delete"))
                 )
             extras = [c for c in (LSN_COL, PID_COL, OP_COL) if c in batch.column_names]
-            out = reg.conform(batch.drop(extras))
+            out = reg.conform(batch.drop(extras), columns=columns)
             if include_lineage:
                 for c in extras:
                     out = out.append_column(c, batch.column(c))
@@ -399,8 +450,18 @@ class LakeTable:
 
         ds = None
         if plain:
-            for _, files in sorted(self.files_by_epoch(version, pids=plain).items()):
-                d = rd.read_parquet(files, filesystem=self.fs).map_batches(
+            reg = SchemaRegistry.from_dict(reg_ops)
+            for epoch, files in sorted(
+                self.files_by_epoch(version, pids=plain).items()
+            ):
+                kw = {}
+                if columns is not None:
+                    kw["columns"] = reg.physical_columns(columns, epoch) + [
+                        LSN_COL,
+                        OP_COL,
+                        PID_COL,
+                    ]
+                d = rd.read_parquet(files, filesystem=self.fs, **kw).map_batches(
                     conform, batch_format="pyarrow"
                 )
                 ds = d if ds is None else ds.union(d)
@@ -408,13 +469,19 @@ class LakeTable:
             items = [
                 {
                     "files": "\n".join(
-                        [e["file"]] + [d["file"] for d in e["deltas"]]
+                        [f"{e['file']}|{int(e.get('schema_lsn', -1))}"]
+                        + [
+                            f"{d['file']}|{int(d.get('schema_lsn', -1))}"
+                            for d in e["deltas"]
+                        ]
                     )
                 }
                 for _, e in sorted(mor.items())
             ]
             d = rd.from_items(items, override_num_blocks=len(items)).map_batches(
-                _MorPartitionRead(self.root, reg_ops, self.fs, include_lineage),
+                _MorPartitionRead(
+                    self.root, reg_ops, self.fs, include_lineage, columns=columns
+                ),
                 batch_format="pyarrow",
             )
             ds = d if ds is None else ds.union(d)
@@ -422,7 +489,12 @@ class LakeTable:
             raise FileNotFoundError(f"no data files in {self.root}")
         return ds
 
-    def to_arrow(self, version: int | None = None, include_lineage: bool = False) -> pa.Table:
+    def to_arrow(
+        self,
+        version: int | None = None,
+        include_lineage: bool = False,
+        columns: list[str] | None = None,
+    ) -> pa.Table:
         """Small-table convenience (tests / validation only)."""
         m = self.load_manifest(version)
         if not m:
@@ -431,12 +503,21 @@ class LakeTable:
         parts = []
         for _, ent in sorted(m["partitions"].items()):
             rels = [ent["file"]] + [d["file"] for d in ent.get("deltas", ())]
+            epochs = [int(ent.get("schema_lsn", -1))] + [
+                int(d.get("schema_lsn", -1)) for d in ent.get("deltas", ())
+            ]
             t = _read_compact_partition(
-                self.root, rels, m["schema_ops"], self.fs, compact=len(rels) > 1
+                self.root,
+                rels,
+                m["schema_ops"],
+                self.fs,
+                compact=len(rels) > 1,
+                columns=columns,
+                file_lsns=epochs,
             )
-            parts.append(_logical_view(t, reg, include_lineage))
+            parts.append(_logical_view(t, reg, include_lineage, columns))
         if not parts:
-            return reg.conform(pa.table({}))
+            return reg.conform(pa.table({}), columns=columns)
         return pa.concat_tables(parts)
 
     def lookup(self, url: str, version: int | None = None) -> pa.Table:

@@ -586,11 +586,13 @@ class CDCEngine:
         return report
 
     # ------------------------------------------------------------------
-    def table(self, include_lineage: bool = False):
-        return self.lake.dataset(include_lineage=include_lineage)
+    def table(self, include_lineage: bool = False, columns: list[str] | None = None):
+        return self.lake.dataset(include_lineage=include_lineage, columns=columns)
 
-    def to_arrow(self, include_lineage: bool = False) -> pa.Table:
-        return self.lake.to_arrow(include_lineage=include_lineage)
+    def to_arrow(
+        self, include_lineage: bool = False, columns: list[str] | None = None
+    ) -> pa.Table:
+        return self.lake.to_arrow(include_lineage=include_lineage, columns=columns)
 
     # ------------------------------------------------------------------
     def _merge_opts(self) -> dict:
@@ -754,11 +756,17 @@ class CDCEngine:
             expected_parent=version - 1,
         )
 
-    def changes_since(self, version: int, include_lineage: bool = False):
+    def changes_since(
+        self,
+        version: int,
+        include_lineage: bool = False,
+        columns: list[str] | None = None,
+    ):
         """Change feed: the current state of every partition REWRITTEN
         since ``version`` — a downstream consumer incrementally refreshes
         by replacing exactly these partitions (manifest diff picks them;
-        only their files are read). Returns a conformed Dataset; empty
+        only their files are read, and ``columns`` prunes the read to
+        the consumer's projection). Returns a conformed Dataset; empty
         typed Dataset when nothing changed."""
         changed = self.lake.changed_partition_ids(version)
         if not changed:
@@ -766,8 +774,10 @@ class CDCEngine:
 
             m = self.lake.load_manifest()
             reg = SchemaRegistry.from_dict(m["schema_ops"])
-            return rd.from_arrow(reg.conform(pa.table({})))
-        return self.lake.dataset(include_lineage=include_lineage, pids=changed)
+            return rd.from_arrow(reg.conform(pa.table({}), columns=columns))
+        return self.lake.dataset(
+            include_lineage=include_lineage, pids=changed, columns=columns
+        )
 
     def compact(self, batch_id: str | None = None) -> dict:
         """Physically rewrite partitions whose files predate the current

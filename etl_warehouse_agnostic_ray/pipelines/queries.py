@@ -440,7 +440,7 @@ def q_cdc_pages_replay(sf_dir: str):
         eng = CDCEngine(root, num_partitions=16)
         eng.bootstrap(os.path.join(d, "pages.parquet"))
         eng.apply(os.path.join(d, "change_events"), batch_id="replay")
-        return eng.lake.to_arrow().select(["url", "warc_ts", "text", "lang"])
+        return eng.lake.to_arrow(columns=["url", "warc_ts", "text", "lang"])
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -476,8 +476,8 @@ def q_cdc_schema_evolution(sf_dir: str):
         eng = CDCEngine(root, num_partitions=8)
         eng.bootstrap(os.path.join(d, "pages.parquet"))
         eng.apply(os.path.join(d, "change_events"), batch_id="replay")
-        return eng.lake.to_arrow().select(
-            ["url", "warc_ts", "text", "language", "fetch_status"]
+        return eng.lake.to_arrow(
+            columns=["url", "warc_ts", "text", "language", "fetch_status"]
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -526,8 +526,7 @@ def q_cdc_delta_replay(sf_dir: str):
         if eng.lake.stats()["delta_files"] == 0:
             raise RuntimeError("merge-on-read path was not exercised")
         return (
-            eng.lake.dataset()
-            .select_columns(["url", "warc_ts", "text", "lang"])
+            eng.lake.dataset(columns=["url", "warc_ts", "text", "lang"])
             .to_pandas()
         )
     finally:
@@ -612,8 +611,8 @@ def q_time_travel_pages(sf_dir: str):
         v1 = eng.lake.current_version()
         eng.apply(rest, batch_id="tt-half-2")
         assert eng.lake.current_version() > v1
-        return eng.lake.to_arrow(version=v1).select(
-            ["url", "warc_ts", "text", "lang"]
+        return eng.lake.to_arrow(
+            version=v1, columns=["url", "warc_ts", "text", "lang"]
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

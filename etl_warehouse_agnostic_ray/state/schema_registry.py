@@ -98,11 +98,44 @@ class SchemaRegistry:
                 m.setdefault(old, new)
         return m
 
-    def conform(self, table: pa.Table, upto_lsn: int | None = None) -> pa.Table:
+    def physical_columns(
+        self, requested: list[str], file_lsn: int
+    ) -> list[str]:
+        """The FILE column names (for a file written at schema epoch
+        ``file_lsn``) that carry the ``requested`` CURRENT logical
+        columns — the projection-pushdown seam: a reader that wants
+        (url, text) from a 100-TB lake must not page in html. Renames
+        after the file's epoch are unwound new→old; columns added after
+        the epoch are absent (the conform step backfills them null)."""
+        # name-at-epoch: walk renames NEWER than the file backwards
+        name_map = {r: r for r in requested}
+        for o in reversed(self.ops):
+            if o["kind"] == "rename" and o["lsn"] > file_lsn:
+                old, new = o["column"], o["type"]
+                for r, cur in name_map.items():
+                    if cur == new:
+                        name_map[r] = old
+        file_names = {
+            f.name for f in self.logical_schema(upto_lsn=file_lsn)
+        }
+        return [name_map[r] for r in requested if name_map[r] in file_names]
+
+    def conform(
+        self,
+        table: pa.Table,
+        upto_lsn: int | None = None,
+        columns: list[str] | None = None,
+    ) -> pa.Table:
         """Cast/rename/backfill an Arrow table (a lake file or normalized
         event payload) to the logical schema. Extra columns are dropped;
-        missing columns are backfilled null; mismatched types cast."""
+        missing columns are backfilled null; mismatched types cast.
+        ``columns`` restricts the target to that subset of the logical
+        schema (projection pushdown: callers read only those file
+        columns via ``physical_columns`` and conform the slice)."""
         target = self.logical_schema(upto_lsn)
+        if columns is not None:
+            by_name = {f.name: f for f in target}
+            target = pa.schema([by_name[c] for c in columns])
         renames = self.rename_map(upto_lsn)
         cols = {}
         present = {renames.get(n, n): table.column(n) for n in table.column_names}

@@ -243,3 +243,43 @@ def test_change_feed_sees_delta_appends(fixture_dir, tmp_path):
         u for b in feed.iter_batches(batch_format="pyarrow") for u in b.column("url").to_pylist()
     )
     assert urls[0] in urls_in_feed
+
+
+def test_pruned_reads_across_epochs_and_deltas(tmp_path):
+    """Projection pushdown through the lake read: dataset/to_arrow with
+    ``columns=`` must return exactly the same values as the full read's
+    projection — across schema epochs (renamed columns resolve to their
+    per-epoch wire names) AND merge-on-read delta stacks — while never
+    touching unrequested payload pages."""
+    events = gen_change_events(600, 80, seed=12, schema_change_frac=0.01)
+    d = str(tmp_path / "fix")
+    write_fixture(d, 10, 80, seed=12, schema_change_frac=0.0)
+    eng = CDCEngine(
+        str(tmp_path / "lake"), num_partitions=4, delta_max_files=64, delta_max_ratio=1e9
+    )
+    eng.bootstrap(os.path.join(d, "pages.parquet"))
+    # half cow (carries the DDL), half delta (builds MOR stacks)
+    mid = events.num_rows // 2
+    eng.apply(events.slice(0, mid), batch_id="b1")
+    for i, s in enumerate(range(mid, events.num_rows, 100)):
+        eng.apply(events.slice(s, 100), batch_id=f"d{i}", mode="delta")
+    assert eng.lake.stats()["delta_files"] > 0
+
+    full = eng.to_arrow()
+    assert "language" in full.schema.names  # rename happened
+    for cols in (["url", "language"], ["language"], ["url", "fetch_status"]):
+        pruned = eng.to_arrow(columns=cols)
+        assert pruned.schema.names == cols
+        want = full.select(cols).sort_by([(c, "ascending") for c in cols])
+        got = pruned.sort_by([(c, "ascending") for c in cols])
+        assert got.equals(want)
+    # the streaming path agrees with the driver path
+    ds_rows = eng.table(columns=["url", "language"]).take_all()
+    assert len(ds_rows) == full.num_rows
+    assert set(ds_rows[0].keys()) == {"url", "language"}
+    # change feed honours the projection too
+    feed = eng.changes_since(0, columns=["url"])
+    assert set(feed.take(1)[0].keys()) == {"url"}
+    # unknown column fails loud
+    with pytest.raises(ValueError, match="unknown columns"):
+        eng.table(columns=["nope"])
