@@ -155,16 +155,44 @@ def _doc_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
     )
 
 
+def _bucket_score(g: pd.DataFrame, n_f: float) -> pd.DataFrame:
+    """Score one token bucket: df per token via ONE sort + run-length
+    pass (a token's (doc, term) pair rows live wholly in its hash
+    bucket, so the bucket-local count IS the global document
+    frequency), then tfidf_w = round(tf·ln(N/df), 6) per pair row."""
+    toks = g["tok"].to_numpy()
+    tf = g["tf"].to_numpy()
+    order = np.argsort(toks, kind="stable")
+    t_s = toks[order]
+    first = np.ones(len(t_s), dtype=bool)
+    first[1:] = t_s[1:] != t_s[:-1]
+    starts = np.flatnonzero(first)
+    lengths = np.diff(np.append(starts, len(t_s)))
+    df = np.empty(len(toks), np.int64)
+    df[order] = np.repeat(lengths, lengths)
+    docs = g["doc_id"].to_numpy()
+    return pd.DataFrame(
+        {
+            "doc_id": docs,
+            "tok": toks,
+            "tf": tf,
+            "tfidf_w": np.round(tf * np.log(n_f / df), 6),
+            "pk": docs & 255,
+        }
+    )
+
+
 def tfidf_topk(ds, id_col: str = "doc_id", text_col: str = "text",
-               k: int = 3, num_partitions: int = 32):
+               k: int = 3, num_buckets: int = 64):
     """Top-k TF-IDF terms per document: score = round(tf·ln(N/df), 6).
 
-    N counts non-null-text docs (one column-pruned pass); df comes
-    from a distributed reduce of the pair stream; pairs ⋈ df is a hash
-    join on the token."""
-    import ray
-    from ray.data.aggregate import Count
-
+    N counts non-null-text docs (one column-pruned pass). df is
+    computed INSIDE each token-hash bucket of the pair stream — a
+    token's pair rows are co-located by construction, so no join is
+    needed at all (one exchange fewer than the pairs ⋈ df formulation;
+    also sidesteps Ray's hash-join failing on low-cardinality keys,
+    where num_partitions > distinct keys leaves schema-less empty
+    right partitions that Acero rejects)."""
     n_docs = ds.map_batches(
         lambda b: pa.table(
             {"n": pa.array([pc.sum(pc.cast(pc.is_valid(b.column(text_col)),
@@ -172,33 +200,10 @@ def tfidf_topk(ds, id_col: str = "doc_id", text_col: str = "text",
         ),
         batch_format="pyarrow",
     ).sum("n")
-    from ..stages.typed import with_schema
 
-    pairs = doc_term_pairs(ds, id_col, text_col).drop_columns(["_bk"])
-    # native-aggregate outputs carry schema-less empty blocks for empty
-    # partitions; pin the join's right side (stages/typed.py)
-    df_tbl = with_schema(
-        pairs.groupby("tok").aggregate(Count(alias_name="df")),
-        pa.schema([("tok", pa.string()), ("df", pa.int64())]),
+    pairs = doc_term_pairs(ds, id_col, text_col, num_buckets)
+    scored = pairs.groupby("_bk").map_groups(
+        functools.partial(_bucket_score, n_f=float(n_docs)), batch_format="pandas"
     )
-    n_parts = max(8, min(int(ray.cluster_resources().get("CPU", 8)), num_partitions))
-    joined = pairs.join(
-        df_tbl, join_type="inner", num_partitions=n_parts, on=("tok",)
-    )
-    n_f = float(n_docs)
-
-    def score(b: pa.Table) -> pa.Table:
-        tf = b.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
-        df = b.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
-        w = np.round(tf * np.log(n_f / df), 6)
-        t = b.append_column("tfidf_w", pa.array(w))
-        return t.append_column(
-            "pk", pc.bit_wise_and(t.column("doc_id"), pa.scalar(255, pa.int64()))
-        )
-
     red = functools.partial(_doc_topk, k=k)
-    return (
-        joined.map_batches(score, batch_format="pyarrow")
-        .groupby("pk")
-        .map_groups(red, batch_format="pandas")
-    )
+    return scored.groupby("pk").map_groups(red, batch_format="pandas")
