@@ -277,14 +277,25 @@ class IncrementalNearDeduper:
             ids = b.column("doc_id").to_numpy(zero_copy_only=False)
             return b.filter(pa.array(~np.isin(ids, d)))
 
+        # accumulate the batch's survivor band rows first, then ONE
+        # append per touched partition — appending per iterated
+        # mini-batch degenerates into O(batches × partitions) full
+        # file rewrites (measured 17k appends / 63 s at 2.5k docs)
         surv_bands = band_rows.map_batches(keep_rows, batch_format="pyarrow")
-        for b in surv_bands.iter_batches(batch_format="pyarrow"):
+        acc_bh: dict[int, list] = {}
+        acc_sig: dict[int, list] = {}
+        for b in surv_bands.iter_batches(batch_format="pyarrow", batch_size=None):
             pk = b.column("_pk").to_numpy(zero_copy_only=False)
             bh = b.column("_bh").to_numpy(zero_copy_only=False).view(np.uint64)
             sig = _sig_matrix(b.column("sig"))
             for part in np.unique(pk):
                 m = pk == part
-                self.index.append_part(int(part), bh[m], sig[m])
+                acc_bh.setdefault(int(part), []).append(bh[m])
+                acc_sig.setdefault(int(part), []).append(sig[m])
+        for part in sorted(acc_bh):
+            self.index.append_part(
+                part, np.concatenate(acc_bh[part]), np.vstack(acc_sig[part])
+            )
 
         return ds.map_batches(keep_rows, batch_format="pyarrow").select_columns(
             ["doc_id", "text"]
