@@ -546,6 +546,59 @@ class LakeTable:
         )
         return _logical_view(t, reg, include_lineage=False)
 
+    def lookup_many(self, urls: list[str], version: int | None = None) -> pa.Table:
+        """Batched point lookups: keys are grouped by their hash
+        partition and each TOUCHED partition is read exactly once with
+        an ``url IN (...)`` predicate pushed into the base + delta reads
+        — len(distinct partitions) reads total, never a table scan.
+        Returns the live LWW rows (absent / deleted keys yield no row)."""
+        m = self.load_manifest(version)
+        if not m:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        reg = SchemaRegistry.from_dict(m["schema_ops"])
+        if not urls:
+            return _logical_view(reg.conform(pa.table({})), reg, include_lineage=False)
+        import pyarrow.parquet as pq
+
+        from .stages.lww import lww_compact_table
+
+        pids = partition_ids(list(urls), m["num_partitions"])
+        by_pid: dict[int, list[str]] = {}
+        for u, p in zip(urls, pids):
+            by_pid.setdefault(int(p), []).append(u)
+        out = []
+        for pid, keys in sorted(by_pid.items()):
+            ent = m["partitions"].get(str(pid))
+            if ent is None:
+                continue
+            rels = [ent["file"]] + [d["file"] for d in ent.get("deltas", ())]
+            tables = []
+            for rel in rels:
+                tables.append(
+                    pq.read_table(
+                        os.path.join(self.root, rel),
+                        filesystem=self.fs,
+                        filters=[("url", "in", keys)],
+                    )
+                )
+            # files may span schema epochs: conform each before concat
+            confs = []
+            for t in tables:
+                lineage = {
+                    c: t.column(c)
+                    for c in (LSN_COL, OP_COL, PID_COL)
+                    if c in t.column_names
+                }
+                conf = reg.conform(t.drop(list(lineage)))
+                for c, col in lineage.items():
+                    conf = conf.append_column(c, col)
+                confs.append(conf)
+            winners = lww_compact_table(pa.concat_tables(confs))
+            out.append(_logical_view(winners, reg, include_lineage=False))
+        if not out:
+            return _logical_view(reg.conform(pa.table({})), reg, include_lineage=False)
+        return pa.concat_tables(out)
+
     # ---- observability ----
     def stats(self, version: int | None = None) -> dict:
         """Partition-health rollup — the reference's ``system.parts``

@@ -297,8 +297,14 @@ class CDCEngine:
         # deltas always fold: the former so schema epochs don't stack
         # unboundedly, the latter because a table-sized delta rewrites
         # everything anyway. ---
+        if mode == "auto":
+            # the per-partition bounds already make "delta" self-tuning:
+            # small batches append, big/overflowing partitions fold
+            mode = "delta"
         if mode not in ("cow", "delta"):
-            raise ValueError(f"apply mode must be 'cow' or 'delta', got {mode!r}")
+            raise ValueError(
+                f"apply mode must be 'cow', 'delta' or 'auto', got {mode!r}"
+            )
         delta_pids: set[int] = set()
         if mode == "delta" and big_delta_rows is None and not schema_rows:
             for pid in affected:

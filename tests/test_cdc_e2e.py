@@ -495,3 +495,30 @@ def test_history_walks_manifest_chain(fixture_dir, tmp_path):
     lsns = [r["applied_lsn"] for r in h]
     assert lsns == sorted(lsns, reverse=True)  # monotone lineage
     assert len(eng.history(limit=2)) == 2
+
+
+def test_half_written_wal_file_fails_loud(fixture_dir, tmp_path):
+    """The WAL contract requires atomic file publication; a truncated
+    (half-written) parquet file must fail the footer scan LOUDLY, never
+    corrupt lake state or advance the watermark."""
+    import shutil
+
+    ev_dir = os.path.join(fixture_dir, "change_events")
+    files = sorted(f for f in os.listdir(ev_dir) if f.endswith(".parquet"))
+    live = str(tmp_path / "wal")
+    os.makedirs(live)
+    shutil.copy(os.path.join(ev_dir, files[0]), os.path.join(live, files[0]))
+    src = open(os.path.join(ev_dir, files[1]), "rb").read()
+    with open(os.path.join(live, files[1]), "wb") as f:
+        f.write(src[: len(src) // 2])  # torn write: no footer
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    v0 = eng.lake.current_version()
+    with pytest.raises(Exception):
+        eng.apply(live, batch_id="torn")
+    assert eng.lake.current_version() == v0  # nothing committed
+    # after the producer finishes publishing, the same drain succeeds
+    shutil.copy(os.path.join(ev_dir, files[1]), os.path.join(live, files[1]))
+    r = eng.apply(live, batch_id="retry")
+    assert not r.get("skipped") and r["events_applied"] > 0

@@ -283,3 +283,22 @@ def test_pruned_reads_across_epochs_and_deltas(tmp_path):
     # unknown column fails loud
     with pytest.raises(ValueError, match="unknown columns"):
         eng.table(columns=["nope"])
+
+
+def test_lookup_many_batches_keys_per_partition(fixture_dir, tmp_path):
+    """Batched point reads: one pruned read per touched partition; live
+    winners only (deletes and unknown keys absent); auto mode aliases
+    the self-tuning delta path."""
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8, delta_max_files=64, delta_max_ratio=1e9)
+    eng.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    t = eng.to_arrow()
+    urls = t.column("url").to_pylist()[:10]
+    eng.apply(_delta_tbl(10_000, urls[:5]), batch_id="d1", mode="auto")
+    eng.apply(_delta_tbl(20_000, urls[5:6], op="delete"), batch_id="d2", mode="auto")
+    assert eng.lake.stats()["delta_files"] > 0  # auto took the delta path
+    got = eng.lake.lookup_many(urls + ["https://absent.example/x"])
+    by_url = {r["url"]: r for r in got.to_pylist()}
+    assert set(by_url) == set(urls) - {urls[5]}  # delete wins, absent missing
+    for u in urls[:5]:
+        assert by_url[u]["text"] == f"v10000-{u}"
+    assert eng.lake.lookup_many([]).num_rows == 0
