@@ -41,13 +41,14 @@ def build_parser() -> argparse.ArgumentParser:
     c = lake_cmd("apply", "apply one change-event batch")
     c.add_argument("--stream", required=True, help="events parquet file/dir")
     c.add_argument("--batch-id", default=None)
-    c.add_argument("--mode", choices=("cow", "delta"), default="cow",
-                   help="delta = merge-on-read side files (O(delta) writes)")
+    c.add_argument("--mode", choices=("cow", "delta", "auto"), default="cow",
+                   help="delta = merge-on-read side files (O(delta) writes); "
+                        "auto = delta when the batch is small vs the table")
 
     c = lake_cmd("drain", "consume a WAL dir in LSN-ordered micro-batches")
     c.add_argument("--stream", required=True)
     c.add_argument("--max-files", type=int, default=8)
-    c.add_argument("--mode", choices=("cow", "delta"), default="cow")
+    c.add_argument("--mode", choices=("cow", "delta", "auto"), default="cow")
 
     c = lake_cmd("lookup", "point-read the live row for one url")
     c.add_argument("--url", required=True)

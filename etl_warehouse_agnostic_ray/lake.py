@@ -273,6 +273,7 @@ class LakeTable:
         stats: dict | None = None,
         reset_batch_ids: bool = False,
         expected_parent: int | None = None,
+        verify_all: bool = False,
     ) -> dict:
         """``reset_batch_ids=True`` starts a fresh duplicate-batch
         namespace — used by watermark-resetting commits (bootstrap /
@@ -301,18 +302,37 @@ class LakeTable:
             raise ValueError(f"batch {batch_id!r} already committed")  # guard; callers skip earlier
         applied_batch_ids.append(batch_id)
         # count verification before the pointer flips (reference:
-        # extractors/repsly/extractor.py:741-752): every listed file must
-        # exist and row counts must match what the merge tasks reported.
+        # extractors/repsly/extractor.py:741-752): every file THIS commit
+        # introduces (or whose recorded count changed) must exist with the
+        # row count the merge tasks reported. Entries carried forward
+        # verbatim from the parent manifest — same file, same count —
+        # were verified by the commit that introduced them and are
+        # skipped, so a merge-on-read micro-batch pays O(delta) footer
+        # reads here, not O(P + Σ stack sizes). ``verify_all=True``
+        # re-verifies every listed file (the full scrub — for audits or
+        # suspected on-disk corruption, not the hot commit path).
         import pyarrow.parquet as pq
 
+        prev_parts = {} if verify_all else (prev or {}).get("partitions", {})
         for pid, ent in partitions.items():
-            fpath = os.path.join(self.root, ent["file"])
-            md = pq.read_metadata(fpath, filesystem=self.fs)  # raises if missing/corrupt
-            if md.num_rows != ent["rows"]:
-                raise IOError(
-                    f"partition {pid}: wrote {md.num_rows} rows, expected {ent['rows']}"
-                )
+            pent = prev_parts.get(str(pid))
+            if (
+                pent is None
+                or pent["file"] != ent["file"]
+                or pent["rows"] != ent["rows"]
+            ):
+                fpath = os.path.join(self.root, ent["file"])
+                md = pq.read_metadata(fpath, filesystem=self.fs)  # raises if missing
+                if md.num_rows != ent["rows"]:
+                    raise IOError(
+                        f"partition {pid}: wrote {md.num_rows} rows, expected {ent['rows']}"
+                    )
+            carried = {
+                (d["file"], d["rows"]) for d in (pent or {}).get("deltas", ())
+            }
             for dent in ent.get("deltas", ()):  # merge-on-read side files
+                if (dent["file"], dent["rows"]) in carried:
+                    continue
                 dmd = pq.read_metadata(
                     os.path.join(self.root, dent["file"]), filesystem=self.fs
                 )
@@ -321,10 +341,22 @@ class LakeTable:
                         f"partition {pid} delta {dent['file']}: wrote "
                         f"{dmd.num_rows} rows, expected {dent['rows']}"
                     )
+        # routing_hash is a persisted-layout contract: incremental commits
+        # (delta appends, compaction, epoch folds) never re-route rows, so
+        # they must carry the parent's stamp forward VERBATIM — stamping
+        # the current version here would launder apply()'s guard on a lake
+        # laid out by an older hash. Only layout-creating commits
+        # (bootstrap / full_refresh, the reset_batch_ids=True callers,
+        # which route every row with the current hash) stamp fresh.
+        routing = (
+            ROUTING_HASH_VERSION
+            if prev is None or reset_batch_ids
+            else prev.get("routing_hash")
+        )
         manifest = {
             "version": version,
             "parent": version - 1,
-            "routing_hash": ROUTING_HASH_VERSION,
+            "routing_hash": routing,
             "batch_id": batch_id,
             "num_partitions": num_partitions,
             "applied_lsn": int(applied_lsn),
@@ -520,6 +552,20 @@ class LakeTable:
             return reg.conform(pa.table({}), columns=columns)
         return pa.concat_tables(parts)
 
+    def check_routing(self, manifest: dict) -> None:
+        """Refuse to hash-route keys against a lake laid out by a
+        different (or unstamped legacy) routing hash — routing with the
+        CURRENT hash would read/merge the wrong partition and silently
+        return wrong answers. Same contract apply() enforces."""
+        stamped = manifest.get("routing_hash")
+        if stamped != ROUTING_HASH_VERSION:
+            raise RuntimeError(
+                f"lake was partitioned with routing hash {stamped!r} (None = "
+                f"unstamped legacy manifest) but this engine routes with "
+                f"{ROUTING_HASH_VERSION!r} — hash routing would touch the "
+                "wrong partition. Re-bootstrap or full_refresh() the lake."
+            )
+
     def lookup(self, url: str, version: int | None = None) -> pa.Table:
         """Point lookup: the live LWW row for one key, touching exactly
         ONE partition (hash routing) and pushing a ``url =`` predicate
@@ -528,6 +574,7 @@ class LakeTable:
         m = self.load_manifest(version)
         if not m:
             raise FileNotFoundError(f"no committed version in {self.root}")
+        self.check_routing(m)
         reg = SchemaRegistry.from_dict(m["schema_ops"])
         pid = int(partition_ids([url], m["num_partitions"])[0])
         ent = m["partitions"].get(str(pid))
@@ -555,6 +602,7 @@ class LakeTable:
         m = self.load_manifest(version)
         if not m:
             raise FileNotFoundError(f"no committed version in {self.root}")
+        self.check_routing(m)
         reg = SchemaRegistry.from_dict(m["schema_ops"])
         if not urls:
             return _logical_view(reg.conform(pa.table({})), reg, include_lineage=False)
@@ -608,16 +656,24 @@ class LakeTable:
         if not m:
             return {"version": None, "partitions": 0}
         parts = m["partitions"]
-        rows = sum(e["rows"] for e in parts.values())
-        live = sum(e.get("live_rows", e["rows"]) for e in parts.values())
-        sizes = [e.get("bytes", 0) for e in parts.values()]
-        delta_files = sum(len(e.get("deltas", ())) for e in parts.values())
-        delta_rows = sum(
-            d["rows"] for e in parts.values() for d in e.get("deltas", ())
+        dents = [d for e in parts.values() for d in e.get("deltas", ())]
+        # merge-on-read side files carry rows/live_rows/bytes of their own
+        # — fold them into the physical totals, or a delete-heavy
+        # mode="delta" lake would sail past the tombstone health gate that
+        # the identical workload in mode="cow" trips. (live is an upper
+        # bound under deltas: a delta row superseding a base row leaves
+        # the base row counted live until compaction folds it — exact
+        # liveness needs a read, and stats() is manifest-only by design.)
+        rows = sum(e["rows"] for e in parts.values()) + sum(d["rows"] for d in dents)
+        live = sum(e.get("live_rows", e["rows"]) for e in parts.values()) + sum(
+            d.get("live_rows", d["rows"]) for d in dents
         )
+        sizes = [e.get("bytes", 0) for e in parts.values()]
+        delta_bytes = sum(d.get("bytes", 0) for d in dents)
         return {
-            "delta_files": delta_files,
-            "delta_rows": delta_rows,
+            "delta_files": len(dents),
+            "delta_rows": sum(d["rows"] for d in dents),
+            "delta_bytes": delta_bytes,
             "version": m["version"],
             "batch_id": m["batch_id"],
             "applied_lsn": m["applied_lsn"],
@@ -629,7 +685,7 @@ class LakeTable:
             # silver-vs-raw layer ratio check (repsly_dag.py completeness
             # task) from the manifest alone
             "completeness_ratio": round(live / rows, 6) if rows else None,
-            "bytes": sum(sizes),
+            "bytes": sum(sizes) + delta_bytes,
             "max_partition_bytes": max(sizes, default=0),
             "min_partition_bytes": min(sizes, default=0),
             "schema_ops": len(m["schema_ops"]),

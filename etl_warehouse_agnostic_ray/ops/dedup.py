@@ -302,6 +302,7 @@ def minhash_lsh_pairs(
     join_partitions: int = 8,
     broadcast_limit: int = 1_000_000,
     include_drop_stats: bool = False,
+    sig_ds=None,
 ):
     """Candidate generation + verification. Returns a Dataset of
     (doc_a, doc_b, n_equal) with doc_a < doc_b and
@@ -330,12 +331,16 @@ def minhash_lsh_pairs(
     rows_per_band = n_perm // bands
     min_equal = int(np.ceil(jaccard_threshold * n_perm - 1e-9))
 
-    sig_ds = ds.map_batches(
-        MinHashSignatures(n_perm=n_perm, k=k, seed=seed),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=4,
-    ).materialize()  # reused: bucket explode + two verify joins
+    if sig_ds is None:
+        sig_ds = ds.map_batches(
+            MinHashSignatures(n_perm=n_perm, k=k, seed=seed),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=4,
+        ).materialize()  # reused: bucket explode + two verify joins
+    # else: caller already signed with the SAME (n_perm, k, seed) —
+    # incremental dedup passes its materialized signatures so each daily
+    # drop pays the dominant signing cost once, not twice
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -1117,10 +1122,12 @@ def embedding_neardup_pairs(
     with a seeded generator — the planes are a pure function of
     (seed, dim), so every batch of the SAME dim hashes with identical
     planes (generating an (n_planes × dim) matrix is trivial next to
-    the matmul). A mixed-dim corpus is safe by construction: vectors of
-    different dims can never be near-dups (cosine is undefined across
-    dims) and they bucket under different plane sets; ragged dims
-    WITHIN a batch raise loudly in ``list_col_to_matrix``. This removes
+    the matmul). A mixed-dim corpus is safe: vectors of different dims
+    can never be near-dups (cosine is undefined across dims), and the
+    pairing task splits each coarse group by dim before building its
+    matrix (different dims CAN share a bucket int — the plane sets
+    differ but the 12-bit values collide); ragged dims WITHIN a batch
+    raise loudly in ``list_col_to_matrix``. This removes
     both the driver-side ``take(1)`` probe (which executed the upstream
     pipeline twice) and the actor pool (whose per-query spawn latency
     dominated the stage). Normalized vectors travel as ``large_binary``
@@ -1164,19 +1171,35 @@ def embedding_neardup_pairs(
     def pairs_in_buckets(g: pd.DataFrame) -> pd.DataFrame:
         """Handles MANY buckets per task (coarse grouping): pairs come
         from the shared run enumerator, cosines from one row-wise
-        product — no per-bucket Python or per-bucket matmul."""
+        product — no per-bucket Python or per-bucket matmul. Rows are
+        split by vector dimensionality first (blob byte length): a
+        mixed-dim corpus lands different dims in the same coarse group
+        (coarse = bucket & 63), and one flat reshape over ragged blobs
+        would either crash or silently misalign every vector — pairing
+        across dims is meaningless anyway (cosine is undefined)."""
         ids = g[id_col].to_numpy()
         buckets = g["bucket"].to_numpy()
-        ia, ib, _, dropped = _sorted_run_pairs([buckets], ids, bucket_cap)
+        blobs = g["vec"].to_numpy()
+        blob_bytes = np.fromiter(
+            (len(b) for b in blobs), dtype=np.int64, count=len(blobs)
+        )
         out_parts = []
-        if len(ia):
-            blobs = g["vec"].to_numpy()
-            V = np.frombuffer(b"".join(blobs), dtype="<f8").reshape(len(blobs), -1)
+        dropped = 0
+        for nb in np.unique(blob_bytes):
+            if nb == 0:  # dim-0 vectors: cosine undefined, nothing to pair
+                continue
+            sel = np.nonzero(blob_bytes == nb)[0]
+            ia, ib, _, drops = _sorted_run_pairs([buckets[sel]], ids[sel], bucket_cap)
+            dropped += drops
+            if not len(ia):
+                continue
+            V = np.frombuffer(b"".join(blobs[sel]), dtype="<f8").reshape(len(sel), -1)
             cos = np.einsum("ij,ij->i", V[ia], V[ib])
             m = cos >= threshold
+            ids_d = ids[sel]
             out_parts.append(
                 pd.DataFrame(
-                    {"doc_a": ids[ia][m], "doc_b": ids[ib][m], "cosine": cos[m]}
+                    {"doc_a": ids_d[ia][m], "doc_b": ids_d[ib][m], "cosine": cos[m]}
                 )
             )
         if dropped:

@@ -19,10 +19,14 @@ Design (the CDC lake pattern applied to dedup state):
   range (partition pruning by file, no shuffle of the index); (3)
   survivors' pairs are appended to the index partitions (rewrite of
   touched partitions only, tmp+rename).
-- Crash safety: the index write happens AFTER the survivor set is
-  computed; a retried ``add`` of the same batch yields zero survivors
-  (every pair already present) — idempotent, same as the engine's
-  batch replay contract.
+- Crash safety: with ``survivors_out`` set, ``add`` persists the
+  survivors and a ``_SUCCESS`` marker BEFORE extending the index; a
+  replayed ``add`` that finds the marker re-extends idempotently from
+  the persisted rows and returns them — no crash window loses
+  documents. Without it, replay is idempotent ONLY once the caller
+  has durably consumed the returned survivors: the index is extended
+  eagerly, so a crash before the output lands would leave the batch's
+  hashes blocking a re-add.
 """
 
 from __future__ import annotations
@@ -104,14 +108,57 @@ class IncrementalDeduper:
         id_col: str = "doc_id",
         broadcast_limit: int = 5_000_000,
         join_partitions: int = 8,
+        survivors_out: str | None = None,
     ):
         """Returns the (id, text) rows of ``ds`` that are new to the
         corpus: within-batch min-id per content hash, then not present
-        in the index. Extends the index with the survivors' hashes."""
+        in the index. Extends the index with the survivors' hashes.
+
+        ``survivors_out`` (optional) enables the crash-safe two-phase
+        protocol: survivors are persisted there and a ``_SUCCESS``
+        marker committed BEFORE the index is extended; a replayed
+        ``add`` that finds the marker re-extends idempotently from the
+        persisted rows and returns them — no crash window loses
+        documents. Without it, the caller must durably consume the
+        returned survivors before trusting replay (the index is
+        extended eagerly)."""
         import ray
 
         num_parts = self.index.num_parts
         index_root = self.index.root
+
+        def read_out() -> "ray.data.Dataset":
+            """Read persisted survivors; a zero-survivor batch may have
+            written no parquet files at all."""
+            data_dir = os.path.join(survivors_out, "data")
+            files = (
+                sorted(
+                    os.path.join(data_dir, f)
+                    for f in os.listdir(data_dir)
+                    if f.endswith(".parquet")
+                )
+                if os.path.isdir(data_dir)
+                else []
+            )
+            empty = pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 text_col: pa.array([], pa.string())}
+            )
+            if not files:
+                return ray.data.from_arrow(empty)
+            d = ray.data.read_parquet(files)
+            names = set(d.schema().names or ())
+            if not {id_col, text_col} <= names:  # schema-less 0-row write
+                return ray.data.from_arrow(empty)
+            return d.select_columns([id_col, text_col])
+
+        marker = (
+            os.path.join(survivors_out, "_SUCCESS") if survivors_out else None
+        )
+        if marker and os.path.exists(marker):
+            surv = read_out()
+            self._extend_from_texts(surv, text_col, id_col)
+            return surv
 
         def project(b: pa.Table) -> pa.Table:
             h1 = poly_hash_array(b.column(text_col))
@@ -167,9 +214,31 @@ class IncrementalDeduper:
             .map_groups(min_id_and_probe, batch_format="pandas")
         ).materialize()
 
-        # extend the index: touched partitions only, driver-side
-        # (survivor hashes are the batch's distinct-new set — bounded
-        # by the batch, not the corpus)
+        result = recover_rows_by_id(
+            ds,
+            survivors.select_columns([id_col]),
+            id_col,
+            [id_col, text_col],
+            broadcast_limit,
+            join_partitions,
+        )
+        if survivors_out:
+            # phase 1: persist survivors, THEN the marker, THEN (phase 2)
+            # extend the index — a crash at any point either replays from
+            # scratch (no marker, this batch never extended the index) or
+            # finds the marker and re-extends idempotently
+            data_dir = os.path.join(survivors_out, "data")
+            if os.path.isdir(data_dir):  # partial earlier attempt
+                import shutil
+
+                shutil.rmtree(data_dir)
+            result.write_parquet(data_dir)
+            with open(marker, "w") as f:
+                f.write("ok")
+
+        # phase 2 — extend the index: touched partitions only,
+        # driver-side (survivor hashes are the batch's distinct-new set —
+        # bounded by the batch, not the corpus)
         for b in survivors.select_columns(["_pk", "_h1", "_h2"]).iter_batches(
             batch_format="pyarrow"
         ):
@@ -180,11 +249,38 @@ class IncrementalDeduper:
                 m = pk == part
                 self.index.append_part(int(part), h1[m], h2[m])
 
-        return recover_rows_by_id(
-            ds,
-            survivors.select_columns([id_col]),
-            id_col,
-            [id_col, text_col],
-            broadcast_limit,
-            join_partitions,
-        )
+        if survivors_out:
+            return read_out()
+        return result
+
+    def _extend_from_texts(self, docs, text_col: str, id_col: str) -> None:
+        """Replay path: re-hash persisted survivors and union their
+        (h1, h2) pairs into the index (append_part dedupes)."""
+        num_parts = self.index.num_parts
+
+        def project(b: pa.Table) -> pa.Table:
+            h1 = poly_hash_array(b.column(text_col))
+            h2 = poly_hash_array(b.column(text_col), base=POLY_B2)
+            return pa.table(
+                {
+                    "_h1": pa.array(h1.view(np.int64)),
+                    "_h2": pa.array(h2.view(np.int64)),
+                    "_pk": pa.array((h1 % np.uint64(num_parts)).astype(np.int64)),
+                }
+            )
+
+        hashed = docs.map_batches(project, batch_format="pyarrow")
+        acc: dict[int, list] = {}
+        for b in hashed.iter_batches(batch_format="pyarrow"):
+            pk = b.column("_pk").to_numpy(zero_copy_only=False)
+            h1 = b.column("_h1").to_numpy(zero_copy_only=False).view(np.uint64)
+            h2 = b.column("_h2").to_numpy(zero_copy_only=False).view(np.uint64)
+            for part in np.unique(pk):
+                m = pk == part
+                acc.setdefault(int(part), []).append((h1[m], h2[m]))
+        for part in sorted(acc):
+            self.index.append_part(
+                part,
+                np.concatenate([a for a, _ in acc[part]]),
+                np.concatenate([b for _, b in acc[part]]),
+            )

@@ -14,9 +14,14 @@ is DROPPED iff
   (b) a SMALLER-id batch document qualifies the same way against it
       (the greedy "drop any doc with an earlier match" rule — partner
       fate does not matter, so the rule needs no transitive closure).
-Survivors extend the index; re-adding the same batch yields zero
-survivors (every signature is now present) — idempotent replay, the
-engine's batch contract.
+Survivors extend the index. Replay contract: with ``survivors_out``
+set, ``add`` persists survivors and a ``_SUCCESS`` marker BEFORE
+extending the index, so a crash anywhere replays to the identical
+result with zero document loss. Without it, re-adding a batch whose
+survivors were durably consumed yields zero new survivors (every
+signature is present) — but a crash between the eager index extension
+and the caller persisting the output would strand those documents, so
+crash-sensitive ingestion should pass ``survivors_out``.
 
 Design (the CDC lake pattern applied to LSH state):
 - The accepted-corpus state is a BAND INDEX: for each of ``bands``
@@ -159,12 +164,56 @@ class IncrementalNearDeduper:
         ds,
         bucket_cap: int = 20_000,
         broadcast_limit: int = 5_000_000,
+        survivors_out: str | None = None,
     ):
+        """``survivors_out`` (optional) enables the crash-safe two-phase
+        protocol: survivors are persisted to that directory and a
+        ``_SUCCESS`` marker committed BEFORE the index is extended. A
+        replayed ``add`` that finds the marker skips recompute, re-extends
+        the index from the persisted survivors (the partition union is
+        idempotent) and returns them — so a crash at ANY point loses no
+        documents. Without it, the caller must durably consume the
+        returned survivors before trusting replay: the index is extended
+        eagerly, so a crash after ``add`` returns but before the output
+        is persisted leaves the batch's hashes blocking a re-add."""
         import ray
 
         p = self.p
         num_parts, bands, n_perm = p["num_parts"], p["bands"], p["n_perm"]
         index_root, min_equal = self.index.root, self.min_equal
+
+        def read_out() -> "ray.data.Dataset":
+            """Read persisted survivors; a zero-survivor batch may have
+            written no parquet files at all."""
+            data_dir = os.path.join(survivors_out, "data")
+            files = (
+                sorted(
+                    os.path.join(data_dir, f)
+                    for f in os.listdir(data_dir)
+                    if f.endswith(".parquet")
+                )
+                if os.path.isdir(data_dir)
+                else []
+            )
+            empty = pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string())}
+            )
+            if not files:
+                return ray.data.from_arrow(empty)
+            d = ray.data.read_parquet(files)
+            names = set(d.schema().names or ())
+            if not {"doc_id", "text"} <= names:  # schema-less 0-row write
+                return ray.data.from_arrow(empty)
+            return d.select_columns(["doc_id", "text"])
+
+        marker = (
+            os.path.join(survivors_out, "_SUCCESS") if survivors_out else None
+        )
+        if marker and os.path.exists(marker):
+            surv = read_out()
+            self._extend_from_docs(surv)
+            return surv
 
         sig_ds = ds.map_batches(
             MinHashSignatures(n_perm=n_perm, k=p["k"], seed=p["seed"]),
@@ -173,6 +222,7 @@ class IncrementalNearDeduper:
         ).materialize()
 
         # (b) within-batch: doc_b of every qualifying pair (doc_a < doc_b)
+        # — fed the materialized signatures so the batch is signed ONCE
         within = minhash_lsh_pairs(
             ds,
             n_perm=n_perm,
@@ -180,6 +230,7 @@ class IncrementalNearDeduper:
             k=p["k"],
             jaccard_threshold=p["jaccard_threshold"],
             seed=p["seed"],
+            sig_ds=sig_ds,
         )
         within_drop = {
             i
@@ -191,32 +242,7 @@ class IncrementalNearDeduper:
 
         # (a) cross-corpus probe: explode band rows, group by index
         # partition, binary-search + lane-compare in-task
-        def explode(b: pa.Table) -> pa.Table:
-            sigs = _sig_matrix(b.column("sig"))
-            n = len(b)
-            if n == 0:
-                return pa.table(
-                    {
-                        "_pk": pa.array([], pa.int64()),
-                        "_bh": pa.array([], pa.int64()),
-                        "doc_id": pa.array([], pa.int64()),
-                        "sig": pa.array([], pa.large_binary()),
-                    }
-                )
-            bh = band_hashes(sigs, bands)  # (n, bands) uint64
-            pk = (
-                np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(num_parts)
-                + bh % np.uint64(num_parts)
-            ).ravel()
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "_pk": pa.array(pk.astype(np.int64)),
-                    "_bh": pa.array(bh.ravel().view(np.int64)),
-                    "doc_id": pa.array(np.repeat(ids, bands)),
-                    "sig": _sig_to_binary(np.repeat(sigs, bands, axis=0)),
-                }
-            )
+        explode = self._explode_fn()
 
         def probe(g: pa.Table) -> pa.Table:
             pk = int(g.column("_pk")[0].as_py())
@@ -277,14 +303,71 @@ class IncrementalNearDeduper:
             ids = b.column("doc_id").to_numpy(zero_copy_only=False)
             return b.filter(pa.array(~np.isin(ids, d)))
 
-        # accumulate the batch's survivor band rows first, then ONE
-        # append per touched partition — appending per iterated
-        # mini-batch degenerates into O(batches × partitions) full
-        # file rewrites (measured 17k appends / 63 s at 2.5k docs)
         surv_bands = band_rows.map_batches(keep_rows, batch_format="pyarrow")
+        survivors = ds.map_batches(keep_rows, batch_format="pyarrow").select_columns(
+            ["doc_id", "text"]
+        )
+        if survivors_out:
+            # phase 1: persist survivors, THEN commit the marker, THEN
+            # (phase 2) extend the index — a crash at any point either
+            # replays from scratch (no marker, index untouched by this
+            # batch... the extension hasn't run) or finds the marker and
+            # re-extends idempotently from the persisted survivors
+            data_dir = os.path.join(survivors_out, "data")
+            if os.path.isdir(data_dir):  # partial earlier attempt
+                import shutil
+
+                shutil.rmtree(data_dir)
+            survivors.write_parquet(data_dir)
+            with open(marker, "w") as f:
+                f.write("ok")
+        self._extend_from_band_rows(surv_bands)
+        if survivors_out:
+            return read_out()
+        return survivors
+
+    def _explode_fn(self):
+        """Batch transform: signature rows → per-band (index partition,
+        band hash, doc_id, sig) rows."""
+        num_parts, bands = self.p["num_parts"], self.p["bands"]
+
+        def explode(b: pa.Table) -> pa.Table:
+            sigs = _sig_matrix(b.column("sig"))
+            n = len(b)
+            if n == 0:
+                return pa.table(
+                    {
+                        "_pk": pa.array([], pa.int64()),
+                        "_bh": pa.array([], pa.int64()),
+                        "doc_id": pa.array([], pa.int64()),
+                        "sig": pa.array([], pa.large_binary()),
+                    }
+                )
+            bh = band_hashes(sigs, bands)  # (n, bands) uint64
+            pk = (
+                np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(num_parts)
+                + bh % np.uint64(num_parts)
+            ).ravel()
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "_pk": pa.array(pk.astype(np.int64)),
+                    "_bh": pa.array(bh.ravel().view(np.int64)),
+                    "doc_id": pa.array(np.repeat(ids, bands)),
+                    "sig": _sig_to_binary(np.repeat(sigs, bands, axis=0)),
+                }
+            )
+
+        return explode
+
+    def _extend_from_band_rows(self, band_rows) -> None:
+        """Accumulate band rows per touched partition first, then ONE
+        union-append per partition — appending per iterated mini-batch
+        degenerates into O(batches × partitions) full file rewrites
+        (measured 17k appends / 63 s at 2.5k docs)."""
         acc_bh: dict[int, list] = {}
         acc_sig: dict[int, list] = {}
-        for b in surv_bands.iter_batches(batch_format="pyarrow", batch_size=None):
+        for b in band_rows.iter_batches(batch_format="pyarrow", batch_size=None):
             pk = b.column("_pk").to_numpy(zero_copy_only=False)
             bh = b.column("_bh").to_numpy(zero_copy_only=False).view(np.uint64)
             sig = _sig_matrix(b.column("sig"))
@@ -297,6 +380,15 @@ class IncrementalNearDeduper:
                 part, np.concatenate(acc_bh[part]), np.vstack(acc_sig[part])
             )
 
-        return ds.map_batches(keep_rows, batch_format="pyarrow").select_columns(
-            ["doc_id", "text"]
+    def _extend_from_docs(self, docs) -> None:
+        """Replay path: re-sign persisted survivors (same stamped
+        parameters) and union their band rows into the index."""
+        p = self.p
+        sig_ds = docs.map_batches(
+            MinHashSignatures(n_perm=p["n_perm"], k=p["k"], seed=p["seed"]),
+            batch_format="pyarrow",
+            batch_size=1024,
+        )
+        self._extend_from_band_rows(
+            sig_ds.map_batches(self._explode_fn(), batch_format="pyarrow")
         )

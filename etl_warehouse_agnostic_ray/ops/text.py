@@ -367,9 +367,11 @@ def gopher_sql(
     stop_list = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
     return f"""
 WITH tk AS (
-  SELECT {id_col}, text,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  -- coalesce mirrors gopher_rules' fill_null(text, ''): a NULL text row
+  -- must score n_words=0 / gopher_pass=false, not NULL/NULL
+  SELECT {id_col}, coalesce(text, '') AS text,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+') END AS toks
   FROM {doc_src}
 ),
 w AS (
@@ -389,7 +391,7 @@ l AS (
   SELECT {id_col}, count(*)::BIGINT AS n_lines,
          sum(CASE WHEN regexp_matches(line, '^[-*•]') THEN 1 ELSE 0 END) AS bullets,
          sum(CASE WHEN regexp_matches(line, '(\\.\\.\\.|…)$') THEN 1 ELSE 0 END) AS ells
-  FROM (SELECT {id_col}, unnest(string_split(text, chr(10))) AS line FROM {doc_src})
+  FROM (SELECT {id_col}, unnest(string_split(coalesce(text, ''), chr(10))) AS line FROM {doc_src})
   GROUP BY {id_col}
 ),
 j AS (

@@ -224,7 +224,10 @@ def test_delta_crash_before_manifest_leaves_old_version_live(lake_with_data):
 
 def test_delta_count_verification_refuses_corrupt_commit(lake_with_data):
     """A truncated/corrupt delta side file must fail the pre-flip count
-    verification — the pointer never advances over bad bytes."""
+    verification — the pointer never advances over bad bytes. Default
+    commits verify only files INTRODUCED by the commit (carried-forward
+    entries were verified when introduced — O(delta), not O(P)); the
+    ``verify_all=True`` scrub re-checks every listed file."""
     eng = CDCEngine(
         lake_with_data.lake.root,
         num_partitions=4,
@@ -234,7 +237,28 @@ def test_delta_count_verification_refuses_corrupt_commit(lake_with_data):
     eng.apply(_small_delta(lake_with_data, 20_000), batch_id="d-ok", mode="delta")
     m = eng.lake.load_manifest()
     v_before = m["version"]
-    # corrupt one live delta file, then attempt a commit referencing it
+    # (1) default path: a NEW dent whose file is corrupt must refuse
+    parts_new = {int(p): dict(e) for p, e in m["partitions"].items()}
+    pid, ent_new = next(
+        (p, e) for p, e in parts_new.items() if e.get("deltas")
+    )
+    good = ent_new["deltas"][0]
+    bad_rel = good["file"] + ".bad.parquet"
+    with open(os.path.join(eng.lake.root, bad_rel), "wb") as f:
+        f.write(b"not parquet")
+    ent_new["deltas"] = list(ent_new["deltas"]) + [dict(good, file=bad_rel)]
+    with pytest.raises(Exception):
+        eng.lake.commit(
+            parts_new,
+            batch_id="bad-new-dent",
+            applied_lsn=m["applied_lsn"],
+            schema_ops=m["schema_ops"],
+            num_partitions=m["num_partitions"],
+            expected_parent=v_before,
+        )
+    assert eng.lake.current_version() == v_before  # pointer untouched
+    # (2) scrub path: corrupt a CARRIED-FORWARD delta; default commit
+    # skips it (verified at introduction), verify_all=True refuses
     ent = next(e for e in m["partitions"].values() if e.get("deltas"))
     victim = os.path.join(eng.lake.root, ent["deltas"][0]["file"])
     with open(victim, "wb") as f:
@@ -247,5 +271,6 @@ def test_delta_count_verification_refuses_corrupt_commit(lake_with_data):
             schema_ops=m["schema_ops"],
             num_partitions=m["num_partitions"],
             expected_parent=v_before,
+            verify_all=True,
         )
     assert eng.lake.current_version() == v_before  # pointer untouched

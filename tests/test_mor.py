@@ -302,3 +302,64 @@ def test_lookup_many_batches_keys_per_partition(fixture_dir, tmp_path):
     for u in urls[:5]:
         assert by_url[u]["text"] == f"v10000-{u}"
     assert eng.lake.lookup_many([]).num_rows == 0
+
+
+def test_routing_hash_contract_not_laundered(fixture_dir, tmp_path):
+    """The routing-hash stamp is a persisted-layout contract. A lake laid
+    out by a different (or legacy-unstamped) hash must refuse hash-routed
+    operations — apply AND point lookups — and incremental commits
+    (compaction folds, delta appends) must carry the parent's stamp
+    forward VERBATIM rather than silently upgrading it, which would let
+    the next apply() route deltas into wrong partitions and accumulate
+    duplicate keys."""
+    import json
+
+    eng = CDCEngine(
+        str(tmp_path / "lake"), num_partitions=8,
+        delta_max_files=64, delta_max_ratio=1e9,
+    )
+    eng.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    urls = eng.to_arrow().column("url").to_pylist()[:2]
+    eng.apply(_delta_tbl(10_000, urls), batch_id="d1", mode="delta")
+    # simulate a lake bootstrapped under an older routing hash
+    mpath = eng.lake.manifest_path(eng.lake.current_version())
+    m = json.load(open(mpath))
+    m["routing_hash"] = "legacy-v0"
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(RuntimeError, match="routing hash"):
+        eng.lake.lookup(urls[0])
+    with pytest.raises(RuntimeError, match="routing hash"):
+        eng.lake.lookup_many(urls)
+    with pytest.raises(RuntimeError, match="routing hash"):
+        eng.apply(_delta_tbl(20_000, urls), batch_id="d2")
+    # compaction (folds the delta stack, no re-routing) must succeed but
+    # must NOT launder the stamp back to current
+    eng.compact()
+    assert eng.lake.load_manifest()["routing_hash"] == "legacy-v0"
+    with pytest.raises(RuntimeError, match="routing hash"):
+        eng.apply(_delta_tbl(30_000, urls), batch_id="d3")
+    # a layout-creating commit re-routes and re-stamps: apply works again
+    eng2 = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+    eng2.full_refresh(os.path.join(fixture_dir, "pages.parquet"))
+    assert eng2.apply(_delta_tbl(40_000, urls), batch_id="d4")["skipped"] is False
+
+
+def test_stats_sees_delta_tombstones(fixture_dir, tmp_path):
+    """A delete-heavy merge-on-read WAL must move the manifest health
+    metrics (tombstones, completeness) the same direction cow mode
+    would — delta side files carry rows/live_rows/bytes of their own."""
+    eng = CDCEngine(
+        str(tmp_path / "lake"), num_partitions=8,
+        delta_max_files=64, delta_max_ratio=1e9,
+    )
+    eng.bootstrap(os.path.join(fixture_dir, "pages.parquet"))
+    base = eng.lake.stats()
+    assert base["tombstones"] == 0 and base["delta_bytes"] == 0
+    urls = eng.to_arrow().column("url").to_pylist()[:20]
+    eng.apply(_delta_tbl(10_000, urls, op="delete"), batch_id="del", mode="delta")
+    s = eng.lake.stats()
+    assert s["delta_files"] > 0
+    assert s["tombstones"] >= len(urls)  # the delta deletes are visible
+    assert s["completeness_ratio"] < 1.0
+    assert s["delta_bytes"] > 0 and s["bytes"] > base["bytes"]

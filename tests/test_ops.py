@@ -1,5 +1,7 @@
 """Training-data ops over /root/testdata documents + embeddings."""
 
+import os
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -1948,3 +1950,184 @@ class TestGroupedHLL:
         )
         with _pytest.raises(RuntimeError, match="distinct groups"):
             hll_registers_grouped(rd.from_arrow(t), "g", "v", max_groups=10)
+
+
+class TestIncrementalCrashSafety:
+    """The two-phase ``survivors_out`` protocol: survivors + marker land
+    BEFORE the index extends, so a crash in ANY window replays to the
+    identical survivor set with zero document loss (the failure mode
+    without it: index extended, output never persisted → those documents
+    are blocked forever on retry)."""
+
+    def test_exact_dedup_crash_between_marker_and_extend(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops import incdedup
+
+        d = incdedup.IncrementalDeduper(str(tmp_path / "idx"), num_parts=4)
+        out = str(tmp_path / "surv1")
+        os.makedirs(out, exist_ok=True)
+        b = pa.table({"doc_id": [1, 2, 3], "text": ["a", "b", "a"]})
+
+        def boom(self, part, h1, h2):
+            raise RuntimeError("injected crash")
+
+        monkeypatch.setattr(incdedup.HashIndex, "append_part", boom)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            d.add(rd.from_arrow(b), survivors_out=out)
+        monkeypatch.undo()
+        # marker committed before the crash; index never extended
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        assert d.index.count() == 0
+        # replay: full survivor set back, index now extended
+        got = d.add(rd.from_arrow(b), survivors_out=out).to_pandas()
+        assert sorted(got["doc_id"].tolist()) == [1, 2]
+        assert d.index.count() == 2
+        # and the recovered index dedups the next batch
+        b2 = pa.table({"doc_id": [10, 11], "text": ["b", "z"]})
+        got2 = d.add(
+            rd.from_arrow(b2), survivors_out=str(tmp_path / "surv2")
+        ).to_pandas()
+        assert got2["doc_id"].tolist() == [11]
+        # zero-survivor batch through the persisted path (no parquet
+        # files may be written at all — the read-back must not choke and
+        # must keep the (doc_id, text) schema)
+        got3 = d.add(rd.from_arrow(b2), survivors_out=str(tmp_path / "surv3"))
+        assert got3.count() == 0
+        assert set(got3.schema().names) == {"doc_id", "text"}
+
+    def test_neardup_crash_between_marker_and_extend(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops import incneardup
+
+        def docs(rows):
+            return pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+
+        base = " ".join(f"word{i}" for i in range(120))
+        near = base.replace("word119", "changed")
+        dd = incneardup.IncrementalNearDeduper(str(tmp_path / "idx"), num_parts=4)
+        out = str(tmp_path / "surv1")
+        os.makedirs(out, exist_ok=True)
+
+        def boom(self, pk, bh, sig):
+            raise RuntimeError("injected crash")
+
+        monkeypatch.setattr(incneardup.BandIndex, "append_part", boom)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            dd.add(rd.from_arrow(docs([(0, base)])), survivors_out=out)
+        monkeypatch.undo()
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        assert dd.index.count() == 0
+        kept = dd.add(rd.from_arrow(docs([(0, base)])), survivors_out=out)
+        assert [
+            i
+            for t in kept.iter_batches(batch_format="pyarrow")
+            for i in t.column("doc_id").to_pylist()
+        ] == [0]
+        assert dd.index.count() > 0
+        # the recovered index near-dup-filters the next drop
+        second = dd.add(
+            rd.from_arrow(docs([(10, near), (11, "fresh unseen text " * 20)])),
+            survivors_out=str(tmp_path / "surv2"),
+        )
+        assert sorted(
+            i
+            for t in second.iter_batches(batch_format="pyarrow")
+            for i in t.column("doc_id").to_pylist()
+        ) == [11]
+
+
+class TestEmbeddingMixedDims:
+    def test_mixed_dim_corpus_pairs_exact(self, ray_session):
+        """Different-dim vectors can share a 12-bit bucket int (plane
+        sets differ, values collide) and WILL share coarse groups — the
+        pairing task must split by dim, never flat-reshape ragged blobs
+        (which crashes when counts don't divide and silently misaligns
+        every vector when they do)."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(7)
+        ids8, vecs8, ids16, vecs16 = [], [], [], []
+        for i in range(20):
+            v = rng.standard_normal(8)
+            ids8 += [2 * i, 2 * i + 1]
+            vecs8 += [v, v * (1.0 + 0.001 * rng.random())]
+            w = rng.standard_normal(16)
+            ids16 += [100 + 2 * i, 100 + 2 * i + 1]
+            vecs16 += [w, w * (1.0 + 0.001 * rng.random())]
+        t8 = pa.table(
+            {"vec_id": pa.array(ids8, pa.int64()),
+             "embedding": pa.array([list(v) for v in vecs8], pa.list_(pa.float64()))}
+        )
+        t16 = pa.table(
+            {"vec_id": pa.array(ids16, pa.int64()),
+             "embedding": pa.array([list(v) for v in vecs16], pa.list_(pa.float64()))}
+        )
+        got = embedding_neardup_pairs(
+            rd.from_arrow(t8).union(rd.from_arrow(t16)), threshold=0.99
+        ).to_pandas()
+        got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+        # brute-force oracle per dim
+        want = set()
+        for ids, vecs in ((ids8, vecs8), (ids16, vecs16)):
+            V = np.asarray(vecs)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            C = V @ V.T
+            n = len(ids)
+            for a in range(n):
+                for b in range(a + 1, n):
+                    if C[a, b] >= 0.99:
+                        want.add((min(ids[a], ids[b]), max(ids[a], ids[b])))
+        # sign-LSH recall: colinear pairs always collide; incidental
+        # high-cosine pairs may or may not — but everything EMITTED must
+        # be a real ≥-threshold within-dim pair, and all 40 engineered
+        # colinear pairs must be found
+        assert got_pairs <= want
+        engineered = {(2 * i, 2 * i + 1) for i in range(20)} | {
+            (100 + 2 * i, 100 + 2 * i + 1) for i in range(20)
+        }
+        assert engineered <= got_pairs
+
+
+class TestGopherNullText:
+    def test_null_text_matches_sql_twin(self):
+        """NULL text must score n_words=0 / gopher_pass=false in BOTH
+        the Arrow kernel and the DuckDB twin (the twin previously
+        propagated NULL through trim → NULL/NULL row mismatch)."""
+        import duckdb
+
+        from etl_warehouse_agnostic_ray.ops.text import gopher_rules, gopher_sql
+
+        corpus = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["The cat and the hat sat with that.", None, ""],
+            }
+        )
+        got = (
+            gopher_rules(corpus, min_words=3, max_words=100)
+            .drop_columns(["text"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", corpus)
+        want = (
+            con.execute(gopher_sql("documents", 3, 100))
+            .fetchdf()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert got.loc[1, "n_words"] == 0 and not got.loc[1, "gopher_pass"]
