@@ -62,6 +62,11 @@ _SAMPLE_BYTES = 8
 # different id (the fix is a full_refresh / re-bootstrap, which re-routes).
 ROUTING_HASH_VERSION = "sample8-splitmix64-v2"
 
+# duplicate-batch guard window: manifests keep only the most recent ids
+# (the applied-LSN high-water mark backstops anything older — see
+# commit()); bounds per-manifest bytes for long-running followers
+BATCH_ID_WINDOW = 10_000
+
 
 def partition_ids(urls, num_partitions: int):
     """Vectorized url -> partition id in [0, num_partitions).
@@ -274,6 +279,7 @@ class LakeTable:
         reset_batch_ids: bool = False,
         expected_parent: int | None = None,
         verify_all: bool = False,
+        statless_drained: list[str] | None = None,
     ) -> dict:
         """``reset_batch_ids=True`` starts a fresh duplicate-batch
         namespace — used by watermark-resetting commits (bootstrap /
@@ -298,9 +304,27 @@ class LakeTable:
         applied_batch_ids = (
             [] if reset_batch_ids else (list(prev["applied_batch_ids"]) if prev else [])
         )
-        if batch_id in applied_batch_ids:
+        if batch_id in set(applied_batch_ids):
             raise ValueError(f"batch {batch_id!r} already committed")  # guard; callers skip earlier
         applied_batch_ids.append(batch_id)
+        # the ledger is a sliding window, not an unbounded log: a
+        # follow() daemon committing millions of micro-batches would
+        # otherwise rewrite an ever-growing id list in EVERY manifest
+        # (O(N²) cumulative manifest bytes). Replays older than the
+        # window are still safe — their events are ≤ the applied-LSN
+        # high-water mark and drain to "no new events".
+        if len(applied_batch_ids) > BATCH_ID_WINDOW:
+            applied_batch_ids = applied_batch_ids[-BATCH_ID_WINDOW:]
+        # ledger of stat-less WAL files fully drained by committed
+        # applies (basename|size tokens, see CDCEngine.apply): carried
+        # forward unless the caller supplies an updated list; reset by
+        # layout-creating commits along with the batch-id namespace
+        if statless_drained is None:
+            statless_drained = (
+                [] if reset_batch_ids else list((prev or {}).get("statless_drained", ()))
+            )
+        if len(statless_drained) > BATCH_ID_WINDOW:
+            statless_drained = statless_drained[-BATCH_ID_WINDOW:]
         # count verification before the pointer flips (reference:
         # extractors/repsly/extractor.py:741-752): every file THIS commit
         # introduces (or whose recorded count changed) must exist with the
@@ -361,6 +385,7 @@ class LakeTable:
             "num_partitions": num_partitions,
             "applied_lsn": int(applied_lsn),
             "applied_batch_ids": applied_batch_ids,
+            "statless_drained": statless_drained,
             "schema_ops": schema_ops,
             "partitions": {str(pid): ent for pid, ent in sorted(partitions.items())},
             "stats": stats or {},
@@ -464,21 +489,11 @@ class LakeTable:
         mor = {p: e for p, e in sel.items() if e.get("deltas")}
 
         def conform(batch: pa.Table) -> pa.Table:
-            reg = SchemaRegistry.from_dict(reg_ops)
-            # tombstones (delete winners, see stages/lww.py) are physical
-            # rows but not part of the logical table
-            if OP_COL in batch.column_names:
-                import pyarrow.compute as pc
-
-                batch = batch.filter(
-                    pc.not_equal(batch.column(OP_COL), pa.scalar("delete"))
-                )
-            extras = [c for c in (LSN_COL, PID_COL, OP_COL) if c in batch.column_names]
-            out = reg.conform(batch.drop(extras), columns=columns)
-            if include_lineage:
-                for c in extras:
-                    out = out.append_column(c, batch.column(c))
-            return out
+            # same tombstone-filter + conform + lineage semantics as the
+            # mor read path — one implementation, not two that can drift
+            return _logical_view(
+                batch, SchemaRegistry.from_dict(reg_ops), include_lineage, columns
+            )
 
         ds = None
         if plain:
@@ -518,7 +533,20 @@ class LakeTable:
             )
             ds = d if ds is None else ds.union(d)
         if ds is None:
-            raise FileNotFoundError(f"no data files in {self.root}")
+            # a COMMITTED empty lake (init_empty, or a pids filter that
+            # matches nothing) is a legitimate empty table, not an error
+            # — mirror to_arrow()'s typed empty result so callers can
+            # tell "empty" from "missing/corrupt" (which raised above)
+            reg = SchemaRegistry.from_dict(reg_ops)
+            empty = reg.conform(pa.table({}), columns=columns)
+            if include_lineage:  # keep the lineage schema stable too
+                for c, typ in (
+                    (LSN_COL, pa.int64()),
+                    (PID_COL, pa.int64()),
+                    (OP_COL, pa.string()),
+                ):
+                    empty = empty.append_column(c, pa.array([], typ))
+            return rd.from_arrow(empty)
         return ds
 
     def to_arrow(

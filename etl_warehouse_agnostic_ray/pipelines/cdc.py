@@ -172,6 +172,17 @@ class CDCEngine:
                 "partitions. Re-bootstrap or full_refresh() the lake to "
                 "re-route it."
             )
+        # validate mode BEFORE any early return — an operator's typo'd
+        # mode on a quiet/duplicate batch must fail loud, not be masked
+        # by a {"skipped": True} result
+        if mode == "auto":
+            # the per-partition bounds already make "delta" self-tuning:
+            # small batches append, big/overflowing partitions fold
+            mode = "delta"
+        if mode not in ("cow", "delta"):
+            raise ValueError(
+                f"apply mode must be 'cow', 'delta' or 'auto', got {mode!r}"
+            )
         if batch_id is None:
             batch_id = f"batch-{uuid.uuid4().hex[:12]}"
         if batch_id in manifest["applied_batch_ids"]:
@@ -184,6 +195,45 @@ class CDCEngine:
         # many-file micro-batches cut ~3x ---
         stream_files = self._resolve_stream_files(stream)
         footstats = self._scan_footers(stream_files) if stream_files is not None else None
+        if stream_files is None and not isinstance(stream, pa.Table):
+            # a Dataset stream (e.g. a transformed upstream pipeline) is
+            # consumed by up to four passes below (schema scan, key
+            # discovery, max-lsn, merge) — pin its blocks ONCE in the
+            # object store instead of re-executing the upstream per pass.
+            # Path streams don't need this: footers serve the first three.
+            stream = stream.materialize()
+
+        # --- stat-less file retirement. A WAL file without lsn footer
+        # statistics can never pass the cursor test (its range is
+        # unknown), so every drain re-includes it: without a ledger it
+        # would be re-scanned forever AND its full num_rows would keep
+        # arming the big-delta shortcut (forcing whole-table cow merges
+        # on 10-row incremental batches). The manifest records
+        # basename|size tokens of stat-less files drained by a COMMITTED
+        # apply; later applies drop them from the footer set and the
+        # read list. (A stat-less file whose events were all already
+        # below the cursor at first sight never commits and is
+        # re-scanned on each drain — rare, and merely wasteful.) ---
+        drained_statless = set(manifest.get("statless_drained", ()))
+        statless_tokens: list[str] = []
+        if footstats is not None:
+            kept = []
+            for f in footstats:
+                if f["lsn_max"] is None:
+                    tok = f"{os.path.basename(f['path'])}|{os.path.getsize(f['path'])}"
+                    if tok in drained_statless:
+                        continue
+                    statless_tokens.append(tok)
+                kept.append(f)
+            if len(kept) < len(footstats):
+                footstats = kept
+                if not footstats:
+                    return {
+                        "skipped": True,
+                        "reason": "no new events",
+                        "batch_id": batch_id,
+                    }
+                stream = [f["path"] for f in footstats]
 
         # --- schema-change ops: tiny pushdown read, driver-side registry ---
         reg = SchemaRegistry.from_dict(manifest["schema_ops"])
@@ -297,14 +347,6 @@ class CDCEngine:
         # deltas always fold: the former so schema epochs don't stack
         # unboundedly, the latter because a table-sized delta rewrites
         # everything anyway. ---
-        if mode == "auto":
-            # the per-partition bounds already make "delta" self-tuning:
-            # small batches append, big/overflowing partitions fold
-            mode = "delta"
-        if mode not in ("cow", "delta"):
-            raise ValueError(
-                f"apply mode must be 'cow', 'delta' or 'auto', got {mode!r}"
-            )
         delta_pids: set[int] = set()
         if mode == "delta" and big_delta_rows is None and not schema_rows:
             for pid in affected:
@@ -449,6 +491,11 @@ class CDCEngine:
             schema_ops=schema_ops,
             num_partitions=P,
             expected_parent=manifest["version"],
+            statless_drained=(
+                sorted(drained_statless | set(statless_tokens))
+                if statless_tokens
+                else None
+            ),
             stats={
                 "events_applied": delta_rows,
                 "schema_ops_applied": len(schema_rows),
@@ -775,12 +822,10 @@ class CDCEngine:
         the consumer's projection). Returns a conformed Dataset; empty
         typed Dataset when nothing changed."""
         changed = self.lake.changed_partition_ids(version)
-        if not changed:
-            import ray.data as rd
-
-            m = self.lake.load_manifest()
-            reg = SchemaRegistry.from_dict(m["schema_ops"])
-            return rd.from_arrow(reg.conform(pa.table({}), columns=columns))
+        # empty feed: lake.dataset() with a no-match pids filter returns
+        # the typed empty Dataset, with the SAME lineage columns the
+        # non-empty path carries — a quiet-cycle consumer projecting
+        # ["url", "_lsn"] must not hit a schema that dropped them
         return self.lake.dataset(
             include_lineage=include_lineage, pids=changed, columns=columns
         )

@@ -95,6 +95,19 @@ class ChangeStreamSource:
             for f, lo, hi in self.file_lsn_ranges()
             if hi is None or hi > cursor
         ]
+        # order by FOOTER lsn, not filename: a producer writing
+        # events-2 … events-10 (no zero-padding) lists events-10 first
+        # lexicographically; chunking in name order would apply the
+        # high-LSN slice first, advance the applied-LSN cursor past the
+        # low slices, and the HWM filter would then drop their events
+        # permanently. Stat-less files (lo is None) sort LAST for the
+        # same reason — their range is unknown, and applying one early
+        # could advance the cursor past the known-range chunks behind
+        # it; applied last, the cursor only moves past ranges already
+        # drained this cycle.
+        pending.sort(
+            key=lambda t: (t[1] is None, t[1] if t[1] is not None else 0, t[0])
+        )
         for i in range(0, len(pending), max_files):
             chunk = pending[i : i + max_files]
             parts = sorted(

@@ -294,3 +294,123 @@ class TestTenants:
         # tenant data spaces are disjoint directories
         assert (tmp_path / "tenants" / "ny" / "CURRENT").exists()
         assert (tmp_path / "tenants" / "nj" / "CURRENT").exists()
+
+
+class TestWalOrdering:
+    @staticmethod
+    def _ev(lsns, urls=None):
+        n = len(lsns)
+        urls = urls or [f"https://s.example/p{i}" for i in range(n)]
+        return pa.table(
+            {
+                "lsn": pa.array(lsns, pa.int64()),
+                "op": pa.array(["update"] * n, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(
+                    [dt.datetime(2030, 1, 1) + dt.timedelta(seconds=int(l)) for l in lsns],
+                    pa.timestamp("us"),
+                ),
+                "html": pa.array([b"<p>"] * n, pa.large_binary()),
+                "text": pa.array([f"t{l}" for l in lsns], pa.large_string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+            }
+        )
+
+    def test_batches_follow_footer_lsn_not_filename(self, tmp_path):
+        """A producer writing events-2 … events-10 without zero-padding
+        lists events-10 lexicographically before events-2; chunking in
+        NAME order would apply the high-LSN slice first, advance the
+        applied-LSN cursor, and permanently drop the low slices. Chunks
+        must come out in footer-LSN order regardless of names."""
+        d = str(tmp_path / "wal")
+        os.makedirs(d)
+        # file i covers lsn [i*100, i*100+9]; names NOT zero-padded
+        for i in range(1, 12):
+            pq.write_table(self._ev(list(range(i * 100, i * 100 + 10))),
+                           os.path.join(d, f"events-{i}.parquet"))
+        src = ChangeStreamSource(d)
+        chunks = list(src.batches(cursor=-1, max_files=1))
+        ranges = {f: (lo, hi) for f, lo, hi in src.file_lsn_ranges()}
+        los = [ranges[files[0]][0] for _, files in chunks]
+        assert los == sorted(los)  # LSN order, not events-1,10,11,2,...
+
+    def test_statless_files_chunk_last(self, tmp_path):
+        """A stat-less file's range is unknown: applying it EARLY could
+        advance the cursor past known-range chunks behind it. It must
+        land in the final chunk(s)."""
+        d = str(tmp_path / "wal")
+        os.makedirs(d)
+        pq.write_table(self._ev(list(range(100, 110))), os.path.join(d, "b.parquet"))
+        pq.write_table(self._ev(list(range(200, 210))),
+                       os.path.join(d, "a-nostat.parquet"), write_statistics=False)
+        src = ChangeStreamSource(d)
+        chunks = list(src.batches(cursor=-1, max_files=1))
+        assert [os.path.basename(fs[0]) for _, fs in chunks] == [
+            "b.parquet", "a-nostat.parquet"
+        ]
+
+    def test_unpadded_wal_drains_without_loss(self, tmp_path, ray_session):
+        """End-to-end: micro-batch drain of the unpadded WAL applies
+        EVERY event (pre-fix, name-order chunking lost the low slices
+        behind the cursor)."""
+        from etl_warehouse_agnostic_ray import CDCEngine
+
+        d = str(tmp_path / "wal")
+        os.makedirs(d)
+        all_urls = []
+        for i in range(1, 12):
+            urls = [f"https://s.example/f{i}-{j}" for j in range(10)]
+            all_urls += urls
+            pq.write_table(self._ev(list(range(i * 100, i * 100 + 10)), urls),
+                           os.path.join(d, f"events-{i}.parquet"))
+        eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+        eng.init_empty()
+        r = eng.apply_stream(d, max_files_per_batch=1)
+        assert eng.to_arrow().num_rows == len(all_urls)  # nothing dropped
+        assert eng.lake.load_manifest()["applied_lsn"] == 11 * 100 + 9
+
+
+class TestStatlessRetirement:
+    def test_statless_file_retired_after_commit(self, tmp_path, ray_session):
+        """A stat-less WAL file can never pass the cursor test, so
+        pre-ledger every drain re-scanned it AND its num_rows kept
+        arming the big-delta shortcut (whole-table cow on 10-row
+        batches). After a committed apply drains it, the manifest
+        ledger retires it: later applies skip it and small deltas take
+        the delta path."""
+        from etl_warehouse_agnostic_ray import CDCEngine
+
+        P = 8
+        mk = TestWalOrdering._ev
+        d = str(tmp_path / "wal")
+        os.makedirs(d)
+        # big stat-less slice: enough rows to arm big-delta (512*P)
+        n_big = 512 * P + 100
+        pq.write_table(
+            mk(list(range(1000, 1000 + n_big)),
+               [f"https://s.example/b{j}" for j in range(n_big)]),
+            os.path.join(d, "bulk-nostat.parquet"), write_statistics=False,
+        )
+        eng = CDCEngine(str(tmp_path / "lake"), num_partitions=P,
+                        delta_max_files=64, delta_max_ratio=1e9)
+        eng.init_empty()
+        r1 = eng.apply(d, batch_id="b1")
+        assert not r1["skipped"]
+        m = eng.lake.load_manifest()
+        assert any(t.startswith("bulk-nostat.parquet|") for t in m["statless_drained"])
+        # re-apply the same dir: the retired file is skipped entirely
+        r2 = eng.apply(d, batch_id="b2")
+        assert r2["skipped"] and r2["reason"] == "no new events"
+        # a small follow-up slice must take the DELTA path — pre-ledger,
+        # the stat-less file's rows re-armed big-delta and forced cow
+        pq.write_table(
+            mk(list(range(100000, 100010)),
+               [f"https://s.example/b{j}" for j in range(10)]),
+            os.path.join(d, "tail.parquet"),
+        )
+        r3 = eng.apply(d, batch_id="b3", mode="delta")
+        assert not r3["skipped"]
+        assert eng.lake.stats()["delta_files"] > 0  # delta path engaged
+        # logical state correct: every url's latest version wins
+        t = eng.lake.lookup("https://s.example/b0")
+        assert t.column("text")[0].as_py() == "t100000"
