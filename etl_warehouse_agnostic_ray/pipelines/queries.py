@@ -1152,9 +1152,12 @@ def q_asof_join_signup(sf_dir: str):
     per partition (no per-user Python). Partitioning assumption: all
     rows of a user fit one group — holds because per-key history is
     bounded; a whale key would need the salted pattern from the CDC
-    merge. Ties at equal ts count the signup as visible (<=)."""
-    import pandas as pd
+    merge. Ties at equal ts count the signup as visible (<=).
 
+    Output encoding matters for value-level parity: the result column
+    is emitted as a plain Arrow int64-with-nulls array (NOT a pandas
+    nullable ``Int64`` extension array, which hashes differently from
+    the oracle's int64-with-nulls under Arrow value hashing)."""
     rd = _rd()
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
@@ -1165,11 +1168,11 @@ def q_asof_join_signup(sf_dir: str):
             "pk", pc.bit_wise_and(b.column("user_id"), pa.scalar(255, pa.int64()))
         )
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        u = g["user_id"].to_numpy()
-        ts = g["ts"].to_numpy().view("int64")
-        eid = g["event_id"].to_numpy()
-        etype = g["event_type"].to_numpy()
+    def asof(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).view("int64")
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        etype = g.column("event_type").to_numpy(zero_copy_only=False)
         kind = (etype != "signup").astype(np.int8)  # signup sorts first on ties
         order = np.lexsort((eid, kind, ts, u))
         us, eids, ks, types = u[order], eid[order], kind[order], etype[order]
@@ -1189,15 +1192,19 @@ def q_asof_join_signup(sf_dir: str):
         src = np.clip(acc - base - 1, 0, None)
         asof_id = eids[src]
         m = types == "purchase"
-        signup_col = pd.arrays.IntegerArray(
-            np.where(has[m], asof_id[m], 0).astype(np.int64), mask=~has[m]
+        signup_col = pa.array(
+            np.where(has[m], asof_id[m], 0).astype(np.int64),
+            type=pa.int64(),
+            mask=~has[m],
         )  # mask=True → NULL (no prior signup), matching the SQL NULL
-        return pd.DataFrame({"event_id": eids[m], "signup_event_id": signup_col})
+        return pa.table(
+            {"event_id": pa.array(eids[m], pa.int64()), "signup_event_id": signup_col}
+        )
 
     return (
         ds.map_batches(add_pk, batch_format="pyarrow")
         .groupby("pk")
-        .map_groups(asof, batch_format="pandas")
+        .map_groups(asof, batch_format="pyarrow")
     )
 
 
@@ -1811,9 +1818,10 @@ SQL_GOLD_SEGMENT_SUMMARY = f"""
 WITH silver AS ({SQL_SILVER_ORDERS})
 SELECT order_year, value_tier,
        count(*) AS n_orders,
-       sum(CASE WHEN is_urgent THEN 1 ELSE 0 END) AS urgent_orders,
-       round(sum(total_price), 2) AS revenue,
-       round(round(sum(total_price), 2) / count(*), 2) AS avg_order_value
+       CAST(sum(CASE WHEN is_urgent THEN 1 ELSE 0 END) AS BIGINT) AS urgent_orders,
+       sum(CAST(round(total_price * 100) AS BIGINT)) / 100.0 AS revenue,
+       round(sum(CAST(round(total_price * 100) AS BIGINT)) / 100.0 / count(*), 2)
+         AS avg_order_value
 FROM silver GROUP BY order_year, value_tier
 """
 

@@ -219,13 +219,20 @@ def step_segment_rollup(ds):
     order count, urgent count, revenue. Group cardinality is tiny
     (years × tiers), so Ray's native map-side-combining aggregates are
     the right shape (the O(groups) per-group cost that rules them out
-    for unbounded keys is irrelevant here)."""
+    for unbounded keys is irrelevant here). Money is summed as exact
+    integer cents — float64 Sum order is block-nondeterministic across
+    runs, and a sub-ulp drift that crosses the round(…,2) boundary is
+    a wrong answer (the q_rollup_revenue_nation_segment pattern)."""
     from ray.data.aggregate import Count, Sum
 
     def prep(b: pa.Table) -> pa.Table:
-        return b.append_column(
+        cents = np.round(
+            b.column("total_price").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        b = b.append_column(
             "_urgent_i", pc.cast(b.column("is_urgent"), pa.int64())
         )
+        return b.append_column("_cents", pa.array(cents))
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")
@@ -233,7 +240,7 @@ def step_segment_rollup(ds):
         .aggregate(
             Count(alias_name="n_orders"),
             Sum("_urgent_i", alias_name="urgent_orders"),
-            Sum("total_price", alias_name="revenue"),
+            Sum("_cents", alias_name="_cents"),
         )
     )
 
@@ -249,16 +256,17 @@ GOLD_SEGMENT_COLUMNS = [
 
 
 def _gold_finalize(ds) -> pa.Table:
-    """Tiny-result sink: round the revenue sum and derive the average
-    (mirrors the oracle's round(sum,2) / count arithmetic exactly)."""
+    """Tiny-result sink: derive revenue from the exact cents sum
+    (deterministic — no float association drift) and the average via
+    the oracle's round(revenue / count, 2) arithmetic."""
     t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
-    rev = pc.round(t.column("revenue"), ndigits=2, round_mode="half_towards_infinity")
+    rev = pc.divide(pc.cast(t.column("_cents"), pa.float64()), 100.0)
     avg = pc.round(
         pc.divide(rev, pc.cast(t.column("n_orders"), pa.float64())),
         ndigits=2,
         round_mode="half_towards_infinity",
     )
-    t = t.drop(["revenue"]).append_column("revenue", rev)
+    t = t.drop(["_cents"]).append_column("revenue", rev)
     t = t.append_column("avg_order_value", avg)
     return t.select(GOLD_SEGMENT_COLUMNS)
 

@@ -45,7 +45,11 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             )
         elif dt.startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
-        elif dt in ("int32", "uint32", "int16", "Int64", "Int32"):
+        elif dt in ("int32", "uint32", "int16"):
+            # plain-width numpy dtype differences only: pandas nullable
+            # extension dtypes (Int64/Int32) are deliberately NOT
+            # laundered — the driver hashes Arrow values strictly, and
+            # an extension-array null encoding is a real mismatch there
             df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
