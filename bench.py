@@ -522,6 +522,48 @@ def skew() -> dict:
     }
 
 
+def _emit(full: dict) -> None:
+    """Write the full payload (per-query timings and all) to a sidecar
+    file and print a COMPACT machine line LAST — BENCH_r03 was
+    `parsed: null` because the 60+-query JSON line overflowed the
+    driver's tail capture window, so the line the driver grades must
+    stay short."""
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        sidecar = None
+    qs = full.get("queries") or {}
+    compact = {
+        k: v
+        for k, v in full.items()
+        if k
+        in (
+            "metric",
+            "value",
+            "unit",
+            "sf",
+            "num_cpus",
+            "bootstrap_sec",
+            "apply_sec",
+            "headline_sec",
+            "events_per_sec",
+            "n_events",
+            "final_rows",
+            "headline_protocol",
+        )
+    }
+    if qs:
+        compact["n_queries"] = len(qs)
+        compact["queries_total_sec"] = round(sum(qs.values()), 3)
+        compact["queries_max"] = max(qs, key=qs.get)
+        compact["queries_max_sec"] = round(max(qs.values()), 3)
+    if sidecar:
+        compact["queries_file"] = sidecar
+    print(json.dumps(compact))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(scaling()))
@@ -530,4 +572,4 @@ if __name__ == "__main__":
     elif "--skew" in sys.argv:
         print(json.dumps(skew()))
     else:
-        print(json.dumps(main()))
+        _emit(main())
