@@ -303,6 +303,7 @@ def minhash_lsh_pairs(
     broadcast_limit: int = 1_000_000,
     include_drop_stats: bool = False,
     sig_ds=None,
+    single_task_limit: int = 100_000,
 ):
     """Candidate generation + verification. Returns a Dataset of
     (doc_a, doc_b, n_equal) with doc_a < doc_b and
@@ -341,6 +342,79 @@ def minhash_lsh_pairs(
     # else: caller already signed with the SAME (n_perm, k, seed) —
     # incremental dedup passes its materialized signatures so each daily
     # drop pays the dominant signing cost once, not twice
+
+    # Small-batch fast path: below ``single_task_limit`` docs the
+    # broadcast-verify path already gathers the whole signature matrix
+    # on the driver, and the bucket pipeline's fixed shuffle latency
+    # (explode → groupby(coarse) → verify, several seconds of Ray
+    # overhead) dwarfs the actual work — so run the SAME kernels
+    # (_sorted_run_pairs, first-band dedupe, signature verify) once,
+    # vectorized, in-process. Identical pairs by construction: every
+    # (band, band_hash) run is globally the same set of rows whether or
+    # not it was coarse-partitioned first.
+    n_docs = sig_ds.count()
+    if n_docs <= single_task_limit:
+        import ray
+
+        ids_parts, sig_parts = [], []
+        for b in sig_ds.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                ids_parts.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+                sig_parts.append(_sig_matrix(b.column("sig")))
+        ids_all = (
+            np.concatenate(ids_parts) if ids_parts else np.zeros(0, np.int64)
+        )
+        sig_all = (
+            np.concatenate(sig_parts)
+            if sig_parts
+            else np.zeros((0, n_perm), np.uint64)
+        )
+        n = len(ids_all)
+        bh = band_hashes(sig_all, bands)  # (n, bands)
+        band_np = np.repeat(np.arange(bands, dtype=np.int64), n)
+        hash_np = bh.T.reshape(-1).view(np.int64)
+        ids_np = np.tile(ids_all, bands)
+        pos_np = np.tile(np.arange(n, dtype=np.int64), bands)
+        ia, ib, _, drops = _sorted_run_pairs([band_np, hash_np], ids_np, bucket_cap)
+        da = db = n_eq = np.zeros(0, np.int64)
+        if len(ia):
+            # first-band dedupe (same rule as bucket_pairs_many): a pair
+            # is emitted only from the FIRST band where it collides
+            keep = np.ones(len(ia), dtype=bool)
+            pair_band = band_np[ia]
+            pa_pos, pb_pos = pos_np[ia], pos_np[ib]
+            for bv in np.unique(pair_band):
+                m = pair_band == bv
+                for j in range(int(bv)):
+                    keep[m] &= bh[pa_pos[m], j] != bh[pb_pos[m], j]
+            ia, ib = ia[keep], ib[keep]
+            pa_pos, pb_pos = pos_np[ia], pos_np[ib]
+            n_eq = (sig_all[pa_pos] == sig_all[pb_pos]).sum(axis=1).astype(np.int64)
+            ok = n_eq >= int(np.ceil(jaccard_threshold * n_perm - 1e-9))
+            da, db, n_eq = ids_np[ia][ok], ids_np[ib][ok], n_eq[ok]
+        cols = {
+            "doc_a": pa.array(da, pa.int64()),
+            "doc_b": pa.array(db, pa.int64()),
+            "n_equal": pa.array(n_eq, pa.int64()),
+        }
+        out = pa.table(cols)
+        if drops:
+            logger.warning(
+                "minhash LSH: truncated %d doc ids in oversize buckets "
+                "(bucket_cap=%d); candidate pairs were dropped",
+                drops,
+                bucket_cap,
+            )
+            if include_drop_stats:
+                sent = pa.table(
+                    {
+                        "doc_a": pa.array([_SENTINEL], pa.int64()),
+                        "doc_b": pa.array([-drops], pa.int64()),
+                        "n_equal": pa.nulls(1, pa.int64()),
+                    }
+                )
+                out = pa.concat_tables([out, sent])
+        return ray.data.from_arrow(out)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -39,9 +39,37 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .dedup import recover_rows_by_id
-from .texthash import POLY_B2, poly_hash_array
+from .texthash import POLY_B2, poly_hash_array, splitmix64
 
 N_COARSE = 1024
+
+
+def batch_stamp(ds, id_col: str = "doc_id") -> str:
+    """Order-free content stamp of a batch's id set — ``count`` plus an
+    XOR of splitmix64-mixed ids, computed in one column-pruned pass.
+    Stamped into the ``_SUCCESS`` marker so a replayed ``add`` can tell
+    "same batch, finish the protocol" from "caller reused the output
+    dir for a DIFFERENT batch" (silently returning the previous batch's
+    survivors would lose every document of the new one)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = np.bitwise_xor.reduce(splitmix64(ids)) if len(ids) else np.uint64(0)
+        return pa.table(
+            {
+                "n": pa.array([len(ids)], pa.int64()),
+                "x": pa.array([int(x)], pa.uint64()),
+            }
+        )
+
+    rows = ds.select_columns([id_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all()
+    n, x = 0, 0
+    for r in rows:
+        n += int(r["n"])
+        x ^= int(r["x"])
+    return f"{n}-{x:016x}"
 
 
 class HashIndex:
@@ -109,6 +137,7 @@ class IncrementalDeduper:
         broadcast_limit: int = 5_000_000,
         join_partitions: int = 8,
         survivors_out: str | None = None,
+        batch_id: str | None = None,
     ):
         """Returns the (id, text) rows of ``ds`` that are new to the
         corpus: within-batch min-id per content hash, then not present
@@ -156,9 +185,18 @@ class IncrementalDeduper:
             os.path.join(survivors_out, "_SUCCESS") if survivors_out else None
         )
         if marker and os.path.exists(marker):
-            surv = read_out()
-            self._extend_from_texts(surv, text_col, id_col)
-            return surv
+            stamp = batch_id if batch_id is not None else batch_stamp(ds, id_col)
+            prev = open(marker).read().strip()
+            if prev == stamp:
+                surv = read_out()
+                self._extend_from_texts(surv, text_col, id_col)
+                return surv
+            # the marker belongs to a DIFFERENT batch (caller reused
+            # survivors_out): finish ITS index extension (idempotent
+            # union), then clear and compute the new batch — silently
+            # replaying the old survivors would drop every new document
+            self._extend_from_texts(read_out(), text_col, id_col)
+            os.remove(marker)
 
         def project(b: pa.Table) -> pa.Table:
             h1 = poly_hash_array(b.column(text_col))
@@ -233,25 +271,36 @@ class IncrementalDeduper:
 
                 shutil.rmtree(data_dir)
             result.write_parquet(data_dir)
+            stamp = batch_id if batch_id is not None else batch_stamp(ds, id_col)
             with open(marker, "w") as f:
-                f.write("ok")
+                f.write(stamp)
 
-        # phase 2 — extend the index: touched partitions only,
-        # driver-side (survivor hashes are the batch's distinct-new set —
-        # bounded by the batch, not the corpus)
-        for b in survivors.select_columns(["_pk", "_h1", "_h2"]).iter_batches(
-            batch_format="pyarrow"
-        ):
-            pk = b.column("_pk").to_numpy(zero_copy_only=False)
-            h1 = b.column("_h1").to_numpy(zero_copy_only=False).view(np.uint64)
-            h2 = b.column("_h2").to_numpy(zero_copy_only=False).view(np.uint64)
-            for part in np.unique(pk):
-                m = pk == part
-                self.index.append_part(int(part), h1[m], h2[m])
+        # phase 2 — extend the index: touched partitions only, one task
+        # per partition appending ITS file in-task (driver stays O(1))
+        self._extend_from_pairs(survivors.select_columns(["_pk", "_h1", "_h2"]))
 
         if survivors_out:
             return read_out()
         return result
+
+    def _extend_from_pairs(self, hashed) -> None:
+        """Distributed index extension: shuffle the batch's survivor
+        (partition, h1, h2) rows by index partition — batch-bounded,
+        never the corpus — and let ONE task per partition union-append
+        its file in-task. Replaces the former driver-side sequential
+        append loop: driver memory is O(1) and partition rewrites run
+        in parallel. Assumes the index root is shared storage on a
+        multi-node cluster (same contract as the lake)."""
+        index_root, num_parts = self.index.root, self.index.num_parts
+
+        def extend_one(g: pa.Table) -> pa.Table:
+            part = int(g.column("_pk")[0].as_py())
+            h1 = g.column("_h1").to_numpy(zero_copy_only=False).view(np.uint64)
+            h2 = g.column("_h2").to_numpy(zero_copy_only=False).view(np.uint64)
+            HashIndex(index_root, num_parts).append_part(part, h1, h2)
+            return pa.table({"_pk": pa.array([part], pa.int64())})
+
+        hashed.groupby("_pk").map_groups(extend_one, batch_format="pyarrow").count()
 
     def _extend_from_texts(self, docs, text_col: str, id_col: str) -> None:
         """Replay path: re-hash persisted survivors and union their
@@ -269,18 +318,6 @@ class IncrementalDeduper:
                 }
             )
 
-        hashed = docs.map_batches(project, batch_format="pyarrow")
-        acc: dict[int, list] = {}
-        for b in hashed.iter_batches(batch_format="pyarrow"):
-            pk = b.column("_pk").to_numpy(zero_copy_only=False)
-            h1 = b.column("_h1").to_numpy(zero_copy_only=False).view(np.uint64)
-            h2 = b.column("_h2").to_numpy(zero_copy_only=False).view(np.uint64)
-            for part in np.unique(pk):
-                m = pk == part
-                acc.setdefault(int(part), []).append((h1[m], h2[m]))
-        for part in sorted(acc):
-            self.index.append_part(
-                part,
-                np.concatenate([a for a, _ in acc[part]]),
-                np.concatenate([b for _, b in acc[part]]),
-            )
+        self._extend_from_pairs(
+            docs.map_batches(project, batch_format="pyarrow")
+        )

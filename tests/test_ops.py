@@ -338,16 +338,46 @@ class TestDedup:
             {"doc_id": pa.array(range(50), pa.int64()),
              "text": ["identical text for every row here"] * 50}
         )
+        # fast (single-task) path: ONE sentinel carrying the total
         raw = minhash_lsh_pairs(
             rd.from_arrow(t), jaccard_threshold=0.9, bucket_cap=10,
             include_drop_stats=True,
         ).to_pandas()
         sentinels = raw[raw["doc_a"] == -1]
-        assert len(sentinels) > 0 and (sentinels["doc_b"] == -40).all()
-        capped = minhash_lsh_pairs(
-            rd.from_arrow(t), jaccard_threshold=0.9, bucket_cap=10
+        assert sentinels["doc_b"].sum() == -640  # 16 bands × 40 truncated
+        # distributed path: per-coarse-group sentinels, same total
+        raw_d = minhash_lsh_pairs(
+            rd.from_arrow(t), jaccard_threshold=0.9, bucket_cap=10,
+            include_drop_stats=True, single_task_limit=0,
         ).to_pandas()
-        assert len(capped) == 45  # C(10,2), emitted once (first band only)
+        sent_d = raw_d[raw_d["doc_a"] == -1]
+        assert len(sent_d) > 0 and (sent_d["doc_b"] == -40).all()
+        for capped in (
+            minhash_lsh_pairs(
+                rd.from_arrow(t), jaccard_threshold=0.9, bucket_cap=10
+            ).to_pandas(),
+            minhash_lsh_pairs(
+                rd.from_arrow(t), jaccard_threshold=0.9, bucket_cap=10,
+                single_task_limit=0,
+            ).to_pandas(),
+        ):
+            assert len(capped) == 45  # C(10,2), emitted once (first band only)
+
+    def test_minhash_fast_path_parity(self, ray_session, sf_dir):
+        """The single-task fast path and the distributed bucket pipeline
+        must emit EXACTLY the same verified pairs — same kernels, so any
+        divergence is a routing bug."""
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        fast = minhash_lsh_pairs(ds, jaccard_threshold=0.8).to_pandas()
+        dist = minhash_lsh_pairs(
+            ds, jaccard_threshold=0.8, single_task_limit=0
+        ).to_pandas()
+        key = ["doc_a", "doc_b", "n_equal"]
+        f = fast.sort_values(key).reset_index(drop=True)
+        d = dist.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(f, d)
 
     def test_embedding_bucket_cap_accounted(self, ray_session):
         import ray.data as rd
@@ -1971,10 +2001,13 @@ class TestIncrementalCrashSafety:
         os.makedirs(out, exist_ok=True)
         b = pa.table({"doc_id": [1, 2, 3], "text": ["a", "b", "a"]})
 
-        def boom(self, part, h1, h2):
+        def boom(self, hashed):
             raise RuntimeError("injected crash")
 
-        monkeypatch.setattr(incdedup.HashIndex, "append_part", boom)
+        # the per-partition append now runs in Ray workers (driver
+        # monkeypatching can't reach it) — inject at the driver-side
+        # extension entry point instead: same crash window
+        monkeypatch.setattr(incdedup.IncrementalDeduper, "_extend_from_pairs", boom)
         with pytest.raises(RuntimeError, match="injected crash"):
             d.add(rd.from_arrow(b), survivors_out=out)
         monkeypatch.undo()
@@ -2019,10 +2052,13 @@ class TestIncrementalCrashSafety:
         out = str(tmp_path / "surv1")
         os.makedirs(out, exist_ok=True)
 
-        def boom(self, pk, bh, sig):
+        def boom(self, band_rows):
             raise RuntimeError("injected crash")
 
-        monkeypatch.setattr(incneardup.BandIndex, "append_part", boom)
+        # same driver-side injection point rationale as the exact test
+        monkeypatch.setattr(
+            incneardup.IncrementalNearDeduper, "_extend_from_band_rows", boom
+        )
         with pytest.raises(RuntimeError, match="injected crash"):
             dd.add(rd.from_arrow(docs([(0, base)])), survivors_out=out)
         monkeypatch.undo()
@@ -2045,6 +2081,50 @@ class TestIncrementalCrashSafety:
             for t in second.iter_batches(batch_format="pyarrow")
             for i in t.column("doc_id").to_pylist()
         ) == [11]
+
+
+class TestReusedSurvivorsOut:
+    """ADVICE r3: the _SUCCESS marker is batch-stamped — reusing one
+    survivors_out dir for a DIFFERENT batch must process the new batch
+    (previously it silently replayed the old batch's survivors, losing
+    every new document), after idempotently finishing the old batch's
+    index extension."""
+
+    def test_exact(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops import incdedup
+
+        d = incdedup.IncrementalDeduper(str(tmp_path / "idx"), num_parts=4)
+        out = str(tmp_path / "surv")
+        b1 = pa.table({"doc_id": [1, 2], "text": ["a", "b"]})
+        b2 = pa.table({"doc_id": [5, 6, 7], "text": ["c", "d", "a"]})
+        got1 = d.add(rd.from_arrow(b1), survivors_out=out).to_pandas()
+        assert sorted(got1["doc_id"].tolist()) == [1, 2]
+        got2 = d.add(rd.from_arrow(b2), survivors_out=out).to_pandas()
+        assert sorted(got2["doc_id"].tolist()) == [5, 6]  # "a" is corpus dup
+        assert d.index.count() == 4  # a b c d
+
+    def test_explicit_batch_id(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops import incneardup
+
+        dd = incneardup.IncrementalNearDeduper(str(tmp_path / "idx"), num_parts=4)
+        out = str(tmp_path / "surv")
+        base = " ".join(f"word{i}" for i in range(120))
+        t1 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                       "text": pa.array([base], pa.string())})
+        t2 = pa.table({"doc_id": pa.array([7], pa.int64()),
+                       "text": pa.array(["fresh unseen text " * 20], pa.string())})
+        k1 = dd.add(rd.from_arrow(t1), survivors_out=out, batch_id="day1")
+        assert [r["doc_id"] for r in k1.take_all()] == [0]
+        # same batch_id replays (marker match) without recompute
+        k1b = dd.add(rd.from_arrow(t1), survivors_out=out, batch_id="day1")
+        assert [r["doc_id"] for r in k1b.take_all()] == [0]
+        # new batch_id in the same dir is detected and processed
+        k2 = dd.add(rd.from_arrow(t2), survivors_out=out, batch_id="day2")
+        assert [r["doc_id"] for r in k2.take_all()] == [7]
 
 
 class TestEmbeddingMixedDims:
