@@ -2076,16 +2076,21 @@ QUALIFY rank <= 5
 
 
 def q_embedding_topk_ivf(sf_dir: str):
-    """IVF ANN at full probe == brute force (same oracle as
-    embedding_topk); the scale path for similarity search."""
-    from ..ops.similarity import ivf_topk
+    """IVF ANN through the PERSISTENT inverted-file index: vectors are
+    partitioned by centroid cell once at build (lake-style dir), and a
+    probe reads ONLY the probed cells' files — at full probe this is
+    exactly brute force (same oracle as embedding_topk)."""
+    import tempfile as _tf
+
+    from ..ops.similarity import IVFIndex
 
     rd = _rd()
     q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     mask = pc.less(q.column("vec_id"), pa.scalar(3))
     queries = np.asarray(q.filter(mask).column("embedding").to_pylist(), dtype=np.float64)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    t = ivf_topk(ds, queries, k=5, n_clusters=8, n_probe=8)
+    idx = IVFIndex.build(ds, _tf.mkdtemp(prefix="ivf_"), n_clusters=8)
+    t = idx.search(queries, k=5, n_probe=8)
     return t.select(["query_id", "rank", "vec_id"])
 
 
