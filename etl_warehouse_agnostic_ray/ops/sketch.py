@@ -249,22 +249,23 @@ FROM cells GROUP BY row, col
 """
 
 
-def hll_registers_grouped(
-    ds, group_col: str, col: str, p: int = 10, max_groups: int = 10_000
-) -> pa.Table:
+def hll_registers_grouped(ds, group_col: str, col: str, p: int = 10):
     """Per-GROUP HLL register tables — "distinct users per event type"
-    over 100 TB with no distinct shuffle: one (group, bucket, max_rank)
-    row set per group value, still a pure function of the data through
-    the shared hash family (same SQL-twin contract as the global
-    sketch).
+    over 100 TB with no distinct shuffle and UNBOUNDED group
+    cardinality: one (group, bucket, max_rank) row set per group value,
+    still a pure function of the data through the shared hash family
+    (same SQL-twin contract as the global sketch).
 
     Per batch: hash once, np.unique the batch's group values, ONE
     ``np.maximum.at`` scatter into a (groups_in_batch × m) dense
-    matrix. The driver merge is bounded by groups × m integer rows per
-    block; ``max_groups`` fails LOUDLY when group cardinality outgrows
-    the driver-merge regime (the scale path there is a (group, bucket)
-    groupby exchange, which this deliberately avoids for the
-    modest-cardinality telemetry case)."""
+    matrix — each batch contributes at most groups_in_batch × m rows
+    regardless of row count. Cross-batch merge is ONE (group, bucket)
+    groupby exchange reduced by native Max (map-side combining); the
+    former driver dict-merge and its ``max_groups`` guard are gone —
+    the exchange carries only the already-combined partials, never the
+    raw rows. Returns a Dataset of (group, bucket, max_rank)."""
+    from ray.data.aggregate import Max
+
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     m = 1 << p
@@ -277,7 +278,7 @@ def hll_registers_grouped(
             {
                 group_col: pa.array([], pa.large_string()),
                 "bucket": pa.array([], pa.int64()),
-                "max_rank": pa.array([], pa.int64()),
+                "_rank": pa.array([], pa.int64()),
             }
         )
         if t.num_rows == 0:
@@ -295,36 +296,14 @@ def hll_registers_grouped(
             {
                 group_col: pa.array(ug[gi], pa.large_string()),
                 "bucket": pa.array(nz.astype(np.int64)),
-                "max_rank": pa.array(regs[gi, nz]),
+                "_rank": pa.array(regs[gi, nz]),
             }
         )
 
-    acc: dict[tuple, int] = {}
-    groups: set = set()
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        gs = b.column(group_col).to_pylist()
-        bks = b.column("bucket").to_pylist()
-        rks = b.column("max_rank").to_pylist()
-        for gv, bk, rk in zip(gs, bks, rks):
-            key = (gv, bk)
-            if rk > acc.get(key, 0):
-                acc[key] = rk
-            groups.add(gv)
-        if len(groups) > max_groups:
-            raise RuntimeError(
-                f"hll_registers_grouped: > {max_groups} distinct groups — "
-                "driver merge regime exceeded; shuffle by (group, bucket) "
-                "instead for high-cardinality groups"
-            )
-    keys = sorted(acc)
-    return pa.table(
-        {
-            group_col: pa.array([k[0] for k in keys], pa.large_string()),
-            "bucket": pa.array([k[1] for k in keys], pa.int64()),
-            "max_rank": pa.array([acc[k] for k in keys], pa.int64()),
-        }
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "bucket"])
+        .aggregate(Max("_rank", alias_name="max_rank"))
     )
 
 

@@ -1984,7 +1984,11 @@ class TestGroupedHLL:
         )
         import pyarrow.compute as pc
 
-        out = hll_registers_grouped(rd.from_arrow(t), "event_type", "user_id", p=8)
+        out = pa.concat_tables(
+            hll_registers_grouped(
+                rd.from_arrow(t), "event_type", "user_id", p=8
+            ).iter_batches(batch_format="pyarrow")
+        )
         for g in ("click", "view", "error"):
             mask = groups == g
             sub = pa.table({"user_id": pa.array(users[mask], pa.int64())})
@@ -1997,20 +2001,39 @@ class TestGroupedHLL:
             exact = len(set(users[mask]))
             assert abs(est - exact) / exact < 0.15  # ~1.04/sqrt(256) * 2
 
-    def test_max_groups_fails_loud(self, ray_session):
-        import pytest as _pytest
+    def test_high_cardinality_groups(self, ray_session):
+        """The (group, bucket) exchange replaced the max_groups guard:
+        thousands of distinct groups must flow through and each group's
+        estimate must track its exact distinct count."""
         import ray.data as rd
 
-        from etl_warehouse_agnostic_ray.ops.sketch import hll_registers_grouped
+        from etl_warehouse_agnostic_ray.ops.sketch import (
+            hll_estimate,
+            hll_registers_grouped,
+        )
 
+        n_groups = 3000
+        rng = np.random.default_rng(9)
+        g = np.repeat(np.arange(n_groups), 4)
+        v = rng.integers(0, 3, len(g)) + g * 10  # ≤3 distinct values/group
         t = pa.table(
             {
-                "g": pa.array([str(i) for i in range(50)], pa.string()),
-                "v": pa.array(range(50), pa.int64()),
+                "g": pa.array([f"g{i}" for i in g], pa.string()),
+                "v": pa.array(v, pa.int64()),
             }
         )
-        with _pytest.raises(RuntimeError, match="distinct groups"):
-            hll_registers_grouped(rd.from_arrow(t), "g", "v", max_groups=10)
+        out = pa.concat_tables(
+            hll_registers_grouped(
+                rd.from_arrow(t).repartition(8), "g", "v", p=8
+            ).iter_batches(batch_format="pyarrow")
+        )
+        df = out.to_pandas()
+        assert df["g"].nunique() == n_groups
+        # tiny cardinalities land in linear-counting territory: exact
+        exact = {f"g{i}": len(set(v[g == i])) for i in (0, 17, 2999)}
+        for gv, want in exact.items():
+            sub = out.filter(pa.compute.equal(out.column("g"), pa.scalar(gv)))
+            assert round(hll_estimate(sub, p=8)) == want
 
 
 class TestIncrementalCrashSafety:
