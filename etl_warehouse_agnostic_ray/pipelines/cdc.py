@@ -214,7 +214,12 @@ class CDCEngine:
         # read list. (A stat-less file whose events were all already
         # below the cursor at first sight never commits and is
         # re-scanned on each drain — rare, and merely wasteful.) ---
-        drained_statless = set(manifest.get("statless_drained", ()))
+        # kept in INSERTION order: the commit below appends new tokens
+        # so lake.py's [-BATCH_ID_WINDOW:] trim evicts oldest-first —
+        # a lexicographic order would evict a just-drained token past
+        # 10k entries and re-arm the big-delta shortcut on its re-scan
+        drained_statless_list = list(manifest.get("statless_drained", ()))
+        drained_statless = set(drained_statless_list)
         statless_tokens: list[str] = []
         if footstats is not None:
             kept = []
@@ -492,7 +497,7 @@ class CDCEngine:
             num_partitions=P,
             expected_parent=manifest["version"],
             statless_drained=(
-                sorted(drained_statless | set(statless_tokens))
+                drained_statless_list + statless_tokens
                 if statless_tokens
                 else None
             ),

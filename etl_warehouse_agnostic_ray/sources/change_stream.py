@@ -90,24 +90,34 @@ class ChangeStreamSource:
         """
         import hashlib
 
-        pending = [
-            (f, lo, hi)
-            for f, lo, hi in self.file_lsn_ranges()
-            if hi is None or hi > cursor
-        ]
-        # order by FOOTER lsn, not filename: a producer writing
+        import pyarrow.parquet as pq
+
+        pending = []
+        for f, lo, hi in self.file_lsn_ranges():
+            if lo is None or hi is None:
+                # RARE: no footer lsn statistics. Sorting such a file
+                # "last" is only safe if its contents never interleave
+                # with the known ranges — an unstatable producer
+                # assumption (ADVICE r3): events below the cursor that
+                # earlier chunks of the SAME drain advanced would be
+                # silently dropped by the applied-LSN filter. Resolve
+                # the true range with a one-column scan instead, so the
+                # file sorts by its actual lsn position.
+                t = pq.read_table(f, columns=["lsn"])
+                col = t.column("lsn")
+                if t.num_rows == 0 or col.null_count == t.num_rows:
+                    continue  # nothing applicable
+                lo = pc.min(col).as_py()
+                hi = pc.max(col).as_py()
+            if hi > cursor:
+                pending.append((f, lo, hi))
+        # order by lsn, not filename: a producer writing
         # events-2 … events-10 (no zero-padding) lists events-10 first
         # lexicographically; chunking in name order would apply the
         # high-LSN slice first, advance the applied-LSN cursor past the
         # low slices, and the HWM filter would then drop their events
-        # permanently. Stat-less files (lo is None) sort LAST for the
-        # same reason — their range is unknown, and applying one early
-        # could advance the cursor past the known-range chunks behind
-        # it; applied last, the cursor only moves past ranges already
-        # drained this cycle.
-        pending.sort(
-            key=lambda t: (t[1] is None, t[1] if t[1] is not None else 0, t[0])
-        )
+        # permanently.
+        pending.sort(key=lambda t: (t[1], t[0]))
         for i in range(0, len(pending), max_files):
             chunk = pending[i : i + max_files]
             parts = sorted(

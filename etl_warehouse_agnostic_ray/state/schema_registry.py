@@ -42,11 +42,16 @@ class SchemaRegistry:
             return  # idempotent redelivery
         if kind not in ("add", "widen", "rename", "drop"):
             raise ValueError(f"unknown schema op kind {kind!r}")
-        if kind == "add" and any(
-            o["kind"] == "drop" and o["column"] == column for o in self.ops
+        # re-introducing a previously dropped NAME is refused whether it
+        # arrives as an add or as a rename TARGET: either way, files
+        # written before the drop still hold the old values under that
+        # name and conform would collide them with the new data
+        target = column if kind == "add" else type_name if kind == "rename" else None
+        if target is not None and any(
+            o["kind"] == "drop" and o["column"] == target for o in self.ops
         ):
             raise ValueError(
-                f"column {column!r} was dropped earlier; re-adding it would "
+                f"column {target!r} was dropped earlier; re-adding it would "
                 "resurrect pre-drop values from old partition files — use a "
                 "new name or full_refresh the table"
             )

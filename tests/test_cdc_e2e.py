@@ -437,6 +437,10 @@ def test_schema_drop_column(tmp_path):
     reg = SchemaRegistry.from_dict(eng.lake.load_manifest()["schema_ops"])
     with _pytest.raises(ValueError, match="resurrect"):
         reg.apply_event(99, "add", "lang", "string")
+    # ...and the guard also blocks a rename whose TARGET is the dropped
+    # name (same resurrection hazard through the rename path)
+    with _pytest.raises(ValueError, match="resurrect"):
+        reg.apply_event(99, "rename", "text", "lang")
     # dropping and adding a DIFFERENT name still works end-to-end
     delta2 = pa.Table.from_pylist(
         [

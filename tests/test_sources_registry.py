@@ -334,20 +334,44 @@ class TestWalOrdering:
         los = [ranges[files[0]][0] for _, files in chunks]
         assert los == sorted(los)  # LSN order, not events-1,10,11,2,...
 
-    def test_statless_files_chunk_last(self, tmp_path):
-        """A stat-less file's range is unknown: applying it EARLY could
-        advance the cursor past known-range chunks behind it. It must
-        land in the final chunk(s)."""
+    def test_statless_files_sort_by_resolved_range(self, tmp_path):
+        """A stat-less file's range is resolved by a one-column scan so
+        it sorts at its TRUE lsn position. Sorting it LAST (the old
+        rule) silently dropped its events whenever they interleaved
+        BELOW known ranges drained earlier in the same cycle — the
+        applied-LSN filter had already moved past them (ADVICE r3)."""
         d = str(tmp_path / "wal")
         os.makedirs(d)
         pq.write_table(self._ev(list(range(100, 110))), os.path.join(d, "b.parquet"))
         pq.write_table(self._ev(list(range(200, 210))),
                        os.path.join(d, "a-nostat.parquet"), write_statistics=False)
+        # the hazard case: a stat-less file BELOW every known range
+        pq.write_table(self._ev(list(range(0, 10))),
+                       os.path.join(d, "z-nostat-low.parquet"), write_statistics=False)
         src = ChangeStreamSource(d)
         chunks = list(src.batches(cursor=-1, max_files=1))
         assert [os.path.basename(fs[0]) for _, fs in chunks] == [
-            "b.parquet", "a-nostat.parquet"
+            "z-nostat-low.parquet", "b.parquet", "a-nostat.parquet"
         ]
+
+    def test_statless_interleaved_drain_loses_nothing(self, tmp_path, ray_session):
+        """End-to-end: a stat-less WAL slice whose LSNs sit below a
+        known-range slice drains without losing a single event."""
+        from etl_warehouse_agnostic_ray import CDCEngine
+
+        d = str(tmp_path / "wal")
+        os.makedirs(d)
+        urls_hi = [f"https://s.example/hi-{j}" for j in range(10)]
+        urls_lo = [f"https://s.example/lo-{j}" for j in range(10)]
+        pq.write_table(self._ev(list(range(100, 110)), urls_hi),
+                       os.path.join(d, "a.parquet"))
+        pq.write_table(self._ev(list(range(0, 10)), urls_lo),
+                       os.path.join(d, "z-nostat.parquet"), write_statistics=False)
+        eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+        eng.init_empty()
+        eng.apply_stream(d, max_files_per_batch=1)
+        assert eng.to_arrow().num_rows == 20  # nothing dropped
+        assert eng.lake.load_manifest()["applied_lsn"] == 109
 
     def test_unpadded_wal_drains_without_loss(self, tmp_path, ray_session):
         """End-to-end: micro-batch drain of the unpadded WAL applies
