@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "chunk_documents",
     "contamination_check",
     "corpus_prepare",
+    "bpe_token_count_documents",
+    "pack_bpe_documents",
     "cdc_schema_evolution",
 ]
 

@@ -91,18 +91,45 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     range_size: int = 100_000,
+    counter: str = "whitespace",
 ):
     """Lazy Dataset of (id_col, n_tokens, seq_id, seq_offset): where
     each document's first token lands when the corpus is concatenated
-    in id order and cut into ``seq_len``-token sequences."""
+    in id order and cut into ``seq_len``-token sequences.
+
+    ``counter``: "whitespace" (one regex pass, the SQL-twinnable
+    fallback) or "bpe" (real merges-table BPE via ops/bpe's cached
+    actor pool — the count a trained tokenizer would produce, which is
+    the contract packing actually needs)."""
     import ray
 
-    counted = ds.map_batches(
-        functools.partial(
-            _count_and_range, text_col=text_col, id_col=id_col, range_size=range_size
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    if counter == "bpe":
+        from .bpe import bpe_token_count_ds
+
+        def add_range(b: pa.Table) -> pa.Table:
+            rng = pc.divide(b.column(id_col), pa.scalar(range_size, pa.int64()))
+            return pa.table(
+                {
+                    id_col: b.column(id_col),
+                    "n_tokens": b.column("n_tokens"),
+                    "_rng": rng,
+                }
+            )
+
+        counted = (
+            bpe_token_count_ds(ds, col=text_col, out="n_tokens")
+            .map_batches(add_range, batch_format="pyarrow")
+            .materialize()
+        )
+    elif counter == "whitespace":
+        counted = ds.map_batches(
+            functools.partial(
+                _count_and_range, text_col=text_col, id_col=id_col, range_size=range_size
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        raise ValueError(f"unknown counter {counter!r}")
 
     # pass 1: tiny per-range totals -> exclusive prefix on the driver
     partial = counted.select_columns(["_rng", "n_tokens"]).map_batches(

@@ -2951,6 +2951,56 @@ FROM c
 """
 
 
+def q_bpe_token_count_documents(sf_dir: str):
+    """REAL BPE token counts (merges applied, not just pre-tokenizer
+    segments): the committed 64-merge table (ops/bpe.py, trained on the
+    synthetic corpus) is loaded once per actor and applied per DISTINCT
+    word through a persistent cache. The oracle replays every merge
+    rank independently in SQL — one chained window-function CTE per
+    rank performing the left-to-right non-overlapping merge."""
+    from ..ops.bpe import bpe_token_count_ds
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bpe_token_count_ds(ds).select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def _sql_bpe_token_count() -> str:
+    from ..ops.bpe import bpe_token_count_sql
+
+    return bpe_token_count_sql("documents")
+
+
+def q_pack_bpe_documents(sf_dir: str):
+    """Sequence packing over REAL BPE token counts — the faithful
+    packing contract (ops/pack.py counter="bpe"): same two-pass
+    distributed prefix sum, token counts from the merges table."""
+    from ..ops.pack import pack_sequences
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=512, range_size=200, counter="bpe")
+
+
+def _sql_pack_bpe() -> str:
+    from ..ops.bpe import bpe_token_count_sql
+
+    inner = bpe_token_count_sql("documents", out="n_tokens")
+    return f"""
+WITH wc AS ({inner}),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS before
+  FROM wc)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       (before // 512)::BIGINT AS seq_id,
+       (before % 512)::BIGINT AS seq_offset
+FROM c
+"""
+
+
 def q_train_order_documents(sf_dir: str):
     """Deterministic training-order shuffle: a reproducible global
     pseudo-random ordering of the corpus (ORDER BY
@@ -3421,6 +3471,8 @@ QUERIES = {
     "incremental_dedup_documents": q_incremental_dedup_documents,
     "incremental_neardup_documents": q_incremental_neardup_documents,
     "pack_sequences_documents": q_pack_sequences_documents,
+    "bpe_token_count_documents": q_bpe_token_count_documents,
+    "pack_bpe_documents": q_pack_bpe_documents,
     "train_order_documents": q_train_order_documents,
     "time_travel_pages": q_time_travel_pages,
     "incremental_rollup_pages": q_incremental_rollup_pages,
@@ -3501,6 +3553,8 @@ ORACLES = {
     "incremental_dedup_documents": SQL_INCREMENTAL_DEDUP_DOCUMENTS,
     "incremental_neardup_documents": _sql_incremental_neardup(),
     "pack_sequences_documents": SQL_PACK_SEQUENCES_DOCUMENTS,
+    "bpe_token_count_documents": _sql_bpe_token_count(),
+    "pack_bpe_documents": _sql_pack_bpe(),
     "train_order_documents": _sql_train_order(),
     "time_travel_pages": SQL_TIME_TRAVEL_PAGES,
     "incremental_rollup_pages": SQL_INCREMENTAL_ROLLUP_PAGES,

@@ -2137,6 +2137,75 @@ class TestIncrementalCrashSafety:
         ) == [11]
 
 
+class TestBpe:
+    def test_inference_overlap_and_rank_order(self):
+        """Left-to-right non-overlapping merges, lowest rank first."""
+        from etl_warehouse_agnostic_ray.ops.bpe import apply_bpe
+
+        ranks = {("a", "a"): 0, ("aa", "aa"): 1}
+        assert apply_bpe("aaa", ranks) == ("aa", "a")
+        assert apply_bpe("aaaa", ranks) == ("aaaa",)
+        assert apply_bpe("aaaaa", ranks) == ("aaaa", "a")
+        # rank order beats adjacency order
+        ranks2 = {("b", "c"): 0, ("a", "b"): 1}
+        assert apply_bpe("abc", ranks2) == ("a", "bc")
+
+    def test_training_is_deterministic_and_compresses(self):
+        from etl_warehouse_agnostic_ray.ops.bpe import apply_bpe, train_bpe_merges
+
+        texts = ["the cat sat on the mat"] * 50 + ["the dog"] * 20
+        m1 = train_bpe_merges(texts, n_merges=10)
+        m2 = train_bpe_merges(texts, n_merges=10)
+        assert m1 == m2 and len(m1) == 10
+        ranks = {p: i for i, p in enumerate(m1)}
+        toks = apply_bpe("the", ranks)
+        assert len(toks) < 3  # merges learned on "the" compress it
+
+    def test_sql_twin_crafted_symbols(self):
+        """The SQL replay must agree with the Python inference even for
+        merges whose symbols contain spaces and quotes (pre-tokenizer
+        words keep their leading space; text may hold apostrophes)."""
+        import duckdb
+
+        from etl_warehouse_agnostic_ray.ops.bpe import (
+            apply_bpe,
+            bpe_token_count_sql,
+            train_bpe_merges,
+        )
+        from etl_warehouse_agnostic_ray.ops.text import BPE_TOKEN_PATTERN
+        import re
+
+        texts = [
+            "don't stop the ''quoted'' thing",
+            "aaaa aaa the the the don't",
+            None,
+            "",
+            "the theater thesis",
+        ]
+        merges = train_bpe_merges([t for t in texts if t], n_merges=12)
+        ranks = {p: i for i, p in enumerate(merges)}
+        rx = re.compile(BPE_TOKEN_PATTERN)
+        want = [
+            sum(len(apply_bpe(w, ranks)) for w in rx.findall(t)) if t else 0
+            for t in texts
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        con = duckdb.connect()
+        con.register("documents", t)
+        got = (
+            con.execute(bpe_token_count_sql("documents", merges=merges))
+            .fetch_df()
+            .sort_values("doc_id")["n_bpe_tokens"]
+            .tolist()
+        )
+        assert got == want
+
+
 class TestReusedSurvivorsOut:
     """ADVICE r3: the _SUCCESS marker is batch-stamped — reusing one
     survivors_out dir for a DIFFERENT batch must process the new batch
