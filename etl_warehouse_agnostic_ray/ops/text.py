@@ -53,6 +53,34 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
            "την", "στο", "είναι", "τα", "δεν", "ο"),
 }
 
+# Per-language characteristic character trigrams — the FALLBACK tier
+# for short / stopword-free texts (a single word has no function words
+# to hit, but its character n-grams still carry the language signal —
+# the Cavnar-Trenkle 1994 n-gram profile idea reduced to a fixed data
+# table). Counted over the normalized, whitespace-squashed text;
+# space-anchored trigrams (" th") are word-boundary features. Kept as
+# DATA in declaration order, same oracle-lockstep contract as
+# _LANG_PROFILES.
+_LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", " th", "he ", "ing", "and", "ion", " of", "ed "),
+    "de": ("der", "sch", "ein", "ich", "und", "cht", "die", "gen"),
+    "fr": ("les", " de", "ent", "que", "eau", "ais", "eur", " le"),
+    "es": (" de", "que", "ión", "los", "ado", " la", "nte", "cia"),
+    "it": ("che", " di", "zio", "lla", "ato", "gli", "ere", "zza"),
+    "pt": (" de", "ção", "são", "ado", " da", "ndo", "lho", "os "),
+    "nl": ("een", "het", " de", "van", "aar", "ijk", "oek", "den"),
+    "sv": ("och", "att", "det", "för", "ing", "are", " på", "en "),
+    "da": (" og", "det", "der", "ede", "til", " på", "ger", "ske"),
+    "no": (" og", "det", "til", " på", "ikk", "ene", "sjo", "ett"),
+    "pl": ("nie", "prz", "ach", "ego", "ych", "owa", " po", "rze"),
+    "cs": (" se", "ní ", "ch ", "pro", "ost", "ova", " na", "ení"),
+    "ro": (" de", "are", "ulu", "și ", " în", "ate", "ntr", "ște"),
+    "tr": ("lar", "ler", "bir", " ve", "iyo", "ın ", "da ", "an "),
+    "id": ("ang", "kan", " di", "yan", "men", "ber", " ke", "nya"),
+    "ru": (" и ", "ого", "ать", "ени", "ост", " на", "тся", "ние"),
+    "el": ("και", " το", "της", "ται", "ους", "ική", " να", "ων "),
+}
+
 _SW_HASHES: dict[str, np.ndarray] = {}
 
 
@@ -117,18 +145,25 @@ def quality_score(batch: pa.Table, col: str = "text", out: str = "quality") -> p
 
 
 def lang_id(batch: pa.Table, col: str = "text", out: str = "lang_pred") -> pa.Table:
-    """Stopword-profile language ID by whitespace-token MEMBERSHIP:
-    lower → strip punctuation (keep letters/digits/whitespace) →
-    tokenize; per language, count tokens in its stopword set; argmax in
-    declaration order wins, 'und' when nothing hits.
+    """Two-tier language ID:
+
+    1. Stopword-profile token MEMBERSHIP: lower → strip punctuation
+       (keep letters/digits/whitespace) → tokenize; per language, count
+       tokens in its stopword set; argmax in declaration order.
+    2. FALLBACK for rows with zero stopword hits (short or
+       function-word-free text): per-language characteristic character
+       TRIGRAM occurrence counts over the whitespace-squashed
+       normalized text; argmax in declaration order. 'und' only when
+       both tiers are silent.
 
     Token membership (not the old ``\\b``-regex count) is what makes
     non-Latin profiles work at all: RE2 word boundaries are ASCII-only,
     so ``\\b(и)\\b`` can never match Cyrillic text. Vectorized: the
     batch's tokens are hashed once off the flat Arrow token buffer,
-    then each profile is one sorted-array ``np.isin`` + segment-sum —
-    no per-row Python. The DuckDB twin performs the same lower → strip
-    → split → IN-list counting (pipelines/hash_sql.lang_id_sql)."""
+    each stopword profile is one sorted-array ``np.isin`` + segment-sum,
+    and each trigram is one Arrow count_substring kernel — no per-row
+    Python. The DuckDB twin performs the same two-tier scoring
+    (pipelines/hash_sql.lang_id_sql)."""
     from .texthash import poly_hash_array, tokenize_ws
 
     s = pc.utf8_lower(pc.cast(batch.column(col), pa.large_string()))
@@ -143,8 +178,20 @@ def lang_id(batch: pa.Table, col: str = "text", out: str = "lang_pred") -> pa.Ta
         np.cumsum(hits, out=cs[1:])
         m[:, j] = cs[offsets[1:]] - cs[offsets[:-1]]
     best = m.argmax(axis=1)
-    hit = m.max(axis=1) > 0
-    pred = np.where(hit, np.asarray(langs, dtype=object)[best], "und")
+    stop_hit = m.max(axis=1) > 0
+    lang_arr = np.asarray(langs, dtype=object)
+    pred = np.where(stop_hit, lang_arr[best], "und")
+    if not stop_hit.all():
+        sq = pc.replace_substring_regex(s, r"\s+", " ")
+        t = np.zeros((batch.num_rows, len(langs)), dtype=np.int64)
+        for j, lg in enumerate(langs):
+            for tri in _LANG_TRIGRAMS[lg]:
+                c = pc.fill_null(pc.count_substring(sq, tri), 0)
+                t[:, j] += c.to_numpy(zero_copy_only=False)
+        tri_best = t.argmax(axis=1)
+        tri_hit = t.max(axis=1) > 0
+        fallback = np.where(tri_hit, lang_arr[tri_best], "und")
+        pred = np.where(stop_hit, pred, fallback)
     return batch.append_column(out, pa.array(pred, pa.string()))
 
 

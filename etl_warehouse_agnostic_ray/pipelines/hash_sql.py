@@ -196,37 +196,67 @@ SELECT doc_a, doc_b, n_equal FROM eq WHERE n_equal >= {min_equal}
 """
 
 
-def lang_id_sql(doc_src: str, profiles: dict[str, tuple[str, ...]]) -> str:
-    """Stopword-profile argmax with numpy-argmax (first max wins) tie
-    semantics, in declaration order of ``profiles``. Scoring is token
-    MEMBERSHIP — lower → strip non-letter/digit/space → split on
-    whitespace → count tokens IN the profile — the exact twin of
-    ops/text.lang_id (which does the same with hashed tokens); plain
-    string equality here, so non-ASCII profiles (ru, el) verify too."""
+def lang_id_sql(
+    doc_src: str,
+    profiles: dict[str, tuple[str, ...]],
+    trigrams: dict[str, tuple[str, ...]] | None = None,
+) -> str:
+    """Two-tier argmax with numpy-argmax (first max wins) tie semantics,
+    in declaration order of ``profiles``. Tier 1 is token MEMBERSHIP —
+    lower → strip non-letter/digit/space → split on whitespace → count
+    tokens IN the profile — the exact twin of ops/text.lang_id (which
+    does the same with hashed tokens); plain string equality here, so
+    non-ASCII profiles (ru, el) verify too. Tier 2 (rows with zero
+    stopword hits) counts each language's characteristic trigrams over
+    the whitespace-squashed normalized text via the replace-length
+    trick (non-overlapping occurrences, same as Arrow count_substring)."""
+    if trigrams is None:
+        from ..ops.text import _LANG_TRIGRAMS as trigrams
     langs = list(profiles)
 
     def score(lg: str) -> str:
         words = ", ".join("'" + w + "'" for w in profiles[lg])
         return (
-            "coalesce(len(list_filter(regexp_split_to_array("
-            "regexp_replace(lower(text), '[^\\pL\\pN\\s]', '', 'g'), "
+            "coalesce(len(list_filter(regexp_split_to_array(norm, "
             f"'\\s+'), t -> t IN ({words}))), 0) AS s_{lg}"
         )
 
+    def tri_score(lg: str) -> str:
+        terms = " + ".join(
+            f"(length(sq) - length(replace(sq, '{t}', ''))) // {len(t)}"
+            for t in trigrams[lg]
+        )
+        return f"coalesce({terms}, 0) AS t_{lg}"
+
     score_cols = ",\n  ".join(score(lg) for lg in langs)
-    all_scores = ", ".join(f"s_{lg}" for lg in langs)
-    ladder = []
-    for i, lg in enumerate(langs):
-        rest = [f"s_{lg} >= s_{other}" for other in langs[i + 1 :]]
-        cond = " AND ".join(rest) if rest else "TRUE"
-        ladder.append(f"WHEN {cond} THEN '{lg}'")
-    ladder_sql = "\n    ".join(ladder[:-1])
+    tri_cols = ",\n  ".join(tri_score(lg) for lg in langs)
+    all_s = ", ".join(f"s_{lg}" for lg in langs)
+    all_t = ", ".join(f"t_{lg}" for lg in langs)
+
+    def ladder(prefix: str) -> str:
+        rungs = []
+        for i, lg in enumerate(langs):
+            rest = [f"{prefix}_{lg} >= {prefix}_{other}" for other in langs[i + 1 :]]
+            cond = " AND ".join(rest) if rest else "TRUE"
+            rungs.append(f"WHEN {cond} THEN '{lg}'")
+        return "\n      ".join(rungs[:-1]) + f"\n      ELSE '{langs[-1]}'"
+
     return f"""
-WITH sc AS (SELECT doc_id, {score_cols} FROM {doc_src})
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '[^\\pL\\pN\\s]', '', 'g') AS norm,
+         regexp_replace(regexp_replace(lower(text), '[^\\pL\\pN\\s]', '', 'g'),
+                        '\\s+', ' ', 'g') AS sq
+  FROM {doc_src}),
+sc AS (SELECT doc_id, {score_cols},
+  {tri_cols}
+  FROM n)
 SELECT doc_id,
-  CASE WHEN greatest({all_scores}) = 0 THEN 'und'
-    {ladder_sql}
-    ELSE '{langs[-1]}' END AS lang_pred
+  CASE WHEN greatest({all_s}) > 0 THEN
+    CASE {ladder("s")} END
+  WHEN greatest({all_t}) > 0 THEN
+    CASE {ladder("t")} END
+  ELSE 'und' END AS lang_pred
 FROM sc
 """
 

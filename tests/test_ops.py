@@ -119,6 +119,41 @@ class TestText:
         ]
         assert got == want
 
+    def test_lang_id_trigram_fallback(self):
+        """Tier 2: short / stopword-free texts classify via the
+        character-trigram profiles (previously all 'und'), non-Latin
+        included, and the SQL twin agrees on every row."""
+        from etl_warehouse_agnostic_ray.ops.text import _LANG_PROFILES
+        from etl_warehouse_agnostic_ray.pipelines import hash_sql
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": [
+                    "Geschichte",                    # de: sch + cht, no stopword
+                    "состояние огромного значения",  # ru trigrams
+                    "constitución información",      # es trigrams
+                    "programmering",                 # trigram-ambiguous, deterministic
+                    "xyzzy qwfp",                    # und: neither tier fires
+                    "",
+                ],
+            }
+        )
+        got = lang_id(t).column("lang_pred").to_pylist()
+        assert got[0] == "de"
+        assert got[1] == "ru"
+        assert got[2] == "es"
+        assert got[4] == "und" and got[5] == "und"
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                "SELECT lang_pred FROM ("
+                + hash_sql.lang_id_sql("t", _LANG_PROFILES)
+                + ") ORDER BY doc_id"
+            ).fetchall()
+        ]
+        assert got == want
+
     def test_fingerprint_equality_iff_normalized_text(self):
         t = pa.table({"text": ["a  b", "a b", "a c", None]})
         fp = doc_fingerprint(t).column("fingerprint").to_pylist()
