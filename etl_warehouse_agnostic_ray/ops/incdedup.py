@@ -45,31 +45,42 @@ N_COARSE = 1024
 
 
 def batch_stamp(ds, id_col: str = "doc_id") -> str:
-    """Order-free content stamp of a batch's id set — ``count`` plus an
-    XOR of splitmix64-mixed ids, computed in one column-pruned pass.
+    """Order-free content stamp of a batch's id MULTISET — count, XOR,
+    and wrapping SUM of splitmix64-mixed ids, one column-pruned pass.
     Stamped into the ``_SUCCESS`` marker so a replayed ``add`` can tell
     "same batch, finish the protocol" from "caller reused the output
     dir for a DIFFERENT batch" (silently returning the previous batch's
-    survivors would lose every document of the new one)."""
+    survivors would lose every document of the new one). XOR alone is
+    not multiset-safe — duplicate ids cancel pairwise, so two distinct
+    batches of doubled ids would collide; the sum component breaks
+    that."""
 
     def partial(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        x = np.bitwise_xor.reduce(splitmix64(ids)) if len(ids) else np.uint64(0)
+        if len(ids):
+            h = splitmix64(ids)
+            x = np.bitwise_xor.reduce(h)
+            with np.errstate(over="ignore"):
+                s = np.add.reduce(h)
+        else:
+            x = s = np.uint64(0)
         return pa.table(
             {
                 "n": pa.array([len(ids)], pa.int64()),
                 "x": pa.array([int(x)], pa.uint64()),
+                "s": pa.array([int(s)], pa.uint64()),
             }
         )
 
     rows = ds.select_columns([id_col]).map_batches(
         partial, batch_format="pyarrow"
     ).take_all()
-    n, x = 0, 0
+    n, x, s = 0, 0, 0
     for r in rows:
         n += int(r["n"])
         x ^= int(r["x"])
-    return f"{n}-{x:016x}"
+        s = (s + int(r["s"])) & 0xFFFFFFFFFFFFFFFF
+    return f"{n}-{x:016x}-{s:016x}"
 
 
 class HashIndex:
