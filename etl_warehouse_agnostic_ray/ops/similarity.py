@@ -292,6 +292,12 @@ class IVFIndex:
         import ray
 
         C = train_ivf_centroids(ds, n_clusters=n_clusters, seed=seed, vec_col=vec_col)
+        # a rebuild (or a crashed earlier build) may leave cell files
+        # whose cells are EMPTY in the new data — start from a clean
+        # cells/ dir so probes can never read stale rows
+        import shutil
+
+        shutil.rmtree(os.path.join(root, "cells"), ignore_errors=True)
         os.makedirs(os.path.join(root, "cells"), exist_ok=True)
         pq.write_table(
             pa.table({"centroid": pa.array([list(c) for c in C], pa.list_(pa.float64()))}),
