@@ -2196,6 +2196,34 @@ class TestBpe:
         toks = apply_bpe("the", ranks)
         assert len(toks) < 3  # merges learned on "the" compress it
 
+    def test_rank_order_application_equivalence(self):
+        """The SQL oracle's strategy (apply every merge rank once, in
+        ascending order) must equal the inference loop (repeatedly
+        merge the lowest-rank pair present) — the property the chained
+        CTE replay rests on. Randomized over a small alphabet so pair
+        collisions, overlaps, and chained merges all occur."""
+        from etl_warehouse_agnostic_ray.ops.bpe import _merge_word, apply_bpe
+
+        rng = np.random.default_rng(17)
+        alphabet = ["a", "b", "c"]
+        for trial in range(200):
+            # random merge table over symbols buildable so far
+            syms = list(alphabet)
+            merges = []
+            for _ in range(rng.integers(1, 8)):
+                a, b = rng.choice(len(syms), 2)
+                merges.append((syms[a], syms[b]))
+                syms.append(syms[a] + syms[b])
+            ranks = {p: i for i, p in enumerate(merges) if p not in merges[:i]}
+            word = "".join(rng.choice(alphabet, rng.integers(1, 15)))
+            # strategy A: inference loop
+            a_out = apply_bpe(word, ranks)
+            # strategy B: one pass per rank, ascending
+            b_out = tuple(word)
+            for p, _ in sorted(ranks.items(), key=lambda kv: kv[1]):
+                b_out = _merge_word(b_out, p)
+            assert a_out == b_out, (trial, word, merges)
+
     def test_sql_twin_crafted_symbols(self):
         """The SQL replay must agree with the Python inference even for
         merges whose symbols contain spaces and quotes (pre-tokenizer
