@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "latest_order_per_customer",
     "windowed_event_counts",
     "asof_join_signup",
+    "range_join_signup_follow",
     "antijoin_customers_urgent",
     "pivot_docs_lang_source",
     "rollup_revenue_nation_segment",

@@ -1226,6 +1226,73 @@ WHERE event_type = 'purchase'
 """
 
 
+def q_range_join_signup_follow(sf_dir: str):
+    """Banded RANGE join (an operator Ray Data lacks natively): for
+    every signup event, how many purchases the SAME user made inside
+    the window [signup.ts, signup.ts + 1 hour). Composition: coarse
+    hash partition on the join key co-locates each user's rows, then
+    per partition ONE structured-array sort of the purchase side and
+    two vectorized ``searchsorted`` probes per signup batch (window
+    start side='left', window end side='left') — no per-row Python, no
+    quadratic band expansion. Partitioning assumption: a user's rows
+    fit one group (same contract as the as-of join); a whale key needs
+    the CDC merge's salting. Window start is INCLUSIVE, end EXCLUSIVE,
+    mirroring the oracle's ``>= / <`` band."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    HOUR_US = np.int64(3_600_000_000)  # ts is timestamp[us]
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pk", pc.bit_wise_and(b.column("user_id"), pa.scalar(255, pa.int64()))
+        )
+
+    def band_count(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).view("int64")
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        etype = g.column("event_type").to_numpy(zero_copy_only=False)
+        is_s = etype == "signup"
+        is_p = etype == "purchase"
+        dt = np.dtype([("u", "<i8"), ("t", "<i8")])
+        purch = np.empty(int(is_p.sum()), dt)
+        purch["u"], purch["t"] = u[is_p], ts[is_p]
+        purch.sort()
+        ns = int(is_s.sum())
+        lo_k = np.empty(ns, dt)
+        lo_k["u"], lo_k["t"] = u[is_s], ts[is_s]
+        hi_k = np.empty(ns, dt)
+        with np.errstate(over="ignore"):
+            hi_k["u"], hi_k["t"] = u[is_s], ts[is_s] + HOUR_US
+        lo = np.searchsorted(purch, lo_k, side="left")
+        hi = np.searchsorted(purch, hi_k, side="left")
+        return pa.table(
+            {
+                "event_id": pa.array(eid[is_s], pa.int64()),
+                "n_follow_purchases": pa.array((hi - lo).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(band_count, batch_format="pyarrow")
+    )
+
+
+SQL_RANGE_JOIN_SIGNUP_FOLLOW = """
+SELECT s.event_id, count(p.event_id)::BIGINT AS n_follow_purchases
+FROM events s
+LEFT JOIN events p
+  ON p.user_id = s.user_id AND p.event_type = 'purchase'
+ AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id
+"""
+
+
 def q_antijoin_customers_urgent(sf_dir: str):
     """Distributed ANTI-join (NOT EXISTS): customers with no URGENT
     order. The probe side is reduced BEFORE the shuffle — a map-side
@@ -3426,6 +3493,7 @@ QUERIES = {
     "latest_order_per_customer": q_latest_order_per_customer,
     "windowed_event_counts": q_windowed_event_counts,
     "asof_join_signup": q_asof_join_signup,
+    "range_join_signup_follow": q_range_join_signup_follow,
     "antijoin_customers_urgent": q_antijoin_customers_urgent,
     "pivot_docs_lang_source": q_pivot_docs_lang_source,
     "rollup_revenue_nation_segment": q_rollup_revenue_nation_segment,
@@ -3521,6 +3589,7 @@ ORACLES = {
     "latest_order_per_customer": SQL_LATEST_ORDER_PER_CUSTOMER,
     "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
     "asof_join_signup": SQL_ASOF_JOIN_SIGNUP,
+    "range_join_signup_follow": SQL_RANGE_JOIN_SIGNUP_FOLLOW,
     "antijoin_customers_urgent": SQL_ANTIJOIN_CUSTOMERS_URGENT,
     "pivot_docs_lang_source": SQL_PIVOT_DOCS_LANG_SOURCE,
     "rollup_revenue_nation_segment": SQL_ROLLUP_REVENUE_NATION_SEGMENT,
