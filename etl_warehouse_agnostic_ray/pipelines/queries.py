@@ -881,38 +881,69 @@ def q_agg_pricing_summary(sf_dir: str):
     )
 
     def add_disc(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
+        # exact integer units end to end (gold/rollup rule): quantity in
+        # hundredths, price in cents, discounted price in 1e-4 dollars
+        # (cents x integer 100-discount_pct) — float Sums drift with
+        # block order and can cross the round(,2) boundary
+        q100 = np.round(
+            b.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        cents = np.round(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d100 = np.round(
+            b.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "_q100": pa.array(q100),
+                "_cents": pa.array(cents),
+                "_dm": pa.array(cents * (100 - d100)),
+            }
         )
-        return b.append_column("disc_price", rev)
 
     out = (
         ds.map_batches(add_disc, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("_q100", alias_name="_q100"),
+            Sum("_cents", alias_name="_cents"),
+            Sum("_dm", alias_name="_dm"),
             Count(alias_name="count_order"),
         )
     )
     t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
-    t = _round2(t, ["sum_qty", "sum_base_price", "sum_disc_price"])
-    avg = pc.round(
-        pc.divide(pc.cast(t.column("sum_qty"), pa.float64()), pc.cast(t.column("count_order"), pa.float64())),
+    sq = pc.divide(pc.cast(t.column("_q100"), pa.float64()), 100.0)
+    sb = pc.divide(pc.cast(t.column("_cents"), pa.float64()), 100.0)
+    sd = pc.round(
+        pc.divide(pc.cast(t.column("_dm"), pa.float64()), 10000.0),
         ndigits=2,
         round_mode="half_towards_infinity",
     )
+    avg = pc.round(
+        pc.divide(sq, pc.cast(t.column("count_order"), pa.float64())),
+        ndigits=2,
+        round_mode="half_towards_infinity",
+    )
+    t = t.drop(["_q100", "_cents", "_dm"])
+    t = t.append_column("sum_qty", sq)
+    t = t.append_column("sum_base_price", sb)
+    t = t.append_column("sum_disc_price", sd)
     return t.append_column("avg_qty", avg)
 
 
 SQL_AGG_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+         AS sum_disc_price,
        count(*) AS count_order,
-       round(round(sum(l_quantity), 2) / count(*), 2) AS avg_qty
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 2)
+         AS avg_qty
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
@@ -936,24 +967,35 @@ def q_filter_project_revenue(sf_dir: str):
             pc.less(b.column("l_shipdate"), pa.scalar(np.datetime64("1997-01-01", "us"))),
         )
         f = b.filter(m)
-        rev = pc.multiply(
-            f.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), f.column("l_discount"))
-        )
+        # exact integer 1e-4-dollar units (cents x integer discount
+        # complement): per-group float reduceat order is deterministic
+        # here, but the cross-engine product association is not — the
+        # all-integer form removes the question (gold/rollup rule)
+        cents = np.round(
+            f.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d100 = np.round(
+            f.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
         pk = pc.bit_wise_and(f.column("l_orderkey"), pa.scalar(255, pa.int64()))
         return pa.table(
-            {"l_orderkey": f.column("l_orderkey"), "rev": rev, "pk": pk}
+            {
+                "l_orderkey": f.column("l_orderkey"),
+                "_dm": pa.array(cents * (100 - d100)),
+                "pk": pk,
+            }
         )
 
     def sum_per_order(g: pd.DataFrame) -> pd.DataFrame:
         k = g["l_orderkey"].to_numpy()
-        v = g["rev"].to_numpy()
+        v = g["_dm"].to_numpy()
         order = np.argsort(k, kind="stable")
         ks, vs = k[order], v[order]
         first = np.ones(len(ks), dtype=bool)
         first[1:] = ks[1:] != ks[:-1]
         starts = np.flatnonzero(first)
         sums = np.add.reduceat(vs, starts) if len(vs) else vs
-        return pd.DataFrame({"l_orderkey": ks[first], "revenue": sums})
+        return pd.DataFrame({"l_orderkey": ks[first], "_dm": sums})
 
     out = (
         ds.map_batches(body, batch_format="pyarrow")
@@ -961,11 +1003,19 @@ def q_filter_project_revenue(sf_dir: str):
         .map_groups(sum_per_order, batch_format="pandas")
     )
     t = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
-    return _round2(t, ["revenue"])
+    rev = pc.round(
+        pc.divide(pc.cast(t.column("_dm"), pa.float64()), 10000.0),
+        ndigits=2,
+        round_mode="half_towards_infinity",
+    )
+    return t.drop(["_dm"]).append_column("revenue", rev)
 
 
 SQL_FILTER_PROJECT_REVENUE = """
-SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT l_orderkey,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+         AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_orderkey
@@ -1030,11 +1080,17 @@ def q_join_revenue_by_nation_segment(sf_dir: str):
     def add_nation(b: pa.Table) -> pa.Table:
         nmap = ray.get(nmap_ref)
         keys = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        # money summed as exact integer cents: float64 Sum order is
+        # block-nondeterministic, and a sub-ulp drift that crosses the
+        # round(,2) boundary is a wrong answer (the gold/rollup rule)
+        cents = np.round(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
         return pa.table(
             {
                 "n_name": pa.array(nmap[keys], pa.string()),
                 "c_mktsegment": b.column("c_mktsegment"),
-                "o_totalprice": b.column("o_totalprice"),
+                "_cents": pa.array(cents),
             }
         )
 
@@ -1043,16 +1099,17 @@ def q_join_revenue_by_nation_segment(sf_dir: str):
         .groupby(["n_name", "c_mktsegment"])
         .aggregate(
             Count(alias_name="n_orders"),
-            Sum("o_totalprice", alias_name="revenue"),
+            Sum("_cents", alias_name="_cents"),
         )
     )
     t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
-    return _round2(t, ["revenue"])
+    rev = pc.divide(pc.cast(t.column("_cents"), pa.float64()), 100.0)
+    return t.drop(["_cents"]).append_column("revenue", rev)
 
 
 SQL_JOIN_REVENUE_BY_NATION_SEGMENT = """
 SELECT n.n_name, c.c_mktsegment, count(*) AS n_orders,
-       round(sum(o.o_totalprice), 2) AS revenue
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1125,26 +1182,39 @@ def q_windowed_event_counts(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def win(b: pa.Table) -> pa.Table:
+        # values summed as exact integer micro-units (round(v*1e6)) so
+        # the block-order-nondeterministic float Sum can never drift a
+        # result across the round(,2) boundary
+        micro = np.round(
+            b.column("value").to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
         return pa.table(
             {
                 "event_type": b.column("event_type"),
                 "window_start": pc.floor_temporal(b.column("ts"), unit="hour"),
-                "value": b.column("value"),
+                "_micro": pa.array(micro),
             }
         )
 
     out = (
         ds.map_batches(win, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .aggregate(Count(alias_name="n_events"), Sum("_micro", alias_name="_micro"))
     )
     t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
-    return _round2(t, ["total_value"])
+    tv = pc.round(
+        pc.divide(pc.cast(t.column("_micro"), pa.float64()), 1e6),
+        ndigits=2,
+        round_mode="half_towards_infinity",
+    )
+    return t.drop(["_micro"]).append_column("total_value", tv)
 
 
 SQL_WINDOWED_EVENT_COUNTS = """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
-       count(*) AS n_events, round(sum(value), 2) AS total_value
+       count(*) AS n_events,
+       round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 2)
+         AS total_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
@@ -1608,13 +1678,22 @@ def q_case_ladder_order_tiers(sf_dir: str):
             pc.utf8_slice_codeunits(b.column("o_orderpriority"), 0, 1),
             value_set=pa.array(["1", "2"]),
         )
-        return pa.table({"value_tier": tier, "is_urgent": urgent, "o_totalprice": p})
+        cents = np.round(
+            p.to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)  # exact integer cents (gold/rollup rule)
+        return pa.table(
+            {"value_tier": tier, "is_urgent": urgent, "_cents": pa.array(cents)}
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        tp = pc.divide(pc.cast(t.column("_cents"), pa.float64()), 100.0)
+        return t.drop(["_cents"]).append_column("total_price", tp)
 
     return (
         ds.map_batches(body, batch_format="pyarrow")
         .groupby(["value_tier", "is_urgent"])
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
-        .map_batches(functools.partial(_round2, cols=["total_price"]), batch_format="pyarrow")
+        .aggregate(Count(alias_name="n_orders"), Sum("_cents", alias_name="_cents"))
+        .map_batches(finalize, batch_format="pyarrow")
     )
 
 
@@ -1625,7 +1704,7 @@ SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
             ELSE 'jumbo' END AS value_tier,
        substring(o_orderpriority, 1, 1) IN ('1','2') AS is_urgent,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
 FROM orders GROUP BY 1, 2
 """
 
