@@ -181,17 +181,20 @@ def lang_id(batch: pa.Table, col: str = "text", out: str = "lang_pred") -> pa.Ta
     stop_hit = m.max(axis=1) > 0
     lang_arr = np.asarray(langs, dtype=object)
     pred = np.where(stop_hit, lang_arr[best], "und")
-    if not stop_hit.all():
-        sq = pc.replace_substring_regex(s, r"\s+", " ")
-        t = np.zeros((batch.num_rows, len(langs)), dtype=np.int64)
+    need = ~stop_hit
+    if need.any():
+        # trigram scans run over ONLY the rows tier 1 missed (long web
+        # docs nearly always hit a stopword, so the 17×8 substring
+        # kernels touch just the short-text tail, not the whole batch)
+        sq = pc.replace_substring_regex(s.filter(pa.array(need)), r"\s+", " ")
+        t = np.zeros((int(need.sum()), len(langs)), dtype=np.int64)
         for j, lg in enumerate(langs):
             for tri in _LANG_TRIGRAMS[lg]:
                 c = pc.fill_null(pc.count_substring(sq, tri), 0)
                 t[:, j] += c.to_numpy(zero_copy_only=False)
         tri_best = t.argmax(axis=1)
         tri_hit = t.max(axis=1) > 0
-        fallback = np.where(tri_hit, lang_arr[tri_best], "und")
-        pred = np.where(stop_hit, pred, fallback)
+        pred[need] = np.where(tri_hit, lang_arr[tri_best], "und")
     return batch.append_column(out, pa.array(pred, pa.string()))
 
 
