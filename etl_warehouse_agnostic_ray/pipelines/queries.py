@@ -3572,7 +3572,6 @@ QUERIES = {
     "latest_order_per_customer": q_latest_order_per_customer,
     "windowed_event_counts": q_windowed_event_counts,
     "asof_join_signup": q_asof_join_signup,
-    "range_join_signup_follow": q_range_join_signup_follow,
     "antijoin_customers_urgent": q_antijoin_customers_urgent,
     "pivot_docs_lang_source": q_pivot_docs_lang_source,
     "rollup_revenue_nation_segment": q_rollup_revenue_nation_segment,
@@ -3624,8 +3623,6 @@ QUERIES = {
     "incremental_dedup_documents": q_incremental_dedup_documents,
     "incremental_neardup_documents": q_incremental_neardup_documents,
     "pack_sequences_documents": q_pack_sequences_documents,
-    "bpe_token_count_documents": q_bpe_token_count_documents,
-    "pack_bpe_documents": q_pack_bpe_documents,
     "train_order_documents": q_train_order_documents,
     "time_travel_pages": q_time_travel_pages,
     "incremental_rollup_pages": q_incremental_rollup_pages,
@@ -3640,6 +3637,11 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "contamination_check": q_contamination_check,
     "corpus_prepare": q_corpus_prepare,
+    # round-4 additions go LAST: the driver sweeps in registry order
+    # under a budget, so the long-green head stays covered first
+    "bpe_token_count_documents": q_bpe_token_count_documents,
+    "pack_bpe_documents": q_pack_bpe_documents,
+    "range_join_signup_follow": q_range_join_signup_follow,
 }
 
 ORACLES = {
@@ -3668,7 +3670,6 @@ ORACLES = {
     "latest_order_per_customer": SQL_LATEST_ORDER_PER_CUSTOMER,
     "windowed_event_counts": SQL_WINDOWED_EVENT_COUNTS,
     "asof_join_signup": SQL_ASOF_JOIN_SIGNUP,
-    "range_join_signup_follow": SQL_RANGE_JOIN_SIGNUP_FOLLOW,
     "antijoin_customers_urgent": SQL_ANTIJOIN_CUSTOMERS_URGENT,
     "pivot_docs_lang_source": SQL_PIVOT_DOCS_LANG_SOURCE,
     "rollup_revenue_nation_segment": SQL_ROLLUP_REVENUE_NATION_SEGMENT,
@@ -3707,8 +3708,6 @@ ORACLES = {
     "incremental_dedup_documents": SQL_INCREMENTAL_DEDUP_DOCUMENTS,
     "incremental_neardup_documents": _sql_incremental_neardup(),
     "pack_sequences_documents": SQL_PACK_SEQUENCES_DOCUMENTS,
-    "bpe_token_count_documents": _sql_bpe_token_count(),
-    "pack_bpe_documents": _sql_pack_bpe(),
     "train_order_documents": _sql_train_order(),
     "time_travel_pages": SQL_TIME_TRAVEL_PAGES,
     "incremental_rollup_pages": SQL_INCREMENTAL_ROLLUP_PAGES,
@@ -3719,6 +3718,9 @@ ORACLES = {
     "quantiles_event_value": SQL_QUANTILES_EVENT_VALUE,
     "grouped_quantiles_events": SQL_GROUPED_QUANTILES_EVENTS,
     "repetition_signals_docs": SQL_REPETITION_SIGNALS_DOCS,
+    "bpe_token_count_documents": _sql_bpe_token_count(),
+    "pack_bpe_documents": _sql_pack_bpe(),
+    "range_join_signup_follow": SQL_RANGE_JOIN_SIGNUP_FOLLOW,
 }
 
 
