@@ -373,6 +373,49 @@ class TestWalOrdering:
         assert eng.to_arrow().num_rows == 20  # nothing dropped
         assert eng.lake.load_manifest()["applied_lsn"] == 109
 
+    def test_randomized_statless_drain_property(self, tmp_path, ray_session):
+        """Property: for a WAL of random disjoint LSN slices where a
+        random subset of files carries NO footer statistics, a
+        micro-batch drain (random max_files) converges to the same
+        final table as applying the whole WAL in one batch — no event
+        lost or double-applied regardless of which files are stat-less
+        or how the slices interleave on disk."""
+        import numpy as np
+
+        from etl_warehouse_agnostic_ray import CDCEngine
+
+        rng = np.random.default_rng(23)
+        for trial in range(3):
+            d = str(tmp_path / f"wal{trial}")
+            os.makedirs(d)
+            # random permutation of disjoint 10-event LSN slices; ~40%
+            # of files stat-less; filenames shuffled relative to ranges
+            slices = rng.permutation(12)
+            all_urls = {}
+            for fi, sl in enumerate(slices):
+                lsns = list(range(int(sl) * 10, int(sl) * 10 + 10))
+                urls = [f"https://s.example/u{l % 37}" for l in lsns]
+                for l, u in zip(lsns, urls):
+                    all_urls[u] = max(all_urls.get(u, -1), l)
+                pq.write_table(
+                    self._ev(lsns, urls),
+                    os.path.join(d, f"events-{fi}.parquet"),
+                    write_statistics=bool(rng.random() > 0.4),
+                )
+            mb = int(rng.integers(1, 4))
+            eng = CDCEngine(str(tmp_path / f"lake{trial}"), num_partitions=4)
+            eng.init_empty()
+            eng.apply_stream(d, max_files_per_batch=mb)
+            got = eng.to_arrow().sort_by("url")
+            # oracle: ONE batch over the whole WAL into a fresh lake
+            ora = CDCEngine(str(tmp_path / f"oracle{trial}"), num_partitions=4)
+            ora.init_empty()
+            ora.apply(d, batch_id=f"one-{trial}")
+            want = ora.to_arrow().sort_by("url")
+            assert got.equals(want), f"trial {trial} (max_files={mb})"
+            assert got.num_rows == len(all_urls)
+            assert eng.lake.load_manifest()["applied_lsn"] == 119
+
     def test_unpadded_wal_drains_without_loss(self, tmp_path, ray_session):
         """End-to-end: micro-batch drain of the unpadded WAL applies
         EVERY event (pre-fix, name-order chunking lost the low slices
