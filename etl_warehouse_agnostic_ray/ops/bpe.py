@@ -57,15 +57,52 @@ MERGES_PATH = os.path.join(
 _SEP = "\x1f"
 
 
+def _esc(s: str) -> str:
+    """Escape a merge symbol for the line-oriented artifact: backslash,
+    newline/CR (would break the line format) and the field separator.
+    A '#'-leading symbol needs no escape — only the fixed header line
+    is a comment (ADVICE r4: skipping every '#' line silently dropped
+    plausible punctuation-run tokens on round-trip)."""
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace(_SEP, "\\u001f")
+    )
+
+
+def _unesc(s: str) -> str:
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt == "n":
+                out.append("\n"); i += 2; continue
+            if nxt == "r":
+                out.append("\r"); i += 2; continue
+            if nxt == "\\":
+                out.append("\\"); i += 2; continue
+            if nxt == "u" and i + 6 <= n:
+                out.append(chr(int(s[i + 2 : i + 6], 16))); i += 6; continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def load_merges(path: str = MERGES_PATH) -> list[tuple[str, str]]:
     merges = []
     with open(path, encoding="utf-8") as f:
-        for line in f:
+        for lineno, line in enumerate(f):
             line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+            # ONLY the first line is the header comment; data lines are
+            # parsed unconditionally (symbols may legitimately start
+            # with '#')
+            if not line or (lineno == 0 and line.startswith("#")):
                 continue
             a, b = line.split(_SEP)
-            merges.append((a, b))
+            merges.append((_unesc(a), _unesc(b)))
     return merges
 
 
@@ -133,9 +170,10 @@ def train_bpe_merges(
 def save_merges(merges: list[tuple[str, str]], path: str = MERGES_PATH) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", encoding="utf-8") as f:
-        f.write("# BPE merges, rank order; fields separated by U+001F\n")
+        f.write("# BPE merges, rank order; fields separated by U+001F; "
+                "symbols escaped (\\\\ \\n \\r \\u001f)\n")
         for a, b in merges:
-            f.write(f"{a}{_SEP}{b}\n")
+            f.write(f"{_esc(a)}{_SEP}{_esc(b)}\n")
 
 
 class BpeTokenCounter:

@@ -44,21 +44,31 @@ from .texthash import POLY_B2, poly_hash_array, splitmix64
 N_COARSE = 1024
 
 
-def batch_stamp(ds, id_col: str = "doc_id") -> str:
-    """Order-free content stamp of a batch's id MULTISET — count, XOR,
-    and wrapping SUM of splitmix64-mixed ids, one column-pruned pass.
-    Stamped into the ``_SUCCESS`` marker so a replayed ``add`` can tell
-    "same batch, finish the protocol" from "caller reused the output
-    dir for a DIFFERENT batch" (silently returning the previous batch's
+def batch_stamp(ds, id_col: str = "doc_id", text_col: str | None = "text") -> str:
+    """Order-free content stamp of a batch's (id, content) MULTISET —
+    count, XOR, and wrapping SUM of splitmix64-mixed ids combined with
+    the poly-hash of each row's text, one column-pruned pass. Stamped
+    into the ``_SUCCESS`` marker so a replayed ``add`` can tell "same
+    batch, finish the protocol" from "caller reused the output dir for
+    a DIFFERENT batch" (silently returning the previous batch's
     survivors would lose every document of the new one). XOR alone is
     not multiset-safe — duplicate ids cancel pairwise, so two distinct
     batches of doubled ids would collide; the sum component breaks
-    that."""
+    that. The content component (ADVICE r4) breaks the narrower replay
+    corner: same ids, DIFFERENT texts must not match the old stamp.
+    ``text_col`` is skipped if absent from the schema."""
+    cols = [id_col]
+    if text_col is not None and text_col in (ds.schema().names or ()):
+        cols.append(text_col)
+    else:
+        text_col = None
 
     def partial(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         if len(ids):
             h = splitmix64(ids)
+            if text_col is not None:
+                h = h ^ poly_hash_array(b.column(text_col))
             x = np.bitwise_xor.reduce(h)
             with np.errstate(over="ignore"):
                 s = np.add.reduce(h)
@@ -72,7 +82,7 @@ def batch_stamp(ds, id_col: str = "doc_id") -> str:
             }
         )
 
-    rows = ds.select_columns([id_col]).map_batches(
+    rows = ds.select_columns(cols).map_batches(
         partial, batch_format="pyarrow"
     ).take_all()
     n, x, s = 0, 0, 0
@@ -196,7 +206,7 @@ class IncrementalDeduper:
             os.path.join(survivors_out, "_SUCCESS") if survivors_out else None
         )
         if marker and os.path.exists(marker):
-            stamp = batch_id if batch_id is not None else batch_stamp(ds, id_col)
+            stamp = batch_id if batch_id is not None else batch_stamp(ds, id_col, text_col)
             prev = open(marker).read().strip()
             if prev == stamp:
                 surv = read_out()
@@ -282,7 +292,7 @@ class IncrementalDeduper:
 
                 shutil.rmtree(data_dir)
             result.write_parquet(data_dir)
-            stamp = batch_id if batch_id is not None else batch_stamp(ds, id_col)
+            stamp = batch_id if batch_id is not None else batch_stamp(ds, id_col, text_col)
             with open(marker, "w") as f:
                 f.write(stamp)
 

@@ -10,8 +10,8 @@ centroids (seeded k-means on a sample), search only the nearest
 from __future__ import annotations
 
 import functools
-import heapq
 import json
+import math
 import os
 
 import numpy as np
@@ -60,34 +60,40 @@ def _topk_partials(
 
 def _heap_merge(partials, k: int) -> pa.Table:
     """Driver-side global top-k over the tiny per-batch partial stream
-    (≤ blocks × k × q rows): per-query min-heap, ties broken by lower
-    vec_id (matches the oracle's ORDER BY cosine DESC, vec_id ASC)."""
-    heaps: dict[int, list] = {}
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        for qi, vid, s in zip(
-            b.column("query_id").to_pylist(),
-            b.column("vec_id").to_pylist(),
-            b.column("cosine").to_pylist(),
-        ):
-            h = heaps.setdefault(qi, [])
-            if len(h) < k:
-                heapq.heappush(h, (s, -vid))
-            elif (s, -vid) > h[0]:
-                heapq.heapreplace(h, (s, -vid))
-    rows_q, rows_id, rows_s, rows_rank = [], [], [], []
-    for qi in sorted(heaps):
-        ranked = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
-        for r, (s, nvid) in enumerate(ranked, 1):
-            rows_q.append(qi)
-            rows_id.append(-nvid)
-            rows_s.append(round(s, 6))
-            rows_rank.append(r)
+    (≤ blocks × k × q rows): ONE vectorized lexsort by
+    (query_id, −cosine, vec_id) and a first-k-per-query mask — no
+    per-row Python loop (VERDICT r4 task 7). Tie order matches the
+    oracle's ORDER BY cosine DESC, vec_id ASC."""
+    chunks = list(partials.iter_batches(batch_format="pyarrow"))
+    t = pa.concat_tables(chunks) if chunks else _PARTIAL_SCHEMA.empty_table()
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    q = t.column("query_id").to_numpy(zero_copy_only=False)
+    v = t.column("vec_id").to_numpy(zero_copy_only=False)
+    s = t.column("cosine").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, -s, q))  # query asc, cosine desc, vec_id asc
+    qs, vs, ss = q[order], v[order], s[order]
+    n = len(qs)
+    new_grp = np.ones(n, dtype=bool)
+    new_grp[1:] = qs[1:] != qs[:-1]
+    idx = np.arange(n)
+    grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+    rank = idx - grp_start + 1
+    keep = rank <= k
     return pa.table(
         {
-            "query_id": pa.array(rows_q, pa.int64()),
-            "rank": pa.array(rows_rank, pa.int64()),
-            "vec_id": pa.array(rows_id, pa.int64()),
-            "cosine": pa.array(rows_s, pa.float64()),
+            "query_id": pa.array(qs[keep].astype(np.int64)),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+            "vec_id": pa.array(vs[keep].astype(np.int64)),
+            "cosine": pa.array(np.round(ss[keep], 6)),
         }
     )
 
@@ -117,6 +123,48 @@ def topk_cosine(
         batch_format="pyarrow",
     )
     return _heap_merge(partials, k)
+
+
+def _vector_stamp(ds, id_col: str, vec_col: str) -> str:
+    """Order-free content stamp of a vector batch's (id, embedding)
+    MULTISET — the extend() replay detector (same count/XOR/SUM
+    discipline as ``ops.incdedup.batch_stamp``, with the vector BYTES
+    folded in so same-ids-different-vectors batches cannot collide)."""
+    from .texthash import splitmix64
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n:
+            ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+            V = list_col_to_matrix(b.column(vec_col))
+            vh = splitmix64(
+                np.bitwise_xor.reduce(
+                    np.ascontiguousarray(V).view(np.uint64), axis=1
+                )
+            )
+            h = splitmix64(ids) ^ vh
+            x = np.bitwise_xor.reduce(h)
+            with np.errstate(over="ignore"):
+                s = np.add.reduce(h)
+        else:
+            x = s = np.uint64(0)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "x": pa.array([int(x)], pa.uint64()),
+                "s": pa.array([int(s)], pa.uint64()),
+            }
+        )
+
+    rows = ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all()
+    n, x, s = 0, 0, 0
+    for r in rows:
+        n += int(r["n"])
+        x ^= int(r["x"])
+        s = (s + int(r["s"])) & 0xFFFFFFFFFFFFFFFF
+    return f"{n}-{x:016x}-{s:016x}"
 
 
 # ------------------------------------------------------------------ IVF
@@ -227,41 +275,109 @@ class IVFIndex:
     ``ops/incneardup``'s band index):
 
       root/params.json          — stamped build contract (n_clusters,
-                                  seed, dim, column names, version);
-                                  reopening with different params
-                                  refuses loudly
+                                  seed, shards, column names, version);
+                                  written LAST at build (commit marker)
+                                  and DELETED FIRST on rebuild, so a
+                                  crashed rebuild fails loudly instead
+                                  of probing half-rewritten cells
+                                  (ADVICE r4); reopening with different
+                                  params refuses loudly
       root/centroids.parquet    — the coarse quantizer (k × dim)
-      root/cells/cell-NNNNN.parquet — one file per non-empty cell,
-                                  rows = (vec_id, cell, NORMALIZED
-                                  vector)
+      root/cells/cell-NNNNN-part-SSS.parquet
+                                — base build rows of one (cell, shard):
+                                  (vec_id, cell, NORMALIZED vector).
+                                  Shards bound the per-file row count
+                                  so no single task ever writes a whole
+                                  hot cell (VERDICT r4 task 2)
+      root/cells/cell-NNNNN-gGGGG-part-SSS.parquet
+                                — rows appended by extend() generation
+                                  GGGG; visible ONLY once that
+                                  generation's marker exists
+      root/extends/g-GGGG.json  — extend commit markers (batch stamp),
+                                  tmp+rename
 
     Build: one Ray pipeline — centroids broadcast once, each batch
-    assigned vectorized in map_batches, then ONE task per cell writes
-    that cell's file (groupby shuffle on cell id; tmp+rename). Search:
-    per query rank centroids, take the union of the probed cells across
-    queries, ``read_parquet`` ONLY those files, and run the same
-    partial-top-k + driver heap merge — rows from a cell outside a
-    given query's probe set are masked out per batch. At full probe
-    this is exactly brute force."""
+    assigned vectorized in map_batches, then ONE task per (cell, shard)
+    writes its file (groupby shuffle on the composite key; tmp+rename).
+    Search: per query rank centroids, take the union of the probed
+    cells across queries, ``read_parquet`` ONLY those cells' files
+    (committed generations only), and run the same partial-top-k +
+    driver lexsort merge — rows from a cell outside a given query's
+    probe set are masked out per batch. At full probe this is exactly
+    brute force.
 
-    FORMAT_VERSION = 1
+    Single-writer contract (same as the lake): build/extend from one
+    process at a time; concurrent readers are safe at any point."""
+
+    FORMAT_VERSION = 2
 
     def __init__(self, root: str):
         pfile = os.path.join(root, "params.json")
         if not os.path.exists(pfile):
             raise FileNotFoundError(
-                f"no IVF index at {root} (missing params.json) — build one "
+                f"no committed IVF index at {root} (missing params.json — "
+                "never built, or a rebuild crashed mid-way) — build one "
                 "with IVFIndex.build(...)"
             )
         self.root = root
         self.p = json.load(open(pfile))
+        if self.p.get("version") != self.FORMAT_VERSION:
+            raise RuntimeError(
+                f"IVF index at {root} has format version "
+                f"{self.p.get('version')}, this code reads "
+                f"{self.FORMAT_VERSION} — rebuild the index."
+            )
         ct = pq.read_table(os.path.join(root, "centroids.parquet"))
         self.C = list_col_to_matrix(ct.column("centroid"))
         self.last_probe_files: list[str] = []
 
+    # ----------------------------------------------------- file layout
     @staticmethod
-    def _cell_path(root: str, cell: int) -> str:
-        return os.path.join(root, "cells", f"cell-{cell:05d}.parquet")
+    def _part_name(cell: int, shard: int, gen: int = 0) -> str:
+        if gen == 0:
+            return f"cell-{cell:05d}-part-{shard:03d}.parquet"
+        return f"cell-{cell:05d}-g{gen:04d}-part-{shard:03d}.parquet"
+
+    @staticmethod
+    def _parse_gen(fname: str) -> int:
+        """Generation of a cell part file name (0 = base build)."""
+        parts = fname.split("-")
+        for p in parts:
+            if p.startswith("g") and p[1:].isdigit():
+                return int(p[1:])
+        return 0
+
+    def _committed_gens(self) -> set[int]:
+        ext = os.path.join(self.root, "extends")
+        gens = {0}
+        if os.path.isdir(ext):
+            for f in os.listdir(ext):
+                if f.startswith("g-") and f.endswith(".json"):
+                    gens.add(int(f[2:-5]))
+        return gens
+
+    def _cell_files(self, cells) -> list[str]:
+        """All committed part files belonging to the given cells —
+        ONE directory listing, filtered by cell id and committed
+        generation (uncommitted extend files stay invisible)."""
+        cdir = os.path.join(self.root, "cells")
+        want = {f"cell-{int(c):05d}" for c in cells}
+        gens = self._committed_gens()
+        out = []
+        for f in sorted(os.listdir(cdir)):
+            if not f.endswith(".parquet"):
+                continue
+            if f[:10] in want and self._parse_gen(f) in gens:
+                out.append(os.path.join(cdir, f))
+        return out
+
+    @staticmethod
+    def _num_shards(n_rows: int, target_rows_per_file: int) -> int:
+        """Shard count sized to the WORST case (every row in one hot
+        cell): even then each (cell, shard) file holds ≈
+        target_rows_per_file rows, so no build/extend task ever
+        materializes a whole cell."""
+        return max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
 
     @classmethod
     def build(
@@ -272,38 +388,70 @@ class IVFIndex:
         seed: int = 11,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        target_rows_per_file: int = 262_144,
     ) -> "IVFIndex":
+        import ray
+
+        n_rows = ds.count()
+        shards = cls._num_shards(n_rows, target_rows_per_file)
         params = {
             "version": cls.FORMAT_VERSION,
             "n_clusters": n_clusters,
             "seed": seed,
             "id_col": id_col,
             "vec_col": vec_col,
+            "shards": shards,
+            "target_rows_per_file": target_rows_per_file,
         }
         pfile = os.path.join(root, "params.json")
         if os.path.exists(pfile):
             stamped = json.load(open(pfile))
-            if stamped != params:
+            core = {k: stamped.get(k) for k in ("version", "n_clusters", "seed",
+                                                "id_col", "vec_col")}
+            core_new = {k: params[k] for k in core}
+            if core != core_new:
                 raise RuntimeError(
                     f"IVF index at {root} was built with {stamped}, rebuild "
                     f"requested with {params} — delete the index directory "
                     "to change parameters."
                 )
-        import ray
+            # REBUILD: invalidate the previous commit marker FIRST, so a
+            # crash anywhere below leaves an index that refuses to open
+            # (loud) instead of one whose probes silently read a mix of
+            # old and new cells (ADVICE r4 medium)
+            os.remove(pfile)
 
         C = train_ivf_centroids(ds, n_clusters=n_clusters, seed=seed, vec_col=vec_col)
         # a rebuild (or a crashed earlier build) may leave cell files
         # whose cells are EMPTY in the new data — start from a clean
-        # cells/ dir so probes can never read stale rows
+        # cells/ (and extends/) dir so probes can never read stale rows
         import shutil
 
         shutil.rmtree(os.path.join(root, "cells"), ignore_errors=True)
+        shutil.rmtree(os.path.join(root, "extends"), ignore_errors=True)
         os.makedirs(os.path.join(root, "cells"), exist_ok=True)
         pq.write_table(
             pa.table({"centroid": pa.array([list(c) for c in C], pa.list_(pa.float64()))}),
             os.path.join(root, "centroids.parquet"),
         )
+        cls._write_gen(ds, root, C, shards, 0, id_col, vec_col)
+        # params.json lands LAST — it is the index's commit marker
+        tmp = pfile + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(tmp, pfile)
+        return cls(root)
+
+    @staticmethod
+    def _write_gen(ds, root, C, shards, gen, id_col, vec_col) -> None:
+        """Assign every row to its centroid cell and write the
+        (cell, shard) part files for one generation: vectorized assign
+        in map_batches, ONE groupby shuffle on the composite shard key,
+        one writer task per (cell, shard)."""
+        import ray
+
         Cref = ray.put(C)
+        n_shards = shards
 
         def assign(b: pa.Table) -> pa.Table:
             if b.num_rows == 0:
@@ -311,6 +459,7 @@ class IVFIndex:
                     {
                         "vec_id": pa.array([], pa.int64()),
                         "cell": pa.array([], pa.int64()),
+                        "_sk": pa.array([], pa.int64()),
                         "embedding": pa.array([], pa.list_(pa.float64())),
                     }
                 )
@@ -320,6 +469,12 @@ class IVFIndex:
             nrm[nrm == 0] = 1.0
             Vn = V / nrm
             cell = (Vn @ Cm.T).argmax(axis=1).astype(np.int64)
+            ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            from .texthash import splitmix64
+
+            shard = (
+                splitmix64(ids.view(np.uint64)) % np.uint64(n_shards)
+            ).astype(np.int64)
             n, dim = Vn.shape
             emb = pa.ListArray.from_arrays(
                 pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
@@ -327,19 +482,21 @@ class IVFIndex:
             )
             return pa.table(
                 {
-                    "vec_id": pa.array(
-                        b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-                    ),
+                    "vec_id": pa.array(ids),
                     "cell": pa.array(cell),
+                    "_sk": pa.array(cell * np.int64(n_shards) + shard),
                     "embedding": emb,
                 }
             )
 
-        def write_cell(g: pa.Table) -> pa.Table:
-            cell = int(g.column("cell")[0].as_py())
-            path = cls._cell_path(root, cell)
+        def write_part(g: pa.Table) -> pa.Table:
+            sk = int(g.column("_sk")[0].as_py())
+            cell, shard = divmod(sk, n_shards)
+            path = os.path.join(
+                root, "cells", IVFIndex._part_name(cell, shard, gen)
+            )
             tmp = path + ".tmp"
-            pq.write_table(g, tmp)
+            pq.write_table(g.drop_columns(["_sk"]), tmp)
             os.replace(tmp, path)
             return pa.table(
                 {
@@ -350,14 +507,67 @@ class IVFIndex:
 
         (
             ds.map_batches(assign, batch_format="pyarrow")
-            .groupby("cell")
-            .map_groups(write_cell, batch_format="pyarrow")
+            .groupby("_sk")
+            .map_groups(write_part, batch_format="pyarrow")
             .count()
         )
-        # params.json lands LAST — it is the index's commit marker
-        with open(pfile, "w") as f:
-            json.dump(params, f)
-        return cls(root)
+
+    def extend(self, ds, batch_id: str | None = None) -> int:
+        """Incrementally add vectors: assign to the EXISTING centroids
+        (no retrain — at full probe extend+search is exactly
+        rebuild-with-union+search; at partial probe recall decays as
+        the data distribution drifts from the trained quantizer, which
+        is the documented rebuild trigger — monitor the cell-size
+        histogram via ``stats()``), then append per-(cell, shard) part
+        files under a fresh GENERATION and commit it with a stamped
+        marker (tmp+rename). Crash anywhere before the marker leaves
+        the new files invisible to every reader; the next extend
+        vacuums them. A replayed extend whose batch stamp matches an
+        already-committed generation is a no-op (idempotent). Returns
+        the committed generation number."""
+        stamp = batch_id if batch_id is not None else _vector_stamp(
+            ds, self.p["id_col"], self.p["vec_col"]
+        )
+        ext_dir = os.path.join(self.root, "extends")
+        os.makedirs(ext_dir, exist_ok=True)
+        committed = self._committed_gens()
+        for g in sorted(committed - {0}):
+            m = json.load(open(os.path.join(ext_dir, f"g-{g:04d}.json")))
+            if m.get("stamp") == stamp:
+                return g  # replay of an already-committed extend
+        # vacuum uncommitted leftovers from crashed attempts (single
+        # writer: no other process can be mid-extend here)
+        cdir = os.path.join(self.root, "cells")
+        for f in os.listdir(cdir):
+            if f.endswith(".parquet") and self._parse_gen(f) not in committed:
+                os.remove(os.path.join(cdir, f))
+            elif f.endswith(".tmp"):
+                os.remove(os.path.join(cdir, f))
+        gen = max(committed) + 1
+        self._write_gen(
+            ds, self.root, self.C, self.p["shards"], gen,
+            self.p["id_col"], self.p["vec_col"],
+        )
+        marker = os.path.join(ext_dir, f"g-{gen:04d}.json")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"stamp": stamp, "gen": gen}, f)
+        os.replace(tmp, marker)
+        return gen
+
+    def stats(self) -> dict:
+        """Cell-size histogram over committed files — the rebuild
+        trigger signal (a drifting distribution concentrates new rows
+        in few cells, degrading partial-probe recall)."""
+        sizes: dict[int, int] = {}
+        for f in self._cell_files(range(len(self.C))):
+            cell = int(os.path.basename(f)[5:10])
+            sizes[cell] = sizes.get(cell, 0) + pq.read_metadata(f).num_rows
+        n = sum(sizes.values())
+        mx = max(sizes.values()) if sizes else 0
+        return {"rows": n, "cells": len(sizes), "max_cell": mx,
+                "skew": (mx * len(sizes) / n) if n else 0.0,
+                "cell_rows": sizes}
 
     def search(self, queries: np.ndarray, k: int = 10, n_probe: int = 4) -> pa.Table:
         import ray
@@ -369,11 +579,7 @@ class IVFIndex:
         n_probe = min(n_probe, len(self.C))
         probe = np.argsort(-(Qn @ self.C.T), axis=1)[:, :n_probe]
         cells = np.unique(probe)
-        files = [
-            self._cell_path(self.root, int(c))
-            for c in cells
-            if os.path.exists(self._cell_path(self.root, int(c)))
-        ]
+        files = self._cell_files(cells)
         self.last_probe_files = files
         if not files:
             return pa.table(

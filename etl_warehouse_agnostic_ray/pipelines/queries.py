@@ -500,6 +500,30 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
 
+_SCRATCH_ROOTS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp registered for atexit cleanup. Memoized lakes / indexes
+    (and the per-call incremental-dedup scratch) outlive their query by
+    design; without the registration, repeated bench/correctness sweeps
+    accumulate full lake copies and IVF indexes in /tmp across
+    processes (ADVICE r4)."""
+    root = tempfile.mkdtemp(prefix=prefix, dir="/tmp")
+    _SCRATCH_ROOTS.append(root)
+    return root
+
+
+def _cleanup_scratch() -> None:
+    for r in _SCRATCH_ROOTS:
+        shutil.rmtree(r, ignore_errors=True)
+
+
+import atexit  # noqa: E402  (placed with the machinery it serves)
+
+atexit.register(_cleanup_scratch)
+
+
 _MOR_LAKE_CACHE: dict[str, str] = {}
 
 
@@ -519,7 +543,7 @@ def _mor_lake(sf_dir: str) -> "CDCEngine":
         return CDCEngine(
             root, num_partitions=128, delta_max_files=64, delta_max_ratio=1e9
         )
-    root = tempfile.mkdtemp(prefix="lake_mor_", dir="/tmp")
+    root = _scratch_dir("lake_mor_")
     eng = CDCEngine(
         root, num_partitions=128, delta_max_files=64, delta_max_ratio=1e9
     )
@@ -2227,21 +2251,36 @@ QUALIFY rank <= 5
 """
 
 
+_IVF_CACHE: dict[str, str] = {}
+
+
+def _ivf_index(sf_dir: str):
+    """Build-once-per-fixture persistent IVF index (the embeddings
+    table is static per sf_dir, so reopening is correct); the scratch
+    root is atexit-registered instead of leaking one index per call
+    (ADVICE r4)."""
+    from ..ops.similarity import IVFIndex
+
+    root = _IVF_CACHE.get(sf_dir)
+    if root is not None and os.path.isdir(os.path.join(root, "cells")):
+        return IVFIndex(root)
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    root = _scratch_dir("ivf_")
+    idx = IVFIndex.build(ds, root, n_clusters=8)
+    _IVF_CACHE[sf_dir] = root
+    return idx
+
+
 def q_embedding_topk_ivf(sf_dir: str):
     """IVF ANN through the PERSISTENT inverted-file index: vectors are
     partitioned by centroid cell once at build (lake-style dir), and a
     probe reads ONLY the probed cells' files — at full probe this is
     exactly brute force (same oracle as embedding_topk)."""
-    import tempfile as _tf
-
-    from ..ops.similarity import IVFIndex
-
-    rd = _rd()
     q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     mask = pc.less(q.column("vec_id"), pa.scalar(3))
     queries = np.asarray(q.filter(mask).column("embedding").to_pylist(), dtype=np.float64)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = IVFIndex.build(ds, _tf.mkdtemp(prefix="ivf_"), n_clusters=8)
+    idx = _ivf_index(sf_dir)
     t = idx.search(queries, k=5, n_probe=8)
     return t.select(["query_id", "rank", "vec_id"])
 
@@ -2992,8 +3031,6 @@ def q_incremental_dedup_documents(sf_dir: str):
     the matching index partitions in-task — the accepted corpus is
     never rescanned or shuffled (ops/incdedup.py). Output = the new
     batch's truly-new documents."""
-    import tempfile as _tf
-
     import ray.data as _rdm
 
     from ..ops.incdedup import IncrementalDeduper
@@ -3001,7 +3038,7 @@ def q_incremental_dedup_documents(sf_dir: str):
     rd = _rd()
     full = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     half = len(full) // 2
-    dedup = IncrementalDeduper(_tf.mkdtemp(prefix="incdedup_"), num_parts=16)
+    dedup = IncrementalDeduper(_scratch_dir("incdedup_"), num_parts=16)
     dedup.add(_rdm.from_arrow(full.slice(0, half)))
     return dedup.add(_rdm.from_arrow(full.slice(half)))
 
@@ -3027,8 +3064,6 @@ def q_incremental_neardup_documents(sf_dir: str):
     has a smaller-id near-dup within the batch. The accepted corpus is
     never rescanned or re-signed (ops/incneardup.py). Output = the new
     batch's accepted documents."""
-    import tempfile as _tf
-
     import ray.data as _rdm
 
     from ..ops.incneardup import IncrementalNearDeduper
@@ -3037,7 +3072,7 @@ def q_incremental_neardup_documents(sf_dir: str):
     full = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     half = len(full) // 2
     dd = IncrementalNearDeduper(
-        _tf.mkdtemp(prefix="incneardup_"), num_parts=8, jaccard_threshold=0.8
+        _scratch_dir("incneardup_"), num_parts=8, jaccard_threshold=0.8
     )
     _consume_all(dd.add(_rdm.from_arrow(full.slice(0, half))))
     return dd.add(_rdm.from_arrow(full.slice(half)))

@@ -32,6 +32,12 @@ class ChangeStreamSource:
     def __init__(self, stream_dir: str, columns: list[str] | None = None):
         self.dir = stream_dir
         self.columns = columns
+        # stat-less files resolve their true lsn range with a one-column
+        # scan (see batches()); cache the result per (path, byte size) so
+        # each historical stat-less file pays that scan ONCE per source
+        # instance, not on every drain cycle (ADVICE r4). Size in the key
+        # invalidates the entry if the file is regenerated in place.
+        self._statless_ranges: dict[tuple[str, int], tuple[int, int] | None] = {}
 
     def files(self) -> list[str]:
         return sorted(
@@ -102,13 +108,24 @@ class ChangeStreamSource:
                 # earlier chunks of the SAME drain advanced would be
                 # silently dropped by the applied-LSN filter. Resolve
                 # the true range with a one-column scan instead, so the
-                # file sorts by its actual lsn position.
-                t = pq.read_table(f, columns=["lsn"])
-                col = t.column("lsn")
-                if t.num_rows == 0 or col.null_count == t.num_rows:
-                    continue  # nothing applicable
-                lo = pc.min(col).as_py()
-                hi = pc.max(col).as_py()
+                # file sorts by its actual lsn position. Cached per
+                # (path, size): once drained, a stat-less file must not
+                # re-pay the scan on every later pending_chunks call.
+                key = (f, os.path.getsize(f))
+                if key in self._statless_ranges:
+                    rng = self._statless_ranges[key]
+                    if rng is None:
+                        continue  # known empty / all-null lsn
+                    lo, hi = rng
+                else:
+                    t = pq.read_table(f, columns=["lsn"])
+                    col = t.column("lsn")
+                    if t.num_rows == 0 or col.null_count == t.num_rows:
+                        self._statless_ranges[key] = None
+                        continue  # nothing applicable
+                    lo = pc.min(col).as_py()
+                    hi = pc.max(col).as_py()
+                    self._statless_ranges[key] = (lo, hi)
             if hi > cursor:
                 pending.append((f, lo, hi))
         # order by lsn, not filename: a producer writing

@@ -724,6 +724,106 @@ class TestIVF:
         with pytest.raises(RuntimeError, match="built with"):
             IVFIndex.build(emb_ds, str(tmp_path / "ivf"), n_clusters=4)
 
+    def test_hot_cell_splits_into_shards_and_probe_prunes(
+        self, emb_ds, sf_dir, tmp_path
+    ):
+        """VERDICT r4 task 2: a cell exceeding the target block size
+        must split into >1 part file (the build shuffles on
+        (cell, hash % shards) — no single task writes a whole hot
+        cell), and a partial probe must still open ONLY the probed
+        cells' files."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.ops.similarity import IVFIndex
+
+        q = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        queries = np.asarray(q.column("embedding").to_pylist()[:1], dtype=np.float64)
+        root = str(tmp_path / "ivf_sharded")
+        idx = IVFIndex.build(
+            emb_ds, root, n_clusters=4, target_rows_per_file=50
+        )
+        assert idx.p["shards"] > 1
+        by_cell: dict[str, int] = {}
+        for f in os.listdir(os.path.join(root, "cells")):
+            if f.endswith(".parquet"):
+                by_cell[f[:10]] = by_cell.get(f[:10], 0) + 1
+        assert max(by_cell.values()) > 1  # a big cell split into parts
+        # every part file stays bounded near the target
+        for f in os.listdir(os.path.join(root, "cells")):
+            if f.endswith(".parquet"):
+                n = pq.read_metadata(os.path.join(root, "cells", f)).num_rows
+                assert n <= 3 * 50  # hash spread, not exact; bounded
+        idx.search(queries, k=5, n_probe=1)
+        probed = {os.path.basename(f)[:10] for f in idx.last_probe_files}
+        assert len(probed) == 1  # only the ONE probed cell's files
+
+    def test_extend_equals_rebuild_with_union(self, emb_ds, sf_dir, tmp_path):
+        """VERDICT r4 task 3: incremental vector adds. extend + search
+        at FULL probe must equal rebuild-with-union + search exactly;
+        a replayed extend (same content stamp) is a no-op; files of an
+        uncommitted (crashed) generation are invisible to search and
+        vacuumed by the next extend."""
+        import os
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.similarity import IVFIndex
+
+        full = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        half = full.num_rows // 2
+        ds1, ds2 = rd.from_arrow(full.slice(0, half)), rd.from_arrow(full.slice(half))
+        queries = np.asarray(
+            full.column("embedding").to_pylist()[:2], dtype=np.float64
+        )
+
+        root = str(tmp_path / "ivf_ext")
+        idx = IVFIndex.build(ds1, root, n_clusters=8)
+        gen = idx.extend(ds2)
+        assert gen == 1
+        assert idx.extend(ds2) == 1  # idempotent replay, no new gen
+        got = idx.search(queries, k=5, n_probe=8)
+
+        root2 = str(tmp_path / "ivf_union")
+        idx2 = IVFIndex.build(rd.from_arrow(full), root2, n_clusters=8)
+        want = idx2.search(queries, k=5, n_probe=8)
+        assert got.equals(want)
+
+        # crash mid-extend: gen files exist but no marker → invisible
+        idx._write_gen(
+            ds2, root, idx.C, idx.p["shards"], 7, "vec_id", "embedding"
+        )
+        still = idx.search(queries, k=5, n_probe=8)
+        assert still.equals(want)
+        idx.extend(ds2, batch_id="fresh-batch")  # vacuums gen-7 leftovers
+        leftover = [
+            f for f in os.listdir(os.path.join(root, "cells")) if "-g0007-" in f
+        ]
+        assert leftover == []
+
+    def test_rebuild_crash_refuses_to_open(self, emb_ds, tmp_path, monkeypatch):
+        """ADVICE r4 (medium): params.json is deleted FIRST on rebuild,
+        so a crash mid-rebuild leaves an index that fails loudly in
+        __init__ instead of silently probing half-rewritten cells."""
+        import etl_warehouse_agnostic_ray.ops.similarity as sim
+
+        root = str(tmp_path / "ivf_crash")
+        sim.IVFIndex.build(emb_ds, root, n_clusters=8)
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash during centroid retrain")
+
+        monkeypatch.setattr(sim, "train_ivf_centroids", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            sim.IVFIndex.build(emb_ds, root, n_clusters=8)
+        monkeypatch.undo()
+        with pytest.raises(FileNotFoundError, match="no committed IVF index"):
+            sim.IVFIndex(root)
+
 
 class TestHashSampling:
     def test_split_partitions_and_determinism(self, docs_ds):
