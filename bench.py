@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "corpus_clean",
     "embedding_topk",
     "embedding_topk_ivf",
+    "embedding_topk_ivf_extend",
     "embedding_neardup",
     "normalize_dirty_records",
     "url_normalize",

@@ -1332,16 +1332,23 @@ def q_range_join_signup_follow(sf_dir: str):
     fit one group (same contract as the as-of join); a whale key needs
     the CDC merge's salting. Window start is INCLUSIVE, end EXCLUSIVE,
     mirroring the oracle's ``>= / <`` band."""
+    import ray
+
     rd = _rd()
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
     )
     HOUR_US = np.int64(3_600_000_000)  # ts is timestamp[us]
+    # bucket count derived from the cluster, not hardcoded (VERDICT r4
+    # task 5): ~4 groups per core keeps every core busy through the
+    # merge stage while each group remains a per-user-bucket slice
+    # that fits one task; floor of 16 avoids giant groups on tiny
+    # test clusters
+    n_buckets = max(16, 4 * int(ray.cluster_resources().get("CPU", 8)))
 
     def add_pk(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "pk", pc.bit_wise_and(b.column("user_id"), pa.scalar(255, pa.int64()))
-        )
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("pk", pa.array(u % np.int64(n_buckets)))
 
     def band_count(g: pa.Table) -> pa.Table:
         u = g.column("user_id").to_numpy(zero_copy_only=False)
@@ -2281,6 +2288,37 @@ def q_embedding_topk_ivf(sf_dir: str):
     mask = pc.less(q.column("vec_id"), pa.scalar(3))
     queries = np.asarray(q.filter(mask).column("embedding").to_pylist(), dtype=np.float64)
     idx = _ivf_index(sf_dir)
+    t = idx.search(queries, k=5, n_probe=8)
+    return t.select(["query_id", "rank", "vec_id"])
+
+
+_IVF_EXT_CACHE: dict[str, str] = {}
+
+
+def q_embedding_topk_ivf_extend(sf_dir: str):
+    """Incremental IVF maintenance (VERDICT r4 task 3 driver row): the
+    index is BUILT on the first half of the embeddings and EXTENDED
+    with the second half — new vectors assigned to the existing
+    centroids, appended as a stamped, marker-committed generation — and
+    a full-probe search over the extended index must equal brute force
+    over the union (the same oracle as ``embedding_topk``)."""
+    from ..ops.similarity import IVFIndex
+
+    rdm = _rd()
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pc.less(full.column("vec_id"), pa.scalar(3))
+    queries = np.asarray(
+        full.filter(mask).column("embedding").to_pylist(), dtype=np.float64
+    )
+    root = _IVF_EXT_CACHE.get(sf_dir)
+    if root is not None and os.path.isdir(os.path.join(root, "extends")):
+        idx = IVFIndex(root)
+    else:
+        half = full.num_rows // 2
+        root = _scratch_dir("ivf_ext_")
+        idx = IVFIndex.build(rdm.from_arrow(full.slice(0, half)), root, n_clusters=8)
+        idx.extend(rdm.from_arrow(full.slice(half)), batch_id=f"second-half-{sf_dir}")
+        _IVF_EXT_CACHE[sf_dir] = root
     t = idx.search(queries, k=5, n_probe=8)
     return t.select(["query_id", "rank", "vec_id"])
 
@@ -3595,56 +3633,18 @@ FROM e
 # ===================================================================
 
 QUERIES = {
+    # ------ driver-checked head (the driver sweeps the first ~50
+    # registry entries under a count budget): a small flagship cdc_*
+    # prefix, then the 30 queries the r3/r4 sweeps never reached
+    # (VERDICT r4 task 1), then this round's additions and a
+    # representative sample of code paths touched this round. The
+    # rotated-out tail stays oracle-tested by tests/test_entry.py.
     "cdc_events_lww": q_cdc_events_lww,
     "cdc_pages_replay": q_cdc_pages_replay,
     "cdc_delta_replay": q_cdc_delta_replay,
     "point_lookup_pages": q_point_lookup_pages,
     "cdc_schema_evolution": q_cdc_schema_evolution,
-    "agg_pricing_summary": q_agg_pricing_summary,
-    "filter_project_revenue": q_filter_project_revenue,
-    "sort_topk_orders": q_sort_topk_orders,
-    "join_revenue_by_nation_segment": q_join_revenue_by_nation_segment,
-    "latest_order_per_customer": q_latest_order_per_customer,
-    "windowed_event_counts": q_windowed_event_counts,
-    "asof_join_signup": q_asof_join_signup,
-    "antijoin_customers_urgent": q_antijoin_customers_urgent,
-    "pivot_docs_lang_source": q_pivot_docs_lang_source,
-    "rollup_revenue_nation_segment": q_rollup_revenue_nation_segment,
-    "running_total_orders": q_running_total_orders,
-    "inverted_index_documents": q_inverted_index_documents,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "distinct_segments": q_distinct_segments,
-    "union_counts": q_union_counts,
-    "case_ladder_order_tiers": q_case_ladder_order_tiers,
-    "date_derivations_events": q_date_derivations_events,
-    "string_funcs_customers": q_string_funcs_customers,
-    "json_extract_events": q_json_extract_events,
-    "explode_form_items": q_explode_form_items,
-    "watermark_max_ts": q_watermark_max_ts,
-    "validation_documents": q_validation_documents,
-    "silver_orders": q_silver_orders,
-    "gold_segment_summary": q_gold_segment_summary,
-    "dedup_exact_documents": q_dedup_exact_documents,
-    "text_quality_tokens": q_text_quality_tokens,
-    "lang_id_documents": q_lang_id_documents,
-    "lm_quality_documents": q_lm_quality_documents,
-    "fingerprint_documents": q_fingerprint_documents,
-    "minhash_neardup_pairs": q_minhash_neardup_pairs,
-    "neardup_dedup_documents": q_neardup_dedup_documents,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "simhash_documents": q_simhash_documents,
-    "simhash_neardup_pairs": q_simhash_neardup_pairs,
-    "corpus_clean": q_corpus_clean,
-    "embedding_topk": q_embedding_topk,
-    "embedding_topk_ivf": q_embedding_topk_ivf,
-    "embedding_neardup": q_embedding_neardup,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_decode_real": q_multimodal_decode_real,
-    "multimodal_audio_real": q_multimodal_audio_real,
-    "multimodal_video_real": q_multimodal_video_real,
-    "normalize_dirty_records": q_normalize_dirty_records,
-    "url_normalize": q_url_normalize,
-    "hash_split_documents": q_hash_split_documents,
+    # -- never-driver-checked until r5 (r3/r4 tail):
     "hash_sample_documents": q_hash_sample_documents,
     "domain_quota_documents": q_domain_quota_documents,
     "line_dedup_documents": q_line_dedup_documents,
@@ -3672,11 +3672,59 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "contamination_check": q_contamination_check,
     "corpus_prepare": q_corpus_prepare,
-    # round-4 additions go LAST: the driver sweeps in registry order
-    # under a budget, so the long-green head stays covered first
     "bpe_token_count_documents": q_bpe_token_count_documents,
     "pack_bpe_documents": q_pack_bpe_documents,
     "range_join_signup_follow": q_range_join_signup_follow,
+    # -- round-5 addition + r5-touched similarity paths:
+    "embedding_topk_ivf_extend": q_embedding_topk_ivf_extend,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
+    "embedding_topk": q_embedding_topk,
+    "embedding_neardup": q_embedding_neardup,
+    # -- representative two-rounds-green queries:
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_revenue_by_nation_segment": q_join_revenue_by_nation_segment,
+    "asof_join_signup": q_asof_join_signup,
+    "gold_segment_summary": q_gold_segment_summary,
+    "silver_orders": q_silver_orders,
+    "windowed_event_counts": q_windowed_event_counts,
+    "minhash_neardup_pairs": q_minhash_neardup_pairs,
+    "antijoin_customers_urgent": q_antijoin_customers_urgent,
+    "rollup_revenue_nation_segment": q_rollup_revenue_nation_segment,
+    "validation_documents": q_validation_documents,
+    "watermark_max_ts": q_watermark_max_ts,
+    # ------ rotated-out tail: green in CORRECTNESS_r03/r04, kept
+    # oracle-verified at sf0.001 by the 81-way test_entry sweep
+    "filter_project_revenue": q_filter_project_revenue,
+    "sort_topk_orders": q_sort_topk_orders,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "pivot_docs_lang_source": q_pivot_docs_lang_source,
+    "running_total_orders": q_running_total_orders,
+    "inverted_index_documents": q_inverted_index_documents,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "distinct_segments": q_distinct_segments,
+    "union_counts": q_union_counts,
+    "case_ladder_order_tiers": q_case_ladder_order_tiers,
+    "date_derivations_events": q_date_derivations_events,
+    "string_funcs_customers": q_string_funcs_customers,
+    "json_extract_events": q_json_extract_events,
+    "explode_form_items": q_explode_form_items,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "text_quality_tokens": q_text_quality_tokens,
+    "lang_id_documents": q_lang_id_documents,
+    "lm_quality_documents": q_lm_quality_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "neardup_dedup_documents": q_neardup_dedup_documents,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_documents": q_simhash_documents,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "corpus_clean": q_corpus_clean,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_decode_real": q_multimodal_decode_real,
+    "multimodal_audio_real": q_multimodal_audio_real,
+    "multimodal_video_real": q_multimodal_video_real,
+    "normalize_dirty_records": q_normalize_dirty_records,
+    "url_normalize": q_url_normalize,
+    "hash_split_documents": q_hash_split_documents,
 }
 
 ORACLES = {
@@ -3726,6 +3774,7 @@ ORACLES = {
     "text_quality_tokens": SQL_TEXT_QUALITY_TOKENS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_topk_ivf": SQL_EMBEDDING_TOPK,
+    "embedding_topk_ivf_extend": SQL_EMBEDDING_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "normalize_dirty_records": SQL_NORMALIZE_DIRTY_RECORDS,
     "url_normalize": SQL_URL_NORMALIZE,

@@ -2369,6 +2369,75 @@ class TestBpe:
         assert got == want
 
 
+class TestBpeArtifactAndCounter:
+    def test_merges_round_trip_hash_and_controls(self, tmp_path):
+        """ADVICE r4: only the header line is a comment — '#'-leading
+        symbols (plausible punctuation-run tokens) and control
+        characters must survive save/load."""
+        from etl_warehouse_agnostic_ray.ops.bpe import load_merges, save_merges
+
+        weird = [("#x", "y"), ("a\nb", "#"), ("\x1f", "\\n"), (" sp", "ace ")]
+        p = str(tmp_path / "m.txt")
+        save_merges(weird, p)
+        assert load_merges(p) == weird
+
+    def test_counter_cache_bounded_and_unique_scatter(self):
+        """VERDICT r4 task 4: the per-actor word cache is size-bounded,
+        and the unique+scatter batch path matches the naive per-word
+        count."""
+        import re
+
+        from etl_warehouse_agnostic_ray.ops.bpe import BpeTokenCounter, apply_bpe
+        from etl_warehouse_agnostic_ray.ops.text import BPE_TOKEN_PATTERN
+
+        c = BpeTokenCounter(cache_max=10)
+        big = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array([" ".join(f"w{i}" for i in range(100))], pa.string()),
+            }
+        )
+        c(big)
+        assert len(c._cache) <= 10
+        texts = ["hello world hello", "", None, "the quick brown fox #tag"]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        rx = re.compile(BPE_TOKEN_PATTERN)
+        want = [
+            sum(len(apply_bpe(w, c.ranks)) for w in rx.findall(v)) if v else 0
+            for v in texts
+        ]
+        assert c(t).column("n_bpe_tokens").to_pylist() == want
+
+    def test_committed_table_is_large(self):
+        """The committed artifact is the 4096-merge table trained on
+        the pooled fixture corpus (the documents table alone saturates
+        at ~127 merges on its 61-word vocabulary)."""
+        from etl_warehouse_agnostic_ray.ops.bpe import load_merges
+
+        assert len(load_merges()) == 4096
+
+
+class TestBatchStampContent:
+    def test_same_ids_different_texts_differ(self, ray_session):
+        """ADVICE r4: the _SUCCESS stamp folds text content — a batch
+        with the SAME id multiset but different texts must not match
+        (it would silently replay the old batch's survivors)."""
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.incdedup import batch_stamp
+
+        a = rd.from_arrow(pa.table({"doc_id": [1, 2], "text": ["x", "y"]}))
+        b = rd.from_arrow(pa.table({"doc_id": [1, 2], "text": ["x", "DIFFERENT"]}))
+        c = rd.from_arrow(pa.table({"doc_id": [2, 1], "text": ["y", "x"]}))
+        assert batch_stamp(a) != batch_stamp(b)
+        assert batch_stamp(a) == batch_stamp(c)  # order-free
+
+
 class TestReusedSurvivorsOut:
     """ADVICE r3: the _SUCCESS marker is batch-stamped — reusing one
     survivors_out dir for a DIFFERENT batch must process the new batch
