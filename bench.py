@@ -13,7 +13,11 @@ Prints ONE JSON line:
 --scaling: runs the same headline job in two fresh processes at
 RAY_GRAFT_CPUS=8 and =32 on the same input and reports both
 throughputs + scaling efficiency (the BASELINE.json north rule's
-N vs 4N cluster evidence, sandbox form).
+N vs 4N cluster evidence, sandbox form). Frequency normalization
+(GRAFT_SCALING_MODE): "spinner" (default) pins all-core clocks with
+nice-19 busy loops during the low leg; "concurrent" instead runs
+hi/lo simultaneous low-CPU jobs — real work on every core, per-job
+median as the lo baseline (the fully-loaded-node regime).
 """
 
 from __future__ import annotations
@@ -239,12 +243,17 @@ def run_queries() -> dict:
 def main() -> dict:
     import ray
 
+    # GRAFT_OBJECT_STORE_GB: cap the plasma store per session — required
+    # when --scaling's concurrent mode runs several Ray sessions on one
+    # box (default reservations would overcommit /dev/shm)
+    store_gb = float(os.environ.get("GRAFT_OBJECT_STORE_GB", "0") or 0)
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        object_store_memory=int(store_gb * 2**30) if store_gb else None,
     )
     from ray.data import DataContext
 
@@ -347,19 +356,69 @@ def scaling() -> dict:
     # measured ~1.7× the flat-region per-thread rate), so the legs and
     # the normalization are both environment-calibrated — BASELINE.md
     # records the full diagnosis (r3-tree A/B + per-CPU curve).
+    def run_concurrent_lo(ncpu: int, replicas: int) -> dict:
+        # GRAFT_SCALING_MODE=concurrent low leg: `replicas` SIMULTANEOUS
+        # lo-CPU headline jobs saturate every core with REAL work — the
+        # regime of a fully loaded fixed-size cluster node. This
+        # normalizes frequency like the spinners do, but with work that
+        # also exercises the memory/IO subsystems the hi leg uses, so
+        # neither leg gets idle-core turbo the other doesn't. Per-job
+        # throughput is the lo baseline (median across replicas; the
+        # fixture is read-only shared, each job writes its own mkdtemp
+        # lake, and each session caps its plasma store so `replicas`
+        # sessions never overcommit /dev/shm).
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=scaling_dir,
+            GRAFT_BENCH_HEADLINE_ONLY="1",
+            GRAFT_OBJECT_STORE_GB=os.environ.get("GRAFT_OBJECT_STORE_GB", "8"),
+        )
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for _ in range(replicas)
+        ]
+        results = []
+        for p in procs:
+            out, _ = p.communicate()
+            if p.returncode == 0 and out.strip():
+                results.append(json.loads(out.strip().splitlines()[-1]))
+        if not results:
+            raise RuntimeError("all concurrent low-leg replicas failed")
+        import statistics
+
+        tps = sorted(r["events_per_sec"] for r in results)
+        med = statistics.median(tps)
+        best = max(results, key=lambda r: r["events_per_sec"])
+        return {**best, "events_per_sec": med, "replica_events_per_sec": tps}
+
     lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
+    mode = os.environ.get("GRAFT_SCALING_MODE", "spinner")
     normalize = os.environ.get("GRAFT_SCALING_NORMALIZE", "1") != "0"
-    lo_spin = max(0, hi - lo) if normalize else 0
-    r_lo, r_hi = run(lo, spinners=lo_spin), run(hi)
+    lo_spin = max(0, hi - lo) if (normalize and mode == "spinner") else 0
+    if mode == "concurrent":
+        r_lo = run_concurrent_lo(lo, replicas=max(1, hi // lo))
+    else:
+        r_lo = run(lo, spinners=lo_spin)
+    r_hi = run(hi)
     tp_lo, tp_hi = r_lo["events_per_sec"], r_hi["events_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     return {
         "metric": f"scaling efficiency (events/sec at {lo} vs {hi} CPUs, fresh processes)",
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
-        "frequency_normalized": normalize,
+        "frequency_normalized": normalize or mode == "concurrent",
+        "normalize_mode": mode,
         "lo_leg_spinners": lo_spin,
+        "lo_leg_replicas": r_lo.get("replica_events_per_sec"),
         "events_per_sec_lo": tp_lo,
         "events_per_sec_hi": tp_hi,
         "apply_sec_lo": r_lo["apply_sec"],
