@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "json_extract_events",
     "explode_form_items",
     "watermark_max_ts",
+    "validation_documents",
+    "distinct_segments",
+    "union_counts",
     "dedup_exact_documents",
     "text_quality_tokens",
     "lang_id_documents",
