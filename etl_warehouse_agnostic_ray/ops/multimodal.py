@@ -458,7 +458,9 @@ class SampleFramesBatch:
                     ks.append(k); idxs.append(fi); ts.append(t); frames.append(png)
             return pa.table(
                 {
-                    "key": pa.array(ks),
+                    # key typed from the INPUT column so an all-undecodable
+                    # batch (zero output rows) keeps a stable schema
+                    "key": pa.array(ks, type=key.type),
                     "frame_index": pa.array(idxs, pa.int32()),
                     "time_offset_sec": pa.array(ts, pa.float64()),
                     "frame_png": pa.array(frames, pa.large_binary()),
@@ -479,7 +481,7 @@ class SampleFramesBatch:
                 out_off.append(f * self.every)
         return pa.table(
             {
-                "key": pa.array(out_key),
+                "key": pa.array(out_key, type=key.type),
                 "frame_index": pa.array(out_idx, pa.int32()),
                 "byte_offset": pa.array(out_off, pa.int64()),
             }
