@@ -619,13 +619,21 @@ def _emit(full: dict) -> None:
     `parsed: null` because the 60+-query JSON line overflowed the
     driver's tail capture window, so the line the driver grades must
     stay short."""
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
-    try:
-        with open(sidecar, "w") as f:
-            json.dump(full, f, indent=1)
-    except OSError:
-        sidecar = None
     qs = full.get("queries") or {}
+    # only a FULL run (headline + query sweep) owns the sidecar — the
+    # headline-only legs that --scaling re-execs in subprocesses must
+    # not clobber the committed per-query record with a leg payload
+    sidecar = (
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+        if qs
+        else None
+    )
+    if sidecar:
+        try:
+            with open(sidecar, "w") as f:
+                json.dump(full, f, indent=1)
+        except OSError:
+            sidecar = None
     compact = {
         k: v
         for k, v in full.items()
