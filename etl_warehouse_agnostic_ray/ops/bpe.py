@@ -241,17 +241,51 @@ class BpeTokenCounter:
         return batch.append_column(self.out, pa.array(counts))
 
 
+_WORKER_COUNTERS: dict[tuple, BpeTokenCounter] = {}
+
+
+def _worker_counter_call(b: pa.Table, merges_path: str, col: str, out: str) -> pa.Table:
+    """Task-stage body: the counter (ranks table + word cache) is built
+    ONCE per long-lived Ray worker PROCESS and cached at module level —
+    the same once-per-process state discipline as an actor pool, minus
+    the fresh actor spawn + package import every execution pays."""
+    key = (merges_path, col, out)
+    c = _WORKER_COUNTERS.get(key)
+    if c is None:
+        c = BpeTokenCounter(merges_path, col, out)
+        _WORKER_COUNTERS[key] = c
+    return c(b)
+
+
 def bpe_token_count_ds(ds, merges_path: str = MERGES_PATH, col: str = "text",
-                       out: str = "n_bpe_tokens", concurrency: int = 4):
-    """Dataset → Dataset: real-BPE token counts via the cached actor
-    pool. Concurrency is an AUTOSCALING (1, N) range: a fixed pool of N
-    reserves N CPUs before the upstream read can schedule, which
-    deadlocks when N equals the cluster's CPU count."""
+                       out: str = "n_bpe_tokens", concurrency: int | None = None):
+    """Dataset → Dataset: real-BPE token counts.
+
+    Default (``concurrency=None``): a TASK stage over the shared
+    long-lived worker pool, counter cached per worker process
+    (``_worker_counter_call``) — Ray Data tears actor pools down at
+    the end of every execution, so for repeated pipelines the pool
+    re-pays actor spawn + package import each time (measured 2.3 s vs
+    0.8 s per sf0.1 counting run). Pass ``concurrency=N`` to give the
+    stage a dedicated AUTOSCALING (1, N) actor pool instead — the
+    right shape inside one long mixed pipeline where the counter must
+    not compete with other stages for workers. (1, N), not N: a fixed
+    pool of N reserves N CPUs before the upstream read can schedule,
+    which deadlocks when N equals the cluster's CPU count."""
+    if concurrency is not None:
+        return ds.map_batches(
+            BpeTokenCounter,
+            fn_constructor_kwargs={"merges_path": merges_path, "col": col, "out": out},
+            batch_format="pyarrow",
+            concurrency=(1, concurrency),
+        )
+    import functools
+
     return ds.map_batches(
-        BpeTokenCounter,
-        fn_constructor_kwargs={"merges_path": merges_path, "col": col, "out": out},
+        functools.partial(
+            _worker_counter_call, merges_path=merges_path, col=col, out=out
+        ),
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
     )
 
 
