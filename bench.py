@@ -395,16 +395,32 @@ def scaling() -> dict:
                 results.append(json.loads(out.strip().splitlines()[-1]))
         if not results:
             raise RuntimeError("all concurrent low-leg replicas failed")
-        import statistics
-
-        tps = sorted(r["events_per_sec"] for r in results)
-        med = statistics.median(tps)
-        best = max(results, key=lambda r: r["events_per_sec"])
-        return {**best, "events_per_sec": med, "replica_events_per_sec": tps}
+        if len(results) < max(1, (replicas + 1) // 2):
+            # a near-empty replica set leaves most cores idle — the lo
+            # leg would ride turbo while still labeled normalized
+            raise RuntimeError(
+                f"only {len(results)}/{replicas} concurrent low-leg "
+                "replicas survived — not enough to saturate the box"
+            )
+        # report the MEDIAN replica's full record so every field in the
+        # emitted JSON is internally consistent (n_events/apply_sec_lo
+        # reproduces events_per_sec_lo)
+        results.sort(key=lambda r: r["events_per_sec"])
+        med = results[len(results) // 2]
+        return {
+            **med,
+            "replica_events_per_sec": [r["events_per_sec"] for r in results],
+        }
 
     lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     mode = os.environ.get("GRAFT_SCALING_MODE", "spinner")
+    if mode not in ("spinner", "concurrent"):
+        # a typo'd mode would silently run the lo leg with zero
+        # spinners AND zero replicas, yet still be labeled normalized
+        raise SystemExit(
+            f"GRAFT_SCALING_MODE must be 'spinner' or 'concurrent', got {mode!r}"
+        )
     normalize = os.environ.get("GRAFT_SCALING_NORMALIZE", "1") != "0"
     lo_spin = max(0, hi - lo) if (normalize and mode == "spinner") else 0
     if mode == "concurrent":

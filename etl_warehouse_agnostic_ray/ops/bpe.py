@@ -248,10 +248,17 @@ def _worker_counter_call(b: pa.Table, merges_path: str, col: str, out: str) -> p
     """Task-stage body: the counter (ranks table + word cache) is built
     ONCE per long-lived Ray worker PROCESS and cached at module level —
     the same once-per-process state discipline as an actor pool, minus
-    the fresh actor spawn + package import every execution pays."""
-    key = (merges_path, col, out)
+    the fresh actor spawn + package import every execution pays. The
+    artifact's mtime is part of the key so a regenerated merges table
+    (``save_merges`` mid-session) cannot leave some workers counting
+    with stale ranks while fresh workers use the new table."""
+    key = (merges_path, os.stat(merges_path).st_mtime_ns, col, out)
     c = _WORKER_COUNTERS.get(key)
     if c is None:
+        # evict STALE versions of this config only (other configs may
+        # be live in the same worker)
+        for k in [k for k in _WORKER_COUNTERS if (k[0], k[2], k[3]) == (merges_path, col, out)]:
+            del _WORKER_COUNTERS[k]
         c = BpeTokenCounter(merges_path, col, out)
         _WORKER_COUNTERS[key] = c
     return c(b)

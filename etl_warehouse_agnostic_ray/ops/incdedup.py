@@ -32,6 +32,7 @@ Design (the CDC lake pattern applied to dedup state):
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -56,7 +57,14 @@ def batch_stamp(ds, id_col: str = "doc_id", text_col: str | None = "text") -> st
     batches of doubled ids would collide; the sum component breaks
     that. The content component (ADVICE r4) breaks the narrower replay
     corner: same ids, DIFFERENT texts must not match the old stamp.
-    ``text_col`` is skipped if absent from the schema."""
+    ``text_col`` is skipped if absent from the schema.
+
+    The stamp carries a FORMAT PREFIX (``v2:``): when the stamp
+    algorithm changes, a marker persisted by the previous format must
+    not silently compare unequal — the "different batch" path rmtrees
+    and recomputes the survivors dir, destroying the only persisted
+    copy of the prior batch's survivors. Callers detect the prefix
+    mismatch and fail loudly instead (see ``stamp_format_guard``)."""
     cols = [id_col]
     if text_col is not None and text_col in (ds.schema().names or ()):
         cols.append(text_col)
@@ -90,7 +98,28 @@ def batch_stamp(ds, id_col: str = "doc_id", text_col: str | None = "text") -> st
         n += int(r["n"])
         x ^= int(r["x"])
         s = (s + int(r["s"])) & 0xFFFFFFFFFFFFFFFF
-    return f"{n}-{x:016x}-{s:016x}"
+    return f"{STAMP_FORMAT}:{n}-{x:016x}-{s:016x}"
+
+
+STAMP_FORMAT = "v2"
+_OLD_STAMP_RX = re.compile(r"^\d+-[0-9a-f]{16}-[0-9a-f]{16}$")
+
+
+def stamp_format_guard(prev_marker: str) -> None:
+    """Refuse to compare a marker written by an OLDER auto-stamp format
+    against a freshly computed stamp: formats differ, so "same batch"
+    and "different batch" are indistinguishable — and the different-
+    batch path is destructive (it overwrites the survivors dir).
+    Explicit caller-supplied batch ids are unaffected (they do not
+    match the old auto-stamp shape)."""
+    if _OLD_STAMP_RX.match(prev_marker):
+        raise RuntimeError(
+            f"survivors marker {prev_marker!r} was written by an older "
+            f"batch-stamp format (current: {STAMP_FORMAT!r}) — replay "
+            "detection cannot compare across formats. Pass an explicit "
+            "batch_id, or delete the marker AND its survivors dir if "
+            "this is genuinely a new batch."
+        )
 
 
 class HashIndex:
@@ -208,6 +237,7 @@ class IncrementalDeduper:
         if marker and os.path.exists(marker):
             stamp = batch_id if batch_id is not None else batch_stamp(ds, id_col, text_col)
             prev = open(marker).read().strip()
+            stamp_format_guard(prev)
             if prev == stamp:
                 surv = read_out()
                 self._extend_from_texts(surv, text_col, id_col)

@@ -55,7 +55,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .dedup import MinHashSignatures, _sig_matrix, _sig_to_binary, minhash_lsh_pairs
-from .incdedup import batch_stamp
+from .incdedup import batch_stamp, stamp_format_guard
 from .texthash import band_hashes
 
 
@@ -215,6 +215,7 @@ class IncrementalNearDeduper:
         if marker and os.path.exists(marker):
             stamp = batch_id if batch_id is not None else batch_stamp(ds)
             prev = open(marker).read().strip()
+            stamp_format_guard(prev)
             if prev == stamp:
                 surv = read_out()
                 self._extend_from_docs(surv)

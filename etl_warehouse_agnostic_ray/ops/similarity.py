@@ -129,7 +129,14 @@ def _vector_stamp(ds, id_col: str, vec_col: str) -> str:
     """Order-free content stamp of a vector batch's (id, embedding)
     MULTISET — the extend() replay detector (same count/XOR/SUM
     discipline as ``ops.incdedup.batch_stamp``, with the vector BYTES
-    folded in so same-ids-different-vectors batches cannot collide)."""
+    folded in so same-ids-different-vectors batches cannot collide).
+
+    Each component is mixed WITH ITS POSITION before the per-vector
+    XOR reduce: a raw componentwise XOR is invariant to permuting a
+    vector's dimensions and cancels any equal-valued pair, so e.g.
+    [5,5,1], [7,7,1] and [1,5,5] would all stamp identically — a
+    corrected re-ingest with the same ids would then be silently
+    dropped as a replay."""
     from .texthash import splitmix64
 
     def partial(b: pa.Table) -> pa.Table:
@@ -137,11 +144,11 @@ def _vector_stamp(ds, id_col: str, vec_col: str) -> str:
         if n:
             ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
             V = list_col_to_matrix(b.column(vec_col))
-            vh = splitmix64(
-                np.bitwise_xor.reduce(
-                    np.ascontiguousarray(V).view(np.uint64), axis=1
-                )
+            U = np.ascontiguousarray(V).view(np.uint64)
+            pos = (np.arange(U.shape[1], dtype=np.uint64) + np.uint64(1)) * np.uint64(
+                0x9E3779B97F4A7C15
             )
+            vh = np.bitwise_xor.reduce(splitmix64(U ^ pos), axis=1)
             h = splitmix64(ids) ^ vh
             x = np.bitwise_xor.reduce(h)
             with np.errstate(over="ignore"):
@@ -392,6 +399,11 @@ class IVFIndex:
     ) -> "IVFIndex":
         import ray
 
+        # pin the input ONCE: build otherwise executes the upstream
+        # pipeline three times (row count, centroid-training sample,
+        # assign/write pass) — for a parquet-backed ds this is nearly
+        # free, for a derived pipeline it is 3x the transform cost
+        ds = ds.materialize()
         n_rows = ds.count()
         shards = cls._num_shards(n_rows, target_rows_per_file)
         params = {
@@ -525,6 +537,7 @@ class IVFIndex:
         vacuums them. A replayed extend whose batch stamp matches an
         already-committed generation is a no-op (idempotent). Returns
         the committed generation number."""
+        ds = ds.materialize()  # stamp + count + write: execute upstream once
         stamp = batch_id if batch_id is not None else _vector_stamp(
             ds, self.p["id_col"], self.p["vec_col"]
         )
@@ -544,8 +557,14 @@ class IVFIndex:
             elif f.endswith(".tmp"):
                 os.remove(os.path.join(cdir, f))
         gen = max(committed) + 1
+        # shard count sized to THIS generation's row count, not the base
+        # build's: an extend batch larger than the base would otherwise
+        # write unbounded-size part files (file names are generation-
+        # scoped, so a per-generation shard count is safe — probes glob
+        # by cell prefix and never assume a shard count)
+        shards = self._num_shards(ds.count(), self.p["target_rows_per_file"])
         self._write_gen(
-            ds, self.root, self.C, self.p["shards"], gen,
+            ds, self.root, self.C, shards, gen,
             self.p["id_col"], self.p["vec_col"],
         )
         marker = os.path.join(ext_dir, f"g-{gen:04d}.json")

@@ -33,11 +33,16 @@ class ChangeStreamSource:
         self.dir = stream_dir
         self.columns = columns
         # stat-less files resolve their true lsn range with a one-column
-        # scan (see batches()); cache the result per (path, byte size) so
-        # each historical stat-less file pays that scan ONCE per source
-        # instance, not on every drain cycle (ADVICE r4). Size in the key
-        # invalidates the entry if the file is regenerated in place.
-        self._statless_ranges: dict[tuple[str, int], tuple[int, int] | None] = {}
+        # scan (see batches()); cache the result per (path, size, mtime)
+        # so each historical stat-less file pays that scan ONCE per
+        # source instance, not on every drain cycle (ADVICE r4). Size
+        # ALONE is not enough to detect in-place regeneration: a
+        # fixed-shape parquet rewritten with only different int64 lsn
+        # values is routinely byte-identical in length, and serving the
+        # stale range would silently skip the regenerated rows.
+        self._statless_ranges: dict[
+            tuple[str, int, int], tuple[int, int] | None
+        ] = {}
 
     def files(self) -> list[str]:
         return sorted(
@@ -109,9 +114,11 @@ class ChangeStreamSource:
                 # silently dropped by the applied-LSN filter. Resolve
                 # the true range with a one-column scan instead, so the
                 # file sorts by its actual lsn position. Cached per
-                # (path, size): once drained, a stat-less file must not
-                # re-pay the scan on every later pending_chunks call.
-                key = (f, os.path.getsize(f))
+                # (path, size, mtime): once drained, a stat-less file
+                # must not re-pay the scan on every later pending_chunks
+                # call; mtime catches same-size in-place regeneration.
+                st = os.stat(f)
+                key = (f, st.st_size, st.st_mtime_ns)
                 if key in self._statless_ranges:
                     rng = self._statless_ranges[key]
                     if rng is None:

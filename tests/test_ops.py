@@ -863,6 +863,47 @@ class TestIVF:
         ]
         assert leftover == []
 
+    def test_extend_shards_sized_to_the_batch(self, ray_session, tmp_path):
+        """extend() recomputes the shard count from the EXTEND batch's
+        row count: a batch larger than the base build must not inherit
+        the base's (smaller) shard count, or one writer task
+        materializes an unbounded (cell, shard) file."""
+        import os
+
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.similarity import IVFIndex
+
+        rng = np.random.default_rng(3)
+
+        def tbl(ids):
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [list(v) for v in rng.normal(size=(len(ids), 4))],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+
+        root = str(tmp_path / "ivf_grow")
+        idx = IVFIndex.build(
+            rd.from_arrow(tbl(range(16))),
+            root,
+            n_clusters=2,
+            target_rows_per_file=8,
+        )
+        assert idx.p["shards"] == 2  # ceil(16 / 8)
+        idx.extend(rd.from_arrow(tbl(range(100, 164))))  # 64 rows → 8 shards
+        gen_parts = {
+            int(f.split("-part-")[1].split(".")[0])
+            for f in os.listdir(os.path.join(root, "cells"))
+            if "-g0001-" in f
+        }
+        # with only the base's 2 shards every part index would be 0-1
+        assert max(gen_parts) > 1
+
     def test_rebuild_crash_refuses_to_open(self, emb_ds, tmp_path, monkeypatch):
         """ADVICE r4 (medium): params.json is deleted FIRST on rebuild,
         so a crash mid-rebuild leaves an index that fails loudly in
@@ -2494,6 +2535,54 @@ class TestBatchStampContent:
         c = rd.from_arrow(pa.table({"doc_id": [2, 1], "text": ["y", "x"]}))
         assert batch_stamp(a) != batch_stamp(b)
         assert batch_stamp(a) == batch_stamp(c)  # order-free
+
+    def test_old_format_marker_refused(self, ray_session):
+        """A _SUCCESS marker written by the pre-content-fold stamp
+        format must fail LOUDLY: formats can't be compared, and the
+        different-batch path destroys the persisted survivors."""
+        import pytest
+
+        from etl_warehouse_agnostic_ray.ops.incdedup import (
+            batch_stamp,
+            stamp_format_guard,
+        )
+        import ray.data as rd
+
+        old = "12-0123456789abcdef-fedcba9876543210"
+        with pytest.raises(RuntimeError, match="older batch-stamp format"):
+            stamp_format_guard(old)
+        # current-format stamps and explicit batch ids pass through
+        cur = batch_stamp(rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]})))
+        assert cur.startswith("v2:")
+        stamp_format_guard(cur)
+        stamp_format_guard("day1")
+
+    def test_vector_stamp_not_permutation_invariant(self, ray_session):
+        """The IVF extend() stamp mixes each component with its
+        POSITION: a raw componentwise XOR fold stamps [5,5,1], [7,7,1]
+        and [1,5,5] identically (equal pairs cancel; permutations are
+        invariant), silently dropping a corrected re-ingest as a
+        replay."""
+        import ray.data as rd
+
+        from etl_warehouse_agnostic_ray.ops.similarity import _vector_stamp
+
+        def ds_of(vec):
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "vec_id": pa.array([1], pa.int64()),
+                        "embedding": pa.array([vec], pa.list_(pa.float64())),
+                    }
+                )
+            )
+
+        s1 = _vector_stamp(ds_of([5.0, 5.0, 1.0]), "vec_id", "embedding")
+        s2 = _vector_stamp(ds_of([7.0, 7.0, 1.0]), "vec_id", "embedding")
+        s3 = _vector_stamp(ds_of([1.0, 5.0, 5.0]), "vec_id", "embedding")
+        assert len({s1, s2, s3}) == 3
+        # same content still replays
+        assert s1 == _vector_stamp(ds_of([5.0, 5.0, 1.0]), "vec_id", "embedding")
 
 
 class TestReusedSurvivorsOut:
