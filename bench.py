@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "antijoin_customers_urgent",
     "pivot_docs_lang_source",
     "rollup_revenue_nation_segment",
+    "cube_revenue_nation_segment",
     "running_total_orders",
     "case_ladder_order_tiers",
     "date_derivations_events",

@@ -1497,16 +1497,14 @@ FROM documents GROUP BY source
     f"count(*) FILTER (lang = '{l}') AS {l}_docs" for l in _PIVOT_LANGS))
 
 
-def q_rollup_revenue_nation_segment(sf_dir: str):
-    """GROUP BY ROLLUP (grouping sets): revenue at (nation, segment),
-    (nation) and grand-total levels. Only the FINEST grain touches the
-    big tables — the same distributed hash join + broadcast dim as the
-    plain join query — and coarser levels are derived from that tiny
-    aggregate (nations × segments rows) on the driver: a rollup never
-    needs a second pass over the fact table. Money is summed as exact
-    integer cents so every level reproduces the SQL bit-for-bit (no
-    float association-order drift on the grand total)."""
-    import pandas as pd
+def _fine_nation_segment_cents(sf_dir: str):
+    """Shared finest-grain aggregate for the grouping-set queries
+    (ROLLUP / CUBE): revenue per (nation, segment) as exact integer
+    cents. Only this grain touches the big tables — the same
+    distributed hash join + broadcast dim as the plain join query —
+    so every coarser grouping-set level is derived from this tiny
+    (nations × segments rows) pandas frame on the driver with no
+    second pass over the fact table."""
     import ray
     from ray.data.aggregate import Count, Sum
 
@@ -1548,12 +1546,24 @@ def q_rollup_revenue_nation_segment(sf_dir: str):
             }
         )
 
-    fine = (
+    return (
         joined.map_batches(add_nation_cents, batch_format="pyarrow")
         .groupby(["n_name", "c_mktsegment"])
         .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="cents"))
         .to_pandas()  # nations × segments rows — tiny by construction
     )
+
+
+def q_rollup_revenue_nation_segment(sf_dir: str):
+    """GROUP BY ROLLUP (grouping sets): revenue at (nation, segment),
+    (nation) and grand-total levels, derived from the one distributed
+    finest-grain aggregate (``_fine_nation_segment_cents``). Money is
+    summed as exact integer cents so every level reproduces the SQL
+    bit-for-bit (no float association-order drift on the grand
+    total)."""
+    import pandas as pd
+
+    fine = _fine_nation_segment_cents(sf_dir)
     by_nation = fine.groupby("n_name", as_index=False)[["n_orders", "cents"]].sum()
     by_nation["c_mktsegment"] = None
     total = pd.DataFrame(
@@ -1576,6 +1586,46 @@ FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY ROLLUP(n.n_name, c.c_mktsegment)
+"""
+
+
+def q_cube_revenue_nation_segment(sf_dir: str):
+    """GROUP BY CUBE (all grouping sets): revenue at (nation, segment),
+    (nation), (segment) and grand-total levels. Same scale shape as the
+    rollup — ONE distributed pass builds the finest grain
+    (``_fine_nation_segment_cents``), and all 2^k − 1 coarser cube
+    levels are pandas reductions of that tiny frame on the driver (a
+    cube never re-reads the fact table). Exact integer cents keep every
+    level bit-equal to the SQL."""
+    import pandas as pd
+
+    fine = _fine_nation_segment_cents(sf_dir)
+    by_nation = fine.groupby("n_name", as_index=False)[["n_orders", "cents"]].sum()
+    by_nation["c_mktsegment"] = None
+    by_segment = fine.groupby("c_mktsegment", as_index=False)[
+        ["n_orders", "cents"]
+    ].sum()
+    by_segment["n_name"] = None
+    total = pd.DataFrame(
+        {
+            "n_name": [None],
+            "c_mktsegment": [None],
+            "n_orders": [fine["n_orders"].sum()],
+            "cents": [fine["cents"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_nation, by_segment, total], ignore_index=True)
+    out["revenue"] = out.pop("cents").to_numpy().astype(np.float64) / 100.0
+    return out[["n_name", "c_mktsegment", "n_orders", "revenue"]]
+
+
+SQL_CUBE_REVENUE_NATION_SEGMENT = """
+SELECT n.n_name, c.c_mktsegment, count(*) AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY CUBE(n.n_name, c.c_mktsegment)
 """
 
 
@@ -3680,9 +3730,9 @@ QUERIES = {
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
+    "cube_revenue_nation_segment": q_cube_revenue_nation_segment,
     # -- representative two-rounds-green queries:
     "agg_pricing_summary": q_agg_pricing_summary,
-    "join_revenue_by_nation_segment": q_join_revenue_by_nation_segment,
     "asof_join_signup": q_asof_join_signup,
     "gold_segment_summary": q_gold_segment_summary,
     "silver_orders": q_silver_orders,
@@ -3693,7 +3743,8 @@ QUERIES = {
     "validation_documents": q_validation_documents,
     "watermark_max_ts": q_watermark_max_ts,
     # ------ rotated-out tail: green in CORRECTNESS_r03/r04, kept
-    # oracle-verified at sf0.001 by the 81-way test_entry sweep
+    # oracle-verified at sf0.001 by the full test_entry sweep
+    "join_revenue_by_nation_segment": q_join_revenue_by_nation_segment,
     "filter_project_revenue": q_filter_project_revenue,
     "sort_topk_orders": q_sort_topk_orders,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -3756,6 +3807,7 @@ ORACLES = {
     "antijoin_customers_urgent": SQL_ANTIJOIN_CUSTOMERS_URGENT,
     "pivot_docs_lang_source": SQL_PIVOT_DOCS_LANG_SOURCE,
     "rollup_revenue_nation_segment": SQL_ROLLUP_REVENUE_NATION_SEGMENT,
+    "cube_revenue_nation_segment": SQL_CUBE_REVENUE_NATION_SEGMENT,
     "running_total_orders": SQL_RUNNING_TOTAL_ORDERS,
     "inverted_index_documents": SQL_INVERTED_INDEX_DOCUMENTS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
