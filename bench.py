@@ -34,90 +34,20 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # queries too slow/noisy for the per-round loop can be skipped via env
-BENCH_QUERIES = [
-    "cdc_events_lww",
-    "cdc_pages_replay",
-    "cdc_delta_replay",
-    "point_lookup_pages",
-    "agg_pricing_summary",
-    "filter_project_revenue",
-    "sort_topk_orders",
-    "join_revenue_by_nation_segment",
-    "latest_order_per_customer",
-    "windowed_event_counts",
-    "asof_join_signup",
-    "range_join_signup_follow",
-    "antijoin_customers_urgent",
-    "pivot_docs_lang_source",
-    "rollup_revenue_nation_segment",
-    "cube_revenue_nation_segment",
-    "running_total_orders",
-    "case_ladder_order_tiers",
-    "date_derivations_events",
-    "string_funcs_customers",
-    "json_extract_events",
-    "explode_form_items",
-    "watermark_max_ts",
-    "validation_documents",
-    "distinct_segments",
-    "union_counts",
-    "dedup_exact_documents",
-    "text_quality_tokens",
-    "lang_id_documents",
-    "fingerprint_documents",
-    "minhash_neardup_pairs",
-    "neardup_dedup_documents",
-    "ngram_jaccard_pairs",
-    "simhash_documents",
-    "simhash_neardup_pairs",
-    "silver_orders",
-    "gold_segment_summary",
-    "corpus_clean",
-    "embedding_topk",
-    "embedding_topk_ivf",
-    "embedding_topk_ivf_extend",
-    "embedding_neardup",
-    "normalize_dirty_records",
-    "url_normalize",
-    "multimodal_decode",
-    "multimodal_decode_real",
-    "multimodal_audio_real",
-    "multimodal_video_real",
-    "hash_split_documents",
-    "hash_sample_documents",
-    "domain_quota_documents",
-    "line_dedup_documents",
-    "gopher_quality_documents",
-    "lm_quality_documents",
-    "pack_sequences_documents",
-    "corpus_curate",
-    "hll_distinct_customers",
-    "hll_grouped_event_users",
-    "cms_event_users",
-    "jsonl_ingest_documents",
-    "csv_ingest_documents",
-    "incremental_dedup_documents",
-    "incremental_neardup_documents",
-    "train_order_documents",
-    "time_travel_pages",
-    "incremental_rollup_pages",
-    "scd2_history_pages",
-    "sessionize_events",
-    "session_stats_events",
-    "vocab_topk_documents",
-    "inverted_index_documents",
-    "tfidf_top_terms",
-    "quantiles_event_value",
-    "grouped_quantiles_events",
-    "pii_redact_docs",
-    "repetition_signals_docs",
-    "chunk_documents",
-    "contamination_check",
-    "corpus_prepare",
-    "bpe_token_count_documents",
-    "pack_bpe_documents",
-    "cdc_schema_evolution",
-]
+# The sweep derives from the registry itself so a newly-registered
+# query is benchmarked automatically (the r4 list drifted as queries
+# were added); names in GRAFT_BENCH_SKIP (comma-separated) are skipped
+# with a log line (no silent caps).
+def bench_query_names() -> list:
+    from etl_warehouse_agnostic_ray.pipelines.queries import QUERIES
+
+    skip = {s for s in os.environ.get("GRAFT_BENCH_SKIP", "").split(",") if s}
+    names = [n for n in QUERIES if n not in skip]
+    dropped = [n for n in QUERIES if n in skip]
+    if dropped:
+        print(f"bench: skipping {len(dropped)} queries via GRAFT_BENCH_SKIP: {dropped}",
+              file=sys.stderr)
+    return names
 
 
 def _consume(res):
@@ -229,7 +159,7 @@ def run_queries() -> dict:
 
     repeats = max(1, int(os.environ.get("GRAFT_QUERY_REPEATS", "2")))
     out = {}
-    for name in BENCH_QUERIES:
+    for name in bench_query_names():
         fn = QUERIES[name]
         best = None
         for _ in range(repeats):

@@ -58,6 +58,40 @@ def hash_split(
     return ds.map_batches(body, batch_format="pyarrow")
 
 
+def stratified_hash_sample(
+    ds,
+    id_col: str = "doc_id",
+    strat_col: str = "lang",
+    rates: dict[str, int] | None = None,
+    default_pct: int = 100,
+):
+    """Per-stratum deterministic down-sample — the language-rebalancing
+    step of a web-corpus mix (e.g. keep 5% of English, all of the
+    low-resource tail). Each row's keep/drop is a pure function of
+    (id bucket, stratum rate): no shuffle, no RNG state, identical
+    membership on every worker / re-run / corpus subset. ``rates`` maps
+    stratum value -> keep percentage in [0, 100]; unlisted strata use
+    ``default_pct``. Replayable in SQL as a CASE ladder over the same
+    poly64 bucket, so assignments are value-verified."""
+    rates = dict(rates or {})
+    for k, v in rates.items():
+        if not 0 <= v <= N_BUCKETS:
+            raise ValueError(f"rate for {k!r} must be in [0, {N_BUCKETS}], got {v}")
+    if not 0 <= default_pct <= N_BUCKETS:
+        raise ValueError(f"default_pct must be in [0, {N_BUCKETS}]")
+
+    def body(b: pa.Table) -> pa.Table:
+        buckets = id_buckets(b.column(id_col))
+        strata = b.column(strat_col).to_numpy(zero_copy_only=False)
+        # vectorized rate lookup: map each distinct stratum in the
+        # batch once, then scatter — no per-row dict probes
+        uniq, inv = np.unique(strata, return_inverse=True)
+        uniq_rates = np.asarray([rates.get(s, default_pct) for s in uniq], np.int64)
+        return b.filter(pa.array(buckets < uniq_rates[inv]))
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
 def hash_sample(ds, id_col: str = "doc_id", keep_pct: int = 10):
     """Keep rows whose id bucket < ``keep_pct`` — a deterministic,
     reproducible ~keep_pct% sample (the same ids survive on every run

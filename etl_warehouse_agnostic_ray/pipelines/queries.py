@@ -2677,6 +2677,315 @@ SELECT doc_id FROM documents WHERE {_SQL_DOC_BUCKET} < 10
 """
 
 
+_STRAT_RATES = {"en": 10, "de": 50}  # keep-% per language; tail kept whole
+
+
+def q_stratified_sample_documents(sf_dir: str):
+    """Language-rebalancing down-sample: per-stratum keep rates (10% of
+    English, 50% of German, 100% of the low-resource tail) applied as a
+    pure function of the id bucket — no shuffle, no RNG state, the same
+    documents survive on every run, worker and corpus subset. The
+    standard web-corpus mix step (the reference's closest analogue is
+    its per-tenant filter fan-out, ``config/tenants.yml``); value-
+    verified by replaying the bucket + CASE ladder in the oracle."""
+    from ..ops.sampling import stratified_hash_sample
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return stratified_hash_sample(
+        ds, id_col="doc_id", strat_col="lang", rates=_STRAT_RATES, default_pct=100
+    )
+
+
+SQL_STRATIFIED_SAMPLE_DOCUMENTS = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_SQL_DOC_BUCKET} < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 ELSE 100 END
+"""
+
+
+def q_topk_docs_per_lang(sf_dir: str):
+    """Grouped top-k (top 3 documents per language by length, doc_id
+    tiebreak) in the scale-right shape: every batch reduces to AT MOST
+    langs x k candidate rows map-side (one lexsort + first-k-per-group
+    mask), so the exchange carries blocks x langs x k tiny rows and the
+    final per-group selection runs over that bounded stream on the
+    driver — the full table never shuffles and is read two columns
+    wide. The same pattern serves per-domain / per-bucket exemplar
+    selection at 100 TB (k rows per group per block is the invariant,
+    independent of corpus size)."""
+    rd = _rd()
+    K = 3
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+
+    def topk_with_rank(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_numpy(zero_copy_only=False)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nch, lang))  # lang asc, n_chars desc, id asc
+        ls, ns, ids = lang[order], nch[order], did[order]
+        new_grp = np.ones(len(ls), dtype=bool)
+        new_grp[1:] = ls[1:] != ls[:-1]
+        idx = np.arange(len(ls))
+        rank = idx - np.maximum.accumulate(np.where(new_grp, idx, 0)) + 1
+        keep = rank <= K
+        return pa.table(
+            {
+                "lang": pa.array(ls[keep]),
+                "doc_id": pa.array(ids[keep].astype(np.int64)),
+                "n_chars": pa.array(ns[keep].astype(np.int64)),
+                "rk": pa.array(rank[keep].astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(
+        lambda b: topk_with_rank(b).drop_columns(["rk"]), batch_format="pyarrow"
+    )
+    # bounded driver-side finish: <= blocks x langs x K candidate rows
+    t = pa.concat_tables(parts.iter_batches(batch_format="pyarrow"))
+    return topk_with_rank(t)
+
+
+SQL_TOPK_DOCS_PER_LANG = """
+SELECT lang, doc_id, n_chars, rk FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+WHERE rk <= 3
+"""
+
+
+def q_intersect_signup_purchasers(sf_dir: str):
+    """Set INTERSECT: users with BOTH a signup and a purchase event.
+    Map-side each batch reduces to distinct (user_id, had_signup,
+    had_purchase) flag rows (per-batch groupby max), then ONE tiny
+    grouped max per user picks users holding both flags — the classic
+    audience-overlap query, shuffled as 17-byte flag rows instead of
+    raw events."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        keep = (et == "signup") | (et == "purchase")
+        t = pa.table(
+            {
+                "user_id": pc.cast(b.column("user_id").filter(pa.array(keep)), pa.int64()),
+                "s": pa.array((et[keep] == "signup").astype(np.int64)),
+                "p": pa.array((et[keep] == "purchase").astype(np.int64)),
+            }
+        )
+        return (
+            t.group_by("user_id").aggregate([("s", "max"), ("p", "max")])
+            .rename_columns(["user_id", "s", "p"])
+        )
+
+    from ray.data.aggregate import Max
+
+    def both(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b.column("s"), 1), pc.equal(b.column("p"), 1))
+        return b.filter(m).select(["user_id"])
+
+    return (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("s", alias_name="s"), Max("p", alias_name="p"))
+        .map_batches(both, batch_format="pyarrow")
+    )
+
+
+SQL_INTERSECT_SIGNUP_PURCHASERS = """
+SELECT user_id FROM events WHERE event_type = 'signup'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_doclen_histogram(sf_dir: str):
+    """Corpus length distribution in power-of-two buckets (the standard
+    pre-training length histogram): bucket = floor(log2(n_chars)),
+    computed exactly via the float64 exponent (``np.frexp`` — n_chars
+    << 2^53 so the mantissa is exact; no log rounding at bucket
+    edges), partial (bucket, count, chars) triples combined map-side,
+    one tiny grouped sum. The oracle replays the bucket as
+    length(bin(n)) - 1 — pure integer arithmetic on both sides."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.column("n_chars").to_numpy(zero_copy_only=False)
+        n = n[n > 0]
+        bucket = (np.frexp(n.astype(np.float64))[1] - 1).astype(np.int64)
+        t = pa.table(
+            {
+                "len_bucket": pa.array(bucket),
+                "n_docs": pa.array(np.ones(len(bucket), np.int64)),
+                "chars": pa.array(n.astype(np.int64)),
+            }
+        )
+        return (
+            t.group_by("len_bucket")
+            .aggregate([("n_docs", "sum"), ("chars", "sum")])
+            .rename_columns(["len_bucket", "n_docs", "chars"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("len_bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("chars", alias_name="chars"))
+    )
+
+
+SQL_DOCLEN_HISTOGRAM = """
+SELECT (length(bin(n_chars)) - 1)::BIGINT AS len_bucket,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+FROM documents WHERE n_chars > 0 GROUP BY 1
+"""
+
+
+def q_mode_source_per_lang(sf_dir: str):
+    """MODE aggregate: the most frequent source per language (count
+    desc, source asc tiebreak). Two-level: map-side partial
+    (lang, source) counts collapse each batch to at most
+    langs x sources rows, one small grouped sum, then the arg-max per
+    lang runs over that bounded aggregate on the driver. The shape that
+    answers 'dominant domain per language bucket' without ever
+    shuffling document rows."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": b.column("lang"),
+                "source": b.column("source"),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["lang", "source"]).aggregate([("n", "sum")])
+            .rename_columns(["lang", "source", "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    t = pa.concat_tables(counts.iter_batches(batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    lang = t.column("lang").to_numpy(zero_copy_only=False)
+    src = t.column("source").to_numpy(zero_copy_only=False)
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((src, -n, lang))  # lang asc, count desc, source asc
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = lang[order][1:] != lang[order][:-1]
+    sel = order[first]
+    return pa.table(
+        {
+            "lang": pa.array(lang[sel]),
+            "source": pa.array(src[sel]),
+            "n": pa.array(n[sel].astype(np.int64)),
+        }
+    )
+
+
+SQL_MODE_SOURCE_PER_LANG = """
+SELECT lang, source, n FROM (
+  SELECT lang, source, count(*)::BIGINT AS n,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, source) AS rk
+  FROM documents GROUP BY lang, source)
+WHERE rk = 1
+"""
+
+
+def q_orc_ingest_documents(sf_dir: str):
+    """ORC source path (a second columnar wire format beside parquet —
+    the reference's warehouse seam is format-agnostic file staging,
+    ``extractors/acumatica/extractor.py:397-419``): stage documents as
+    sharded ORC once (one file per input block, written task-side),
+    read it back ONE TASK PER FILE via pyarrow.orc inside map_batches
+    (Ray Data 2.49 has no read_orc; this is the custom-datasource-lite
+    pattern — paths flow as rows, stripes decode in-task, nothing
+    driver-side), and roll up per-source doc counts + char sums,
+    value-verified against the parquet view."""
+    rd = _rd()
+    from pyarrow import orc as paorc
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"orc_stage_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+
+        def write_shard(b: pa.Table) -> pa.Table:
+            # content-addressed shard name: idempotent under re-execution
+            import hashlib
+
+            h = hashlib.sha1(
+                np.ascontiguousarray(
+                    b.column("doc_id").to_numpy(zero_copy_only=False)
+                ).tobytes()
+            ).hexdigest()[:16]
+            paorc.write_table(b, os.path.join(stage, f"part-{h}.orc"))
+            return pa.table({"n": pa.array([len(b)], pa.int64())})
+
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        ).map_batches(write_shard, batch_format="pyarrow").materialize()
+        with open(done, "w") as f:
+            f.write("ok")
+
+    paths = sorted(
+        os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".orc")
+    )
+
+    def read_and_reduce(b: pa.Table) -> pa.Table:
+        tables = [paorc.read_table(p) for p in b.column("path").to_pylist()]
+        t = pa.concat_tables(tables)
+        agg = pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": pa.array(np.ones(len(t), np.int64)),
+                "chars": pc.cast(t.column("n_chars"), pa.int64()),
+            }
+        )
+        return (
+            agg.group_by("source").aggregate([("n_docs", "sum"), ("chars", "sum")])
+            .rename_columns(["source", "n_docs", "chars"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    files = rd.from_arrow(pa.table({"path": pa.array(paths, pa.string())}))
+    out = (
+        files.repartition(max(1, len(paths)))
+        .map_batches(read_and_reduce, batch_format="pyarrow", batch_size=1)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("chars", alias_name="chars"))
+    )
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+SQL_ORC_INGEST_DOCUMENTS = """
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+FROM documents GROUP BY source
+"""
+
+
 def q_domain_quota_documents(sf_dir: str):
     """Web-corpus domain balancing: keep at most 10 documents per
     source, deterministically (the 10 lowest poly64(doc_id) per
@@ -3731,19 +4040,27 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
     "cube_revenue_nation_segment": q_cube_revenue_nation_segment,
+    # -- round-5 additions (session 2): mix/rebalance + set/window ops
+    # + a second columnar wire format
+    "stratified_sample_documents": q_stratified_sample_documents,
+    "topk_docs_per_lang": q_topk_docs_per_lang,
+    "intersect_signup_purchasers": q_intersect_signup_purchasers,
+    "doclen_histogram": q_doclen_histogram,
+    "mode_source_per_lang": q_mode_source_per_lang,
+    "orc_ingest_documents": q_orc_ingest_documents,
     # -- representative two-rounds-green queries:
-    "agg_pricing_summary": q_agg_pricing_summary,
-    "asof_join_signup": q_asof_join_signup,
-    "gold_segment_summary": q_gold_segment_summary,
-    "silver_orders": q_silver_orders,
-    "windowed_event_counts": q_windowed_event_counts,
-    "minhash_neardup_pairs": q_minhash_neardup_pairs,
     "antijoin_customers_urgent": q_antijoin_customers_urgent,
     "rollup_revenue_nation_segment": q_rollup_revenue_nation_segment,
     "validation_documents": q_validation_documents,
     "watermark_max_ts": q_watermark_max_ts,
     # ------ rotated-out tail: green in CORRECTNESS_r03/r04, kept
     # oracle-verified at sf0.001 by the full test_entry sweep
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "asof_join_signup": q_asof_join_signup,
+    "gold_segment_summary": q_gold_segment_summary,
+    "silver_orders": q_silver_orders,
+    "windowed_event_counts": q_windowed_event_counts,
+    "minhash_neardup_pairs": q_minhash_neardup_pairs,
     "join_revenue_by_nation_segment": q_join_revenue_by_nation_segment,
     "filter_project_revenue": q_filter_project_revenue,
     "sort_topk_orders": q_sort_topk_orders,
@@ -3857,6 +4174,12 @@ ORACLES = {
     "bpe_token_count_documents": _sql_bpe_token_count(),
     "pack_bpe_documents": _sql_pack_bpe(),
     "range_join_signup_follow": SQL_RANGE_JOIN_SIGNUP_FOLLOW,
+    "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
+    "topk_docs_per_lang": SQL_TOPK_DOCS_PER_LANG,
+    "intersect_signup_purchasers": SQL_INTERSECT_SIGNUP_PURCHASERS,
+    "doclen_histogram": SQL_DOCLEN_HISTOGRAM,
+    "mode_source_per_lang": SQL_MODE_SOURCE_PER_LANG,
+    "orc_ingest_documents": SQL_ORC_INGEST_DOCUMENTS,
 }
 
 

@@ -996,6 +996,67 @@ class TestHashSampling:
         with pytest.raises(ValueError):
             hash_sample(docs_ds, keep_pct=101)
 
+    def test_stratified_rates_and_consistency(self, docs, docs_ds):
+        from etl_warehouse_agnostic_ray.ops.sampling import (
+            hash_sample,
+            stratified_hash_sample,
+        )
+
+        rates = {"en": 10, "de": 50}
+        kept = pa.concat_tables(
+            list(
+                stratified_hash_sample(
+                    docs_ds, id_col="doc_id", strat_col="lang", rates=rates
+                ).iter_batches(batch_format="pyarrow")
+            )
+        )
+        # stratum with rate R keeps exactly the ids the flat R% sample
+        # keeps (same bucket function → nested / consistent samples)
+        flat10 = set(
+            pa.concat_tables(
+                list(
+                    hash_sample(docs_ds, id_col="doc_id", keep_pct=10).iter_batches(
+                        batch_format="pyarrow"
+                    )
+                )
+            )
+            .column("doc_id")
+            .to_pylist()
+        )
+        by_lang: dict[str, set] = {}
+        for i, lg in zip(
+            kept.column("doc_id").to_pylist(), kept.column("lang").to_pylist()
+        ):
+            by_lang.setdefault(lg, set()).add(i)
+        en_all = {
+            i
+            for i, lg in zip(
+                docs.column("doc_id").to_pylist(), docs.column("lang").to_pylist()
+            )
+            if lg == "en"
+        }
+        assert by_lang.get("en", set()) == en_all & flat10
+        # default rate 100 keeps unlisted strata whole
+        for lg in by_lang:
+            if lg not in rates:
+                full_lg = {
+                    i
+                    for i, l2 in zip(
+                        docs.column("doc_id").to_pylist(),
+                        docs.column("lang").to_pylist(),
+                    )
+                    if l2 == lg
+                }
+                assert by_lang[lg] == full_lg
+
+    def test_stratified_invalid_rate_raises(self, docs_ds):
+        from etl_warehouse_agnostic_ray.ops.sampling import stratified_hash_sample
+
+        with pytest.raises(ValueError):
+            stratified_hash_sample(docs_ds, rates={"en": 101})
+        with pytest.raises(ValueError):
+            stratified_hash_sample(docs_ds, rates={}, default_pct=-1)
+
 
 class TestSessionize:
     def _events(self):
