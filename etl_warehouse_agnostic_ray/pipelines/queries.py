@@ -2986,6 +2986,362 @@ FROM documents GROUP BY source
 """
 
 
+# ===================================================================
+# Round-5 session 3: window functions (LAG / moving frame / NTILE) and
+# exact distributed statistical aggregates (stddev / correlation).
+# Reference parity: the warehouse models lean on ClickHouse window SQL
+# (reference models/*.sql use lagInFrame / windowed sums); here each
+# window is the coarse-hash-partition + ONE lexsort + run-boundary
+# vectorized pass proven by q_running_total_orders — no per-key Python.
+# ===================================================================
+
+
+def q_lag_event_gap(sf_dir: str):
+    """LAG window: microseconds since each user's PREVIOUS event
+    (NULL for the first) — ``lag(ts) OVER (PARTITION BY user_id ORDER
+    BY ts, event_id)``. Coarse hash partition (user_id & 255)
+    co-locates each user's events; inside a partition ONE lexsort +
+    shifted-diff with run-boundary masking computes every user's gaps
+    vectorized. Gap stays integer µs end to end (timestamp diffs are
+    exact int64), emitted as an Arrow null-masked int64 like the as-of
+    join, so ours and the SQL window hash bit-equal."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pk", pc.bit_wise_and(b.column("user_id"), pa.scalar(255, pa.int64()))
+        )
+
+    def gaps(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        us = ts.view("int64")
+        order = np.lexsort((eid, us, uid))
+        u, t = uid[order], us[order]
+        gap = np.empty(len(u), dtype=np.int64)
+        first = np.ones(len(u), dtype=bool)
+        if len(u):
+            gap[0] = 0
+            gap[1:] = t[1:] - t[:-1]
+            first[1:] = u[1:] != u[:-1]
+            gap[first] = 0
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "event_id": pa.array(eid[order]),
+                "ts": pa.array(ts[order]),
+                "gap_us": pa.array(gap, mask=first),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
+SQL_LAG_EVENT_GAP = """
+SELECT user_id, event_id, ts,
+       epoch_us(ts) - lag(epoch_us(ts))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+"""
+
+
+def q_moving_avg_orders(sf_dir: str):
+    """Bounded-frame window: 3-order moving average of order value per
+    customer — ``avg(...) OVER (PARTITION BY o_custkey ORDER BY
+    o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW)``. Same coarse-partition single-lexsort machinery as the
+    running total; the sliding frame is cumsum[i] − cumsum[lo−1] with
+    lo clamped to each customer's run start, all vectorized. Integer
+    cents ride the frame sum; the ONLY float op is the final
+    double(cents)/(100·cnt) division, mirrored verbatim in the SQL, so
+    every window value is bit-equal."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pk", pc.bit_wise_and(b.column("o_custkey"), pa.scalar(255, pa.int64()))
+        )
+
+    def mavg(g: pa.Table) -> pa.Table:
+        k = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        okey = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        od = g.column("o_orderdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        )
+        cents = np.round(
+            g.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        order = np.lexsort((okey, od.view("int64"), k))
+        ks, cs = k[order], cents[order]
+        n = len(ks)
+        start = np.ones(n, dtype=bool)
+        start[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(start)
+        lengths = np.diff(np.append(starts, n))
+        run_start = np.repeat(starts, lengths)
+        pos = np.arange(n, dtype=np.int64)
+        lo = np.maximum(run_start, pos - 2)
+        cum = np.concatenate(([0], np.cumsum(cs)))
+        wsum = cum[pos + 1] - cum[lo]
+        cnt = pos - lo + 1
+        return pa.table(
+            {
+                "o_custkey": pa.array(ks),
+                "o_orderkey": pa.array(okey[order]),
+                "o_orderdate": pa.array(od[order]),
+                "mavg_price": pa.array(
+                    wsum.astype(np.float64) / (100.0 * cnt.astype(np.float64))
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(mavg, batch_format="pyarrow")
+    )
+
+
+SQL_MOVING_AVG_ORDERS = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE)
+         / (100.0 * count(*) OVER w) AS mavg_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_ntile_customers(sf_dir: str):
+    """NTILE(4) per nation over customers ordered by (acctbal,
+    custkey) — equal-frequency quartile assignment, the standard
+    feature-bucketing window. One group per nation key (bounded ~25
+    groups, each fits one task — same contract as the range join);
+    inside a group the DuckDB NTILE rule (first n mod k buckets take
+    the extra row) is computed closed-form from each row's rank, no
+    loop. Ordering is by raw parquet doubles with custkey tiebreak, so
+    no float arithmetic exists to drift."""
+    import pandas as pd
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def ntile(g: pd.DataFrame) -> pd.DataFrame:
+        bal = g["c_acctbal"].to_numpy()
+        key = g["c_custkey"].to_numpy()
+        order = np.lexsort((key, bal))
+        n = len(order)
+        k = 4
+        q, r = divmod(n, k)
+        pos = np.arange(n, dtype=np.int64)
+        thresh = r * (q + 1)
+        if q == 0:
+            tile = pos + 1
+        else:
+            tile = np.where(
+                pos < thresh, pos // (q + 1) + 1, r + (pos - thresh) // q + 1
+            )
+        return pd.DataFrame(
+            {
+                "c_custkey": key[order],
+                "c_nationkey": g["c_nationkey"].to_numpy()[order].astype(np.int64),
+                "c_acctbal": bal[order],
+                "quartile": tile.astype(np.int64),
+            }
+        )
+
+    return ds.groupby("c_nationkey").map_groups(ntile, batch_format="pandas")
+
+
+SQL_NTILE_CUSTOMERS = """
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+       CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+FROM customer
+"""
+
+
+def q_stddev_order_status(sf_dir: str):
+    """Exact distributed sample standard deviation per order status.
+    Per-batch partials reduce each block to one (status, n, Σx, Σx²)
+    row with x = whole DOLLARS as int64 (cents² would overflow int64
+    at ~10⁹ rows; dollars² holds to sf1000), so the shuffle carries
+    3 tiny rows per block and the sums are order-independent exact
+    integers. The final sqrt((Σx² − (Σx)²/n)/(n−1)) runs once on the
+    driver with the identical operation order as the SQL, making the
+    float result bit-equal, not just close."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        # floor(x+0.5), not np.round: whole-dollar rounding hits exact
+        # .50 ties, where numpy rounds half-to-even but SQL round()
+        # rounds half away from zero (prices are positive)
+        dollars = np.floor(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "o_orderstatus": b.column("o_orderstatus"),
+                "n": pa.array(np.ones(len(dollars), dtype=np.int64)),
+                "s": pa.array(dollars),
+                "ss": pa.array(dollars * dollars),
+            }
+        )
+        return (
+            t.group_by("o_orderstatus")
+            .aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")])
+            .rename_columns(["o_orderstatus", "n", "s", "ss"])
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    s = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+    ss = t.column("ss").to_numpy(zero_copy_only=False).astype(np.float64)
+    std = np.sqrt((ss - s * s / n) / (n - 1.0))
+    return pa.table(
+        {
+            "o_orderstatus": t.column("o_orderstatus"),
+            "n_orders": t.column("n"),
+            "stddev_dollars": pa.array(std),
+        }
+    )
+
+
+SQL_STDDEV_ORDER_STATUS = """
+WITH p AS (
+  SELECT o_orderstatus, count(*)::BIGINT AS n,
+         sum(CAST(round(o_totalprice) AS BIGINT)) AS s,
+         sum(CAST(round(o_totalprice) AS BIGINT)
+             * CAST(round(o_totalprice) AS BIGINT)) AS ss
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n AS n_orders,
+       sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS stddev_dollars
+FROM p
+"""
+
+
+def q_corr_qty_price(sf_dir: str):
+    """Exact distributed Pearson correlation of quantity vs extended
+    price per return flag. Same shape as the stddev: per-batch
+    partials carry (flag, n, Σx, Σy, Σx², Σy², Σxy) as int64 (x =
+    quantity units, y = whole dollars — the worst product y²·rows
+    stays < 2⁶³ past sf100), one tiny grouped sum merges them, and
+    the closed-form corr is evaluated once with the same float
+    operation order as the SQL so the doubles match bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        # floor(x+0.5) matches SQL round()'s half-away-from-zero on the
+        # whole-dollar .50 ties (see q_stddev_order_status)
+        x = np.floor(
+            b.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        y = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+                "sxy": pa.array(x * y),
+            }
+        )
+        cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+        return (
+            t.group_by("l_returnflag")
+            .aggregate([(c, "sum") for c in cols])
+            .rename_columns(["l_returnflag"] + cols)
+        )
+
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    f = {
+        c: t.column(c).to_numpy(zero_copy_only=False).astype(np.float64) for c in cols
+    }
+    num = f["sxy"] - f["sx"] * f["sy"] / f["n"]
+    den = np.sqrt(
+        (f["sxx"] - f["sx"] * f["sx"] / f["n"])
+        * (f["syy"] - f["sy"] * f["sy"] / f["n"])
+    )
+    return pa.table(
+        {
+            "l_returnflag": t.column("l_returnflag"),
+            "n_lines": t.column("n"),
+            "corr_qty_price": pa.array(num / den),
+        }
+    )
+
+
+SQL_CORR_QTY_PRICE = """
+WITH p AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+         sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+         sum(CAST(round(l_extendedprice) AS BIGINT)
+             * CAST(round(l_extendedprice) AS BIGINT)) AS syy,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n AS n_lines,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        / CAST(n AS DOUBLE))
+       / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               / CAST(n AS DOUBLE))
+              * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                 / CAST(n AS DOUBLE))) AS corr_qty_price
+FROM p
+"""
+
+
 def q_domain_quota_documents(sf_dir: str):
     """Web-corpus domain balancing: keep at most 10 documents per
     source, deterministically (the 10 lowest poly64(doc_id) per
@@ -4048,6 +4404,12 @@ QUERIES = {
     "doclen_histogram": q_doclen_histogram,
     "mode_source_per_lang": q_mode_source_per_lang,
     "orc_ingest_documents": q_orc_ingest_documents,
+    # -- round-5 additions (session 3): window functions + exact stats
+    "lag_event_gap": q_lag_event_gap,
+    "moving_avg_orders": q_moving_avg_orders,
+    "ntile_customers": q_ntile_customers,
+    "stddev_order_status": q_stddev_order_status,
+    "corr_qty_price": q_corr_qty_price,
     # -- representative two-rounds-green queries:
     "antijoin_customers_urgent": q_antijoin_customers_urgent,
     "rollup_revenue_nation_segment": q_rollup_revenue_nation_segment,
@@ -4180,6 +4542,11 @@ ORACLES = {
     "doclen_histogram": SQL_DOCLEN_HISTOGRAM,
     "mode_source_per_lang": SQL_MODE_SOURCE_PER_LANG,
     "orc_ingest_documents": SQL_ORC_INGEST_DOCUMENTS,
+    "lag_event_gap": SQL_LAG_EVENT_GAP,
+    "moving_avg_orders": SQL_MOVING_AVG_ORDERS,
+    "ntile_customers": SQL_NTILE_CUSTOMERS,
+    "stddev_order_status": SQL_STDDEV_ORDER_STATUS,
+    "corr_qty_price": SQL_CORR_QTY_PRICE,
 }
 
 
