@@ -3342,6 +3342,294 @@ FROM p
 """
 
 
+def q_except_silent_customers(sf_dir: str):
+    """Cross-table set EXCEPT: customers with NO event activity —
+    the INTERSECT query's complement, same shape across two tables:
+    each side map-reduces its batches to distinct tagged key rows
+    (customer keys tag c=1, event users tag e=1), one tiny grouped Max
+    unions them, and the EXCEPT is the c=1 ∧ e=0 filter. Neither table
+    rides the shuffle — only ~17-byte flag rows — so the shape holds
+    when both sides are 100 TB."""
+    rd = _rd()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def tag(col: str, is_cust: int):
+        def fn(b: pa.Table) -> pa.Table:
+            keys = np.unique(b.column(col).to_numpy(zero_copy_only=False))
+            one = np.full(len(keys), is_cust, dtype=np.int64)
+            return pa.table(
+                {
+                    "key": pa.array(keys.astype(np.int64)),
+                    "c": pa.array(one),
+                    "e": pa.array(1 - one),
+                }
+            )
+
+        return fn
+
+    from ray.data.aggregate import Max
+
+    def only_cust(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b.column("c"), 1), pc.equal(b.column("e"), 0))
+        return pa.table({"c_custkey": b.filter(m).column("key")})
+
+    tagged = cust.map_batches(tag("c_custkey", 1), batch_format="pyarrow").union(
+        ev.map_batches(tag("user_id", 0), batch_format="pyarrow")
+    )
+    return (
+        tagged.groupby("key")
+        .aggregate(Max("c", alias_name="c"), Max("e", alias_name="e"))
+        .map_batches(only_cust, batch_format="pyarrow")
+    )
+
+
+SQL_EXCEPT_SILENT_CUSTOMERS = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT user_id FROM events
+"""
+
+
+def q_unpivot_lineitem(sf_dir: str):
+    """Distributed UNPIVOT (wide → long): each lineitem row's four
+    measure columns melt into four (key, metric, value) rows. Melting
+    is per-batch and shuffle-free — a batch of n rows emits one long
+    table of 4n rows built from four zero-copy column slices plus a
+    dictionary-cheap repeated metric label; no row loop, no exchange,
+    and the values are the raw parquet doubles untouched."""
+    rd = _rd()
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"] + measures,
+    )
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        parts = []
+        for m in measures:
+            parts.append(
+                pa.table(
+                    {
+                        "l_orderkey": b.column("l_orderkey"),
+                        "l_linenumber": pc.cast(b.column("l_linenumber"), pa.int64()),
+                        "metric": pa.array(np.full(n, m, dtype=object), pa.string()),
+                        "value": pc.cast(b.column(m), pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_UNPIVOT_LINEITEM = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'l_quantity' AS metric, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount', l_discount
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_tax', l_tax FROM lineitem
+"""
+
+
+def q_string_agg_segments(sf_dir: str):
+    """Grouped string aggregation: the sorted, comma-joined distinct
+    market segments present per nation. Map-side per-batch distinct
+    pairs collapse the input to ≤ nations×segments rows before the
+    shuffle; the bounded key space (~25 nations) then uses the
+    group-fits-one-task contract, where each group's join is one
+    sorted-unique + str.join. The heavy table never leaves its blocks."""
+    import pandas as pd
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    )
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+                "seg": b.column("c_mktsegment"),
+            }
+        )
+        return t.group_by(["c_nationkey", "seg"]).aggregate([])
+
+    def join_segs(g: pd.DataFrame) -> pd.DataFrame:
+        segs = sorted(set(g["seg"]))
+        return pd.DataFrame(
+            {
+                "c_nationkey": [int(g["c_nationkey"].iloc[0])],
+                "segments": [",".join(segs)],
+                "n_segments": [len(segs)],
+            }
+        )
+
+    return (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .map_groups(join_segs, batch_format="pandas")
+    )
+
+
+SQL_STRING_AGG_SEGMENTS = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       string_agg(seg, ',' ORDER BY seg) AS segments,
+       count(*)::BIGINT AS n_segments
+FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg FROM customer)
+GROUP BY c_nationkey
+"""
+
+
+def q_date_spine_events(sf_dir: str):
+    """Gap-filled daily counts (date spine): events per calendar day
+    with ZERO rows materialized for silent days — the standard
+    freshness/completeness series a warehouse model builds over a
+    generate_series spine. The count is a distributed partial
+    aggregate (each batch pre-reduces to ≤ distinct-days rows); only
+    the tiny (day, n) table reaches the driver, where the spine is an
+    np.arange over [min, max] day — O(date-range), independent of row
+    count."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def per_day(b: pa.Table) -> pa.Table:
+        days = (
+            b.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+        )
+        u, c = np.unique(days, return_counts=True)
+        return pa.table(
+            {"day": pa.array(u.astype("datetime64[us]")), "n": pa.array(c)}
+        )
+
+    out = (
+        ds.map_batches(per_day, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    day = t.column("day").to_numpy(zero_copy_only=False).astype("datetime64[D]")
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    spine = np.arange(day.min(), day.max() + np.timedelta64(1, "D"))
+    filled = np.zeros(len(spine), dtype=np.int64)
+    filled[(day - spine[0]).astype(np.int64)] = n
+    return pa.table(
+        {"day": pa.array(spine.astype("datetime64[us]")), "n_events": pa.array(filled)}
+    )
+
+
+SQL_DATE_SPINE_EVENTS = """
+WITH b AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+           FROM events),
+d AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+      FROM b),
+c AS (SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, count(*)::BIGINT AS n
+      FROM events GROUP BY 1)
+SELECT d.day, COALESCE(c.n, 0)::BIGINT AS n_events
+FROM d LEFT JOIN c USING (day)
+"""
+
+
+def q_semi_join_orders_building(sf_dir: str):
+    """Broadcast SEMI-join (EXISTS): revenue by priority for orders
+    whose customer sits in the BUILDING segment. The dimension side is
+    filtered and column-pruned to a sorted int64 key array, ray.put
+    ONCE, and probed in every batch with np.isin against the shared
+    object — the complement of the antijoin's hash-join strategy, and
+    the right one when the filtered build side fits a worker heap
+    (segment of customers ≪ orders). Revenue stays integer cents until
+    the single final division, mirrored in the SQL."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def building_keys(b: pa.Table) -> pa.Table:
+        keys = b.filter(
+            pc.equal(b.column("c_mktsegment"), pa.scalar("BUILDING"))
+        ).column("c_custkey")
+        return pa.table({"k": np.unique(keys.to_numpy(zero_copy_only=False))})
+
+    key_parts = [
+        t.column("k").to_numpy(zero_copy_only=False)
+        for t in cust.map_batches(building_keys, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    keys_ref = ray.put(np.sort(np.unique(np.concatenate(key_parts))))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    class SemiAgg:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            hit = np.isin(
+                b.column("o_custkey").to_numpy(zero_copy_only=False),
+                self.keys,
+                assume_unique=False,
+            )
+            b = b.filter(pa.array(hit))
+            cents = np.round(
+                b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            t = pa.table(
+                {
+                    "o_orderpriority": b.column("o_orderpriority"),
+                    "n": pa.array(np.ones(len(cents), dtype=np.int64)),
+                    "cents": pa.array(cents),
+                }
+            )
+            return (
+                t.group_by("o_orderpriority")
+                .aggregate([("n", "sum"), ("cents", "sum")])
+                .rename_columns(["o_orderpriority", "n", "cents"])
+            )
+
+    out = (
+        orders.map_batches(
+            SemiAgg,
+            fn_constructor_args=(keys_ref,),
+            concurrency=(1, 8),
+            batch_format="pyarrow",
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("cents", alias_name="cents"))
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    rev = pc.divide(pc.cast(t.column("cents"), pa.float64()), 100.0)
+    return t.drop(["cents"]).append_column("revenue", rev)
+
+
+SQL_SEMI_JOIN_ORDERS_BUILDING = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+"""
+
+
 def q_domain_quota_documents(sf_dir: str):
     """Web-corpus domain balancing: keep at most 10 documents per
     source, deterministically (the 10 lowest poly64(doc_id) per
@@ -4410,6 +4698,11 @@ QUERIES = {
     "ntile_customers": q_ntile_customers,
     "stddev_order_status": q_stddev_order_status,
     "corr_qty_price": q_corr_qty_price,
+    "except_silent_customers": q_except_silent_customers,
+    "unpivot_lineitem": q_unpivot_lineitem,
+    "string_agg_segments": q_string_agg_segments,
+    "date_spine_events": q_date_spine_events,
+    "semi_join_orders_building": q_semi_join_orders_building,
     # -- representative two-rounds-green queries:
     "antijoin_customers_urgent": q_antijoin_customers_urgent,
     "rollup_revenue_nation_segment": q_rollup_revenue_nation_segment,
@@ -4547,6 +4840,11 @@ ORACLES = {
     "ntile_customers": SQL_NTILE_CUSTOMERS,
     "stddev_order_status": SQL_STDDEV_ORDER_STATUS,
     "corr_qty_price": SQL_CORR_QTY_PRICE,
+    "except_silent_customers": SQL_EXCEPT_SILENT_CUSTOMERS,
+    "unpivot_lineitem": SQL_UNPIVOT_LINEITEM,
+    "string_agg_segments": SQL_STRING_AGG_SEGMENTS,
+    "date_spine_events": SQL_DATE_SPINE_EVENTS,
+    "semi_join_orders_building": SQL_SEMI_JOIN_ORDERS_BUILDING,
 }
 
 
