@@ -3630,6 +3630,387 @@ GROUP BY o_orderpriority
 """
 
 
+def q_first_last_event(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE windows collapsed to one row per key:
+    each user's first event type, last event type, and event count in
+    (ts, event_id) order. Coarse hash partition + ONE lexsort, then
+    run boundaries pick both window extremes per user with pure
+    indexing — the distinct-over-window SQL costs n² worst case in a
+    naive engine; here it is O(n log n) in-partition and the shuffle
+    carries the raw rows once."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pk", pc.bit_wise_and(b.column("user_id"), pa.scalar(255, pa.int64()))
+        )
+
+    def extremes(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        us = (
+            g.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view("int64")
+        )
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        u, t = uid[order], et[order]
+        n = len(u)
+        start = np.ones(n, dtype=bool)
+        start[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(start)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "first_type": pa.array(t[starts], pa.string()),
+                "last_type": pa.array(t[ends], pa.string()),
+                "n_events": pa.array(np.diff(np.append(starts, n))),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(extremes, batch_format="pyarrow")
+    )
+
+
+SQL_FIRST_LAST_EVENT = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS last_type,
+       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_rank_customers_acctbal(sf_dir: str):
+    """RANK and DENSE_RANK with REAL tie semantics: customers ranked
+    by account balance (descending) within nation, ties sharing a rank
+    (rank skips, dense_rank doesn't). One group per nation key (same
+    bounded-group contract as NTILE); inside a group the sort is by
+    the raw parquet doubles (no arithmetic to drift) and both ranks
+    fall out of one value-change flag scan."""
+    import pandas as pd
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        bal = g["c_acctbal"].to_numpy()
+        key = g["c_custkey"].to_numpy()
+        order = np.lexsort((key, -bal))
+        b = bal[order]
+        n = len(b)
+        new = np.ones(n, dtype=bool)
+        new[1:] = b[1:] != b[:-1]
+        rnk = np.maximum.accumulate(np.where(new, np.arange(n) + 1, 0))
+        drnk = np.cumsum(new)
+        return pd.DataFrame(
+            {
+                "c_custkey": key[order],
+                "c_nationkey": g["c_nationkey"].to_numpy()[order].astype(np.int64),
+                "c_acctbal": b,
+                "rnk": rnk.astype(np.int64),
+                "drnk": drnk.astype(np.int64),
+            }
+        )
+
+    return ds.groupby("c_nationkey").map_groups(ranks, batch_format="pandas")
+
+
+SQL_RANK_CUSTOMERS_ACCTBAL = """
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+"""
+
+
+def q_funnel_events(sf_dir: str):
+    """Ordered 3-step funnel: users who signed up, then purchased AT OR
+    AFTER their first signup, then clicked at or after that first
+    qualifying purchase. Users are hash-co-partitioned, so each
+    partition resolves its users' whole journey locally: one lexsort,
+    then each step is a filtered first-per-user (np.unique on the
+    sorted run) gated on the previous step's time via searchsorted —
+    no joins, no per-user Python. Partitions emit one 3-count partial
+    row; the driver sums ≤256 of them."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pk", pc.bit_wise_and(b.column("user_id"), pa.scalar(255, pa.int64()))
+        )
+
+    def funnel(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        us = (
+            g.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view("int64")
+        )
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, uid))
+        u, t, e = uid[order], us[order], et[order]
+
+        def first_after(step_mask, gate_u, gate_t):
+            su, st = u[step_mask], t[step_mask]
+            if gate_u is None:
+                uu, idx = np.unique(su, return_index=True)
+                return uu, st[idx]
+            pos = np.searchsorted(gate_u, su)
+            pos_c = np.minimum(pos, len(gate_u) - 1) if len(gate_u) else pos
+            ok = (
+                (pos < len(gate_u))
+                & (gate_u[pos_c] == su)
+                & (st >= gate_t[pos_c])
+                if len(gate_u)
+                else np.zeros(len(su), dtype=bool)
+            )
+            uu, idx = np.unique(su[ok], return_index=True)
+            return uu, st[ok][idx]
+
+        u1, t1 = first_after(e == "signup", None, None)
+        u2, t2 = first_after(e == "purchase", u1, t1)
+        u3, _ = first_after(e == "click", u2, t2)
+        return pa.table(
+            {
+                "n_signup": pa.array([len(u1)]),
+                "n_purchase": pa.array([len(u2)]),
+                "n_click": pa.array([len(u3)]),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(funnel, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    return pa.table(
+        {
+            c: pa.array([pc.sum(parts.column(c)).as_py() or 0], pa.int64())
+            for c in ("n_signup", "n_purchase", "n_click")
+        }
+    )
+
+
+SQL_FUNNEL_EVENTS = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t2
+       WHERE e.event_type = 'click' GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM s1)::BIGINT AS n_signup,
+       (SELECT count(*) FROM s2)::BIGINT AS n_purchase,
+       (SELECT count(*) FROM s3)::BIGINT AS n_click
+"""
+
+
+def q_zscore_events(sf_dir: str):
+    """Two-pass distributed feature normalization: z-score of each
+    event's value against its event-type population. Pass 1 reduces
+    every batch to (type, n, Σv, Σv²) partials in exact integer
+    centi-units (2-decimal values; v²·rows holds int64 past 10⁹
+    rows), merged by one tiny grouped sum; the ≤types-row stats table
+    is captured by value into the pass-2 closure (broadcast once per
+    task, not per batch). Pass 2 is a pure map — the z formula runs in
+    the oracle's float op order, so every score is bit-equal."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vu = np.round(b.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n": pa.array(np.ones(len(vu), dtype=np.int64)),
+                "s": pa.array(vu),
+                "ss": pa.array(vu * vu),
+            }
+        )
+        return (
+            t.group_by("event_type")
+            .aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")])
+            .rename_columns(["event_type", "n", "s", "ss"])
+        )
+
+    stats_t = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("ss", alias_name="ss")
+        )
+        .iter_batches(batch_format="pyarrow")
+    )
+    stats = {}
+    for i in range(stats_t.num_rows):
+        n = float(stats_t.column("n")[i].as_py())
+        s = float(stats_t.column("s")[i].as_py())
+        ss = float(stats_t.column("ss")[i].as_py())
+        stats[stats_t.column("event_type")[i].as_py()] = (
+            s / n,
+            np.sqrt((ss - s * s / n) / n),
+        )
+
+    full = rd.read_parquet(path, columns=["event_id", "event_type", "value"])
+
+    def zmap(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        vu = np.round(b.column("value").to_numpy(zero_copy_only=False) * 100.0)
+        mu = np.empty(len(et), dtype=np.float64)
+        sd = np.empty(len(et), dtype=np.float64)
+        for k, (m, d) in stats.items():
+            sel = et == k
+            mu[sel] = m
+            sd[sel] = d
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "z": pa.array((vu - mu) / sd),
+            }
+        )
+
+    return full.map_batches(zmap, batch_format="pyarrow")
+
+
+SQL_ZSCORE_EVENTS = """
+WITH st AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) AS ss
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       (CAST(round(e.value * 100) AS BIGINT)
+        - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+       / sqrt((CAST(st.ss AS DOUBLE)
+               - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+                 / CAST(st.n AS DOUBLE)) / CAST(st.n AS DOUBLE)) AS z
+FROM events e JOIN st USING (event_type)
+"""
+
+
+def q_grid_nation_segment(sf_dir: str):
+    """CROSS-JOIN grid with zero-fill: every (nation, segment) cell,
+    including empty ones — the dimensional completeness query behind
+    cohort heatmaps. The fact scan is a distributed partial count; the
+    grid itself is the cartesian product of the two distinct axes,
+    built on the driver from the TINY aggregate (every distinct axis
+    value appears in some count row, so no second scan is needed) —
+    O(cells), independent of fact rows."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["c_nationkey", "c_mktsegment"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["c_nationkey", "c_mktsegment", "n"])
+        )
+
+    counts = (
+        pa.concat_tables(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["c_nationkey", "c_mktsegment"])
+            .aggregate(Sum("n", alias_name="n"))
+            .iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+    )
+    nations = np.sort(counts["c_nationkey"].unique())
+    segs = np.sort(counts["c_mktsegment"].unique())
+    grid = pd.MultiIndex.from_product(
+        [nations, segs], names=["c_nationkey", "c_mktsegment"]
+    ).to_frame(index=False)
+    out = grid.merge(counts, how="left", on=["c_nationkey", "c_mktsegment"])
+    out["n_customers"] = out.pop("n").fillna(0).astype(np.int64)
+    return out
+
+
+SQL_GRID_NATION_SEGMENT = """
+WITH n AS (SELECT DISTINCT c_nationkey FROM customer),
+s AS (SELECT DISTINCT c_mktsegment FROM customer),
+c AS (SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n_customers
+      FROM customer GROUP BY 1, 2)
+SELECT CAST(n.c_nationkey AS BIGINT) AS c_nationkey, s.c_mktsegment,
+       COALESCE(c.n_customers, 0)::BIGINT AS n_customers
+FROM n CROSS JOIN s
+LEFT JOIN c ON c.c_nationkey = n.c_nationkey AND c.c_mktsegment = s.c_mktsegment
+"""
+
+
+def q_weighted_sample_documents(sf_dir: str):
+    """Weight-proportional deterministic sampling: P(keep) ∝ n_chars
+    (longer documents more likely kept — the standard length-weighted
+    corpus draw), with ZERO floats and zero RNG state: keep ⟺
+    bucket(doc_id)·max_chars < 10000·n_chars, all int64. The only
+    coordination is one tiny distributed max broadcast into the
+    filter; membership stays a pure function of (id, weight), so every
+    re-run, shard and cluster size keeps the same documents."""
+    rd = _rd()
+    path = f"{sf_dir}/documents.parquet"
+    maxc = int(rd.read_parquet(path, columns=["n_chars"]).max("n_chars"))
+
+    from ..ops.sampling import id_buckets
+
+    ds = rd.read_parquet(path, columns=["doc_id", "n_chars"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        buckets = id_buckets(b.column("doc_id"), n_buckets=10000)
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(buckets * maxc < 10000 * nc)).select(
+            ["doc_id", "n_chars"]
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_WEIGHTED_SAMPLE_DOCUMENTS = f"""
+SELECT doc_id, n_chars FROM documents,
+     (SELECT max(n_chars) AS maxc FROM documents) m
+WHERE (({hash_sql.poly64_expr("CAST(doc_id AS VARCHAR)")}) % 10000) * maxc
+      < 10000 * n_chars
+"""
+
+
 def q_domain_quota_documents(sf_dir: str):
     """Web-corpus domain balancing: keep at most 10 documents per
     source, deterministically (the 10 lowest poly64(doc_id) per
@@ -4698,7 +5079,15 @@ QUERIES = {
     "string_agg_segments": q_string_agg_segments,
     "date_spine_events": q_date_spine_events,
     "semi_join_orders_building": q_semi_join_orders_building,
-    # ------ rotated-out tail (position 51+): every entry below was
+    # ------ post-head round-5 additions (position 51+; added after the
+    # head froze at 50 — oracle-tested by test_entry like the tail):
+    "first_last_event": q_first_last_event,
+    "rank_customers_acctbal": q_rank_customers_acctbal,
+    "funnel_events": q_funnel_events,
+    "zscore_events": q_zscore_events,
+    "grid_nation_segment": q_grid_nation_segment,
+    "weighted_sample_documents": q_weighted_sample_documents,
+    # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
     "cdc_delta_replay": q_cdc_delta_replay,
@@ -4846,6 +5235,12 @@ ORACLES = {
     "string_agg_segments": SQL_STRING_AGG_SEGMENTS,
     "date_spine_events": SQL_DATE_SPINE_EVENTS,
     "semi_join_orders_building": SQL_SEMI_JOIN_ORDERS_BUILDING,
+    "first_last_event": SQL_FIRST_LAST_EVENT,
+    "rank_customers_acctbal": SQL_RANK_CUSTOMERS_ACCTBAL,
+    "funnel_events": SQL_FUNNEL_EVENTS,
+    "zscore_events": SQL_ZSCORE_EVENTS,
+    "grid_nation_segment": SQL_GRID_NATION_SEGMENT,
+    "weighted_sample_documents": SQL_WEIGHTED_SAMPLE_DOCUMENTS,
 }
 
 
