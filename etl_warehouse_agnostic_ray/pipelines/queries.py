@@ -3738,6 +3738,61 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
 """
 
 
+def q_percent_rank_customers(sf_dir: str):
+    """PERCENT_RANK and CUME_DIST: each customer's relative standing
+    by balance within nation — (rank−1)/(n−1) and rows-≤-current/n,
+    both honoring ties (every member of a tie shares one percent_rank
+    and one cume_dist). Same bounded-group + single value-change scan
+    as RANK; cume_dist's numerator is each tie run's END boundary,
+    found by one reverse maximum-accumulate. Both divisions run in the
+    oracle's op order on exact integers, so the doubles hash equal."""
+    import pandas as pd
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def pranks(g: pd.DataFrame) -> pd.DataFrame:
+        bal = g["c_acctbal"].to_numpy()
+        key = g["c_custkey"].to_numpy()
+        order = np.lexsort((key, bal))
+        b = bal[order]
+        n = len(b)
+        new = np.ones(n, dtype=bool)
+        new[1:] = b[1:] != b[:-1]
+        rnk = np.maximum.accumulate(np.where(new, np.arange(n) + 1, 0))
+        # end of each tie run = the next run's start (or n for the last)
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        ends = np.append(starts[1:], n)[run_id]
+        pr = (
+            (rnk - 1).astype(np.float64) / float(n - 1)
+            if n > 1
+            else np.zeros(n, dtype=np.float64)
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": key[order],
+                "c_nationkey": g["c_nationkey"].to_numpy()[order].astype(np.int64),
+                "c_acctbal": b,
+                "pct_rank": pr,
+                "cume_dist": ends.astype(np.float64) / float(n),
+            }
+        )
+
+    return ds.groupby("c_nationkey").map_groups(pranks, batch_format="pandas")
+
+
+SQL_PERCENT_RANK_CUSTOMERS = """
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+"""
+
+
 def q_funnel_events(sf_dir: str):
     """Ordered 3-step funnel: users who signed up, then purchased AT OR
     AFTER their first signup, then clicked at or after that first
@@ -5087,6 +5142,7 @@ QUERIES = {
     "zscore_events": q_zscore_events,
     "grid_nation_segment": q_grid_nation_segment,
     "weighted_sample_documents": q_weighted_sample_documents,
+    "percent_rank_customers": q_percent_rank_customers,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -5241,6 +5297,7 @@ ORACLES = {
     "zscore_events": SQL_ZSCORE_EVENTS,
     "grid_nation_segment": SQL_GRID_NATION_SEGMENT,
     "weighted_sample_documents": SQL_WEIGHTED_SAMPLE_DOCUMENTS,
+    "percent_rank_customers": SQL_PERCENT_RANK_CUSTOMERS,
 }
 
 
