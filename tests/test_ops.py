@@ -2774,3 +2774,88 @@ class TestGopherNullText:
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         assert got.loc[1, "n_words"] == 0 and not got.loc[1, "gopher_pass"]
+
+
+class TestFunnelEdgeCases:
+    """Adversarial orderings for q_funnel_events: a purchase BEFORE the
+    first signup must not count, and each step gates on the previous
+    step's first qualifying time, not on any-event time."""
+
+    def _events(self, tmp_path, rows):
+        import pyarrow.parquet as pq
+
+        uid, us, et = zip(*rows)
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    np.array(us, dtype=np.int64).view("datetime64[us]")
+                ),
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": pa.array(et, pa.string()),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_purchase_before_signup_excluded(self, ray_session, tmp_path):
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_funnel_events
+
+        rows = [
+            # u1: purchase at t=1 BEFORE signup at t=2 -> no step 2
+            (1, 1, "purchase"), (1, 2, "signup"), (1, 3, "click"),
+            # u2: full ordered funnel
+            (2, 1, "signup"), (2, 2, "purchase"), (2, 3, "click"),
+            # u3: click BETWEEN signup and purchase -> steps 1-2 only
+            (3, 1, "signup"), (3, 2, "click"), (3, 3, "purchase"),
+            # u4: signup only
+            (4, 1, "signup"),
+            # u5: no signup at all
+            (5, 1, "purchase"), (5, 2, "click"),
+        ]
+        out = q_funnel_events(self._events(tmp_path, rows)).to_pandas()
+        assert out.loc[0, "n_signup"] == 4
+        assert out.loc[0, "n_purchase"] == 2  # u2 (t2>=t1), u3 (t3>=t1)
+        assert out.loc[0, "n_click"] == 1  # only u2 clicks after purchase
+
+    def test_same_timestamp_counts(self, ray_session, tmp_path):
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_funnel_events
+
+        # ties: purchase AT the signup instant qualifies (>=), as in SQL
+        rows = [(7, 5, "signup"), (7, 5, "purchase"), (7, 5, "click")]
+        out = q_funnel_events(self._events(tmp_path, rows)).to_pandas()
+        assert (
+            out.loc[0, ["n_signup", "n_purchase", "n_click"]].tolist() == [1, 1, 1]
+        )
+
+
+class TestPercentRankSingleRowGroup:
+    def test_single_customer_nation(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_percent_rank_customers,
+        )
+
+        t = pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_name": pa.array(["a", "b", "c"]),
+                "c_nationkey": pa.array([0, 0, 9], pa.int32()),
+                "c_acctbal": pa.array([10.0, 10.0, 5.0]),
+                "c_mktsegment": pa.array(["X", "X", "X"]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "customer.parquet"))
+        out = (
+            q_percent_rank_customers(str(tmp_path))
+            .to_pandas()
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+        )
+        # nation 0: two tied rows share pct_rank 0 and cume_dist 1.0
+        assert out.loc[0, "pct_rank"] == 0.0 and out.loc[1, "pct_rank"] == 0.0
+        assert out.loc[0, "cume_dist"] == 1.0 and out.loc[1, "cume_dist"] == 1.0
+        # nation 9: single row -> pct_rank 0 (n==1 guard), cume_dist 1
+        assert out.loc[2, "pct_rank"] == 0.0 and out.loc[2, "cume_dist"] == 1.0
