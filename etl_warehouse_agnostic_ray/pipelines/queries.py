@@ -3407,14 +3407,18 @@ def q_unpivot_lineitem(sf_dir: str):
 
     def melt(b: pa.Table) -> pa.Table:
         n = b.num_rows
+        lnum = pc.cast(b.column("l_linenumber"), pa.int64())
         parts = []
         for m in measures:
+            # constant string column via C kernels (fill_null on a null
+            # array) — a np.full object array costs a Python object per
+            # row and dominated this stage's profile
             parts.append(
                 pa.table(
                     {
                         "l_orderkey": b.column("l_orderkey"),
-                        "l_linenumber": pc.cast(b.column("l_linenumber"), pa.int64()),
-                        "metric": pa.array(np.full(n, m, dtype=object), pa.string()),
+                        "l_linenumber": lnum,
+                        "metric": pc.fill_null(pa.nulls(n, pa.string()), m),
                         "value": pc.cast(b.column(m), pa.float64()),
                     }
                 )
