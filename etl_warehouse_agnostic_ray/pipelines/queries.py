@@ -3546,15 +3546,23 @@ FROM d LEFT JOIN c USING (day)
 """
 
 
-def q_semi_join_orders_building(sf_dir: str):
-    """Broadcast SEMI-join (EXISTS): revenue by priority for orders
-    whose customer sits in the BUILDING segment. The dimension side is
-    filtered and column-pruned to a sorted int64 key array, ray.put
-    ONCE, and probed in every batch with np.isin against the shared
-    object — the complement of the antijoin's hash-join strategy, and
-    the right one when the filtered build side fits a worker heap
-    (segment of customers ≪ orders). Revenue stays integer cents until
-    the single final division, mirrored in the SQL."""
+BROADCAST_SEMI_MAX_KEYS = 50_000_000  # ≈400 MB of int64 keys per worker
+
+
+def q_semi_join_orders_building(sf_dir: str, strategy: str = "auto"):
+    """SEMI-join (EXISTS) with an automatic strategy switch: revenue
+    by priority for orders whose customer sits in the BUILDING
+    segment. The dimension side is filtered map-side to distinct keys;
+    if the surviving key count fits a worker heap
+    (``BROADCAST_SEMI_MAX_KEYS``), the sorted int64 array is ray.put
+    ONCE and probed per batch with np.isin — zero shuffle of the fact
+    table. Past that bound (a 100-TB dimension) the same distinct-key
+    dataset instead feeds the antijoin's left_outer hash join with the
+    null-marker test INVERTED — both paths produce identical rows
+    (``TestSemiJoinStrategies``). The small count() pass that picks
+    the strategy scans only the pruned dimension column. Revenue stays
+    integer cents until the single final division, mirrored in the
+    SQL."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -3569,18 +3577,78 @@ def q_semi_join_orders_building(sf_dir: str):
         ).column("c_custkey")
         return pa.table({"k": np.unique(keys.to_numpy(zero_copy_only=False))})
 
-    key_parts = [
-        t.column("k").to_numpy(zero_copy_only=False)
-        for t in cust.map_batches(building_keys, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        )
-    ]
-    keys_ref = ray.put(np.sort(np.unique(np.concatenate(key_parts))))
+    key_ds = cust.map_batches(building_keys, batch_format="pyarrow")
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderpriority", "o_totalprice"],
     )
+
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if key_ds.count() <= BROADCAST_SEMI_MAX_KEYS
+            else "shuffle"
+        )
+
+    if strategy == "shuffle":
+        from ray.data.aggregate import Count
+
+        from ..stages.typed import with_schema
+
+        distinct = with_schema(
+            key_ds.groupby("k").aggregate(Count(alias_name="n_hits")),
+            pa.schema([("k", pa.int64()), ("n_hits", pa.int64())]),
+        )
+        n_parts = max(
+            8,
+            min(
+                int(ray.cluster_resources().get("CPU", 8)),
+                2 * len(orders.input_files()),
+            ),
+        )
+        joined = orders.join(
+            distinct,
+            join_type="left_outer",
+            num_partitions=n_parts,
+            on=("o_custkey",),
+            right_on=("k",),
+        )
+
+        def keep_hit(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b.column("n_hits")))
+            cents = np.round(
+                b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            t = pa.table(
+                {
+                    "o_orderpriority": b.column("o_orderpriority"),
+                    "n": pa.array(np.ones(len(cents), dtype=np.int64)),
+                    "cents": pa.array(cents),
+                }
+            )
+            return (
+                t.group_by("o_orderpriority")
+                .aggregate([("n", "sum"), ("cents", "sum")])
+                .rename_columns(["o_orderpriority", "n", "cents"])
+            )
+
+        out = (
+            joined.map_batches(keep_hit, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(
+                Sum("n", alias_name="n_orders"), Sum("cents", alias_name="cents")
+            )
+        )
+        t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+        rev = pc.divide(pc.cast(t.column("cents"), pa.float64()), 100.0)
+        return t.drop(["cents"]).append_column("revenue", rev)
+
+    key_parts = [
+        t.column("k").to_numpy(zero_copy_only=False)
+        for t in key_ds.iter_batches(batch_format="pyarrow")
+    ]
+    keys_ref = ray.put(np.sort(np.unique(np.concatenate(key_parts))))
 
     class SemiAgg:
         def __init__(self, ref):

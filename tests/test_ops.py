@@ -2859,3 +2859,25 @@ class TestPercentRankSingleRowGroup:
         assert out.loc[0, "cume_dist"] == 1.0 and out.loc[1, "cume_dist"] == 1.0
         # nation 9: single row -> pct_rank 0 (n==1 guard), cume_dist 1
         assert out.loc[2, "pct_rank"] == 0.0 and out.loc[2, "cume_dist"] == 1.0
+
+
+class TestSemiJoinStrategies:
+    def test_broadcast_equals_shuffle(self, ray_session):
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_semi_join_orders_building,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        a = (
+            q_semi_join_orders_building(sf, strategy="broadcast")
+            .to_pandas()
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+        b = (
+            q_semi_join_orders_building(sf, strategy="shuffle")
+            .to_pandas()
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
