@@ -3865,6 +3865,46 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
 """
 
 
+def q_sentence_stats_documents(sf_dir: str):
+    """Per-document sentence statistics: terminal-punctuation run
+    count ('[.!?]+' — both engines are RE2, so counts agree exactly)
+    and average sentence length in chars. Pure shuffle-free map over
+    pruned columns; the regex runs in Arrow's C kernel
+    (count_substring_regex), not Python, and the single division runs
+    in the oracle's op order. The standard text-quality signal feeding
+    corpus filters alongside the Gopher battery."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def stats(b: pa.Table) -> pa.Table:
+        n_sent = pc.cast(
+            pc.count_substring_regex(b.column("text"), "[.!?]+"), pa.int64()
+        )
+        denom = pc.cast(pc.max_element_wise(n_sent, 1), pa.float64())
+        avg_chars = pc.divide(pc.cast(b.column("n_chars"), pa.float64()), denom)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_sentences": n_sent,
+                "avg_sentence_chars": avg_chars,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_SENTENCE_STATS_DOCUMENTS = """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+       CAST(n_chars AS DOUBLE)
+         / CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)
+         AS avg_sentence_chars
+FROM documents
+"""
+
+
 def q_funnel_events(sf_dir: str):
     """Ordered 3-step funnel: users who signed up, then purchased AT OR
     AFTER their first signup, then clicked at or after that first
@@ -5215,6 +5255,7 @@ QUERIES = {
     "grid_nation_segment": q_grid_nation_segment,
     "weighted_sample_documents": q_weighted_sample_documents,
     "percent_rank_customers": q_percent_rank_customers,
+    "sentence_stats_documents": q_sentence_stats_documents,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -5370,6 +5411,7 @@ ORACLES = {
     "grid_nation_segment": SQL_GRID_NATION_SEGMENT,
     "weighted_sample_documents": SQL_WEIGHTED_SAMPLE_DOCUMENTS,
     "percent_rank_customers": SQL_PERCENT_RANK_CUSTOMERS,
+    "sentence_stats_documents": SQL_SENTENCE_STATS_DOCUMENTS,
 }
 
 
