@@ -648,6 +648,147 @@ def q_time_travel_pages(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_snapshot_diff_pages(sf_dir: str):
+    """Version-to-version snapshot diff (the lakehouse audit query):
+    classify every url as added / removed / changed between v₁ (half
+    the WAL applied) and v₂ (all of it), without ever joining the two
+    snapshots through a shuffle of payloads. Each side streams through
+    the SAME versioned lake reader as time travel, reduced map-side to
+    (url, flags, warc_ts-int, payload-hash) rows — the wide text/html
+    never rides the exchange — then ONE grouped Max per url merges the
+    two sides (keys are unique per snapshot) and a vectorized
+    classifier keeps only the difference rows. Payload equality is a
+    poly64 over text⊕lang with a null sentinel; the oracle compares
+    the raw columns with IS DISTINCT FROM — same classification,
+    value-verified."""
+    from ray.data.aggregate import Max
+
+    from ..ops.texthash import poly_hash_array
+
+    d = fixture_dir(sf_dir)
+    first, rest = _stream_halves(d)
+    root = tempfile.mkdtemp(prefix="lake_diff_", dir="/tmp")
+    try:
+        eng = CDCEngine(root, num_partitions=16)
+        eng.bootstrap(os.path.join(d, "pages.parquet"))
+        eng.apply(first, batch_id="sd-half-1")
+        v1 = eng.lake.current_version()
+        eng.apply(rest, batch_id="sd-half-2")
+        cols = ["url", "warc_ts", "text", "lang"]
+        MIN64 = np.iinfo(np.int64).min
+
+        def tag(is_a: bool):
+            def fn(b: pa.Table) -> pa.Table:
+                n = b.num_rows
+                ts = (
+                    b.column("warc_ts")
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .view("int64")
+                )
+                txt = pc.fill_null(pc.cast(b.column("text"), pa.large_string()), "\x00")
+                lng = pc.fill_null(pc.cast(b.column("lang"), pa.large_string()), "\x00")
+                h = poly_hash_array(
+                    pc.binary_join_element_wise(
+                        txt, lng, pa.scalar("\x01", pa.large_string())
+                    )
+                ).view(np.int64)
+                absent = np.full(n, MIN64, dtype=np.int64)
+                one = np.ones(n, dtype=np.int64)
+                zero = np.zeros(n, dtype=np.int64)
+                return pa.table(
+                    {
+                        "url": b.column("url"),
+                        "in_a": pa.array(one if is_a else zero),
+                        "in_b": pa.array(zero if is_a else one),
+                        "wa": pa.array(ts if is_a else absent),
+                        "wb": pa.array(absent if is_a else ts),
+                        "ha": pa.array(h if is_a else absent),
+                        "hb": pa.array(absent if is_a else h),
+                    }
+                )
+
+            return fn
+
+        va = eng.lake.dataset(version=v1, columns=cols).map_batches(
+            tag(True), batch_format="pyarrow"
+        )
+        vb = eng.lake.dataset(columns=cols).map_batches(
+            tag(False), batch_format="pyarrow"
+        )
+
+        def classify(b: pa.Table) -> pa.Table:
+            ina = b.column("in_a").to_numpy(zero_copy_only=False) == 1
+            inb = b.column("in_b").to_numpy(zero_copy_only=False) == 1
+            wa = b.column("wa").to_numpy(zero_copy_only=False)
+            wb = b.column("wb").to_numpy(zero_copy_only=False)
+            ha = b.column("ha").to_numpy(zero_copy_only=False)
+            hb = b.column("hb").to_numpy(zero_copy_only=False)
+            changed = ina & inb & ((wa != wb) | (ha != hb))
+            label = np.where(
+                ~ina, "added", np.where(~inb, "removed", "changed")
+            ).astype(object)
+            keep = changed | (ina ^ inb)
+            return pa.table(
+                {
+                    "url": b.column("url").filter(pa.array(keep)),
+                    "change": pa.array(label[keep], pa.string()),
+                }
+            )
+
+        out = (
+            va.union(vb)
+            .groupby("url")
+            .aggregate(
+                *[
+                    Max(c, alias_name=c)
+                    for c in ("in_a", "in_b", "wa", "wb", "ha", "hb")
+                ]
+            )
+            .map_batches(classify, batch_format="pyarrow")
+        )
+        # materialize before the lake dir is removed (lazy lineage)
+        return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_SNAPSHOT_DIFF_PAGES = f"""
+WITH u1 AS (
+  SELECT url, warc_ts, text, lang, CAST(-1 AS BIGINT) AS lsn, 'insert' AS op
+  FROM read_parquet('{FIX_ROOT}/sf0.01/pages.parquet')
+  UNION ALL
+  SELECT url, warc_ts, text, lang, lsn, op
+  FROM read_parquet(['{FIX_ROOT}/sf0.01/change_events/events-00000.parquet',
+                     '{FIX_ROOT}/sf0.01/change_events/events-00001.parquet'])
+  WHERE op <> 'schema_change'
+), r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+  FROM u1),
+v1 AS (SELECT url, warc_ts, text, lang FROM r1 WHERE rn = 1 AND op <> 'delete'),
+u2 AS (
+  SELECT url, warc_ts, text, lang, CAST(-1 AS BIGINT) AS lsn, 'insert' AS op
+  FROM read_parquet('{FIX_ROOT}/sf0.01/pages.parquet')
+  UNION ALL
+  SELECT url, warc_ts, text, lang, lsn, op
+  FROM read_parquet('{FIX_ROOT}/sf0.01/change_events/*.parquet')
+  WHERE op <> 'schema_change'
+), r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+  FROM u2),
+v2 AS (SELECT url, warc_ts, text, lang FROM r2 WHERE rn = 1 AND op <> 'delete')
+SELECT COALESCE(v1.url, v2.url) AS url,
+       CASE WHEN v1.url IS NULL THEN 'added'
+            WHEN v2.url IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM v1 FULL OUTER JOIN v2 ON v1.url = v2.url
+WHERE v1.url IS NULL OR v2.url IS NULL
+   OR v1.warc_ts IS DISTINCT FROM v2.warc_ts
+   OR v1.text IS DISTINCT FROM v2.text
+   OR v1.lang IS DISTINCT FROM v2.lang
+"""
+
+
 SQL_TIME_TRAVEL_PAGES = f"""
 WITH unioned AS (
   SELECT url, warc_ts, text, lang, CAST(-1 AS BIGINT) AS lsn, 'insert' AS op
@@ -5256,6 +5397,7 @@ QUERIES = {
     "weighted_sample_documents": q_weighted_sample_documents,
     "percent_rank_customers": q_percent_rank_customers,
     "sentence_stats_documents": q_sentence_stats_documents,
+    "snapshot_diff_pages": q_snapshot_diff_pages,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -5412,6 +5554,7 @@ ORACLES = {
     "weighted_sample_documents": SQL_WEIGHTED_SAMPLE_DOCUMENTS,
     "percent_rank_customers": SQL_PERCENT_RANK_CUSTOMERS,
     "sentence_stats_documents": SQL_SENTENCE_STATS_DOCUMENTS,
+    "snapshot_diff_pages": SQL_SNAPSHOT_DIFF_PAGES,
 }
 
 
