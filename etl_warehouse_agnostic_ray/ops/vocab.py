@@ -101,3 +101,76 @@ def vocab_topk(
             "cnt": pa.array(cnts[top], pa.int64()),
         }
     )
+
+
+def _bigram_partials(b: pa.Table, text_col: str, num_buckets: int) -> pa.Table:
+    """Per-batch combiner for ADJACENT token pairs: the whole batch's
+    bigrams come from two zero-copy slices of the flat token array
+    joined by one C kernel, masked so pairs never straddle a document
+    boundary (row ids, not offset arithmetic — empty documents make
+    boundary offsets collide)."""
+    lowered = pc.utf8_lower(pc.cast(b.column(text_col), pa.large_string()))
+    flat, offsets = tokenize_ws(lowered)
+    n = len(flat)
+    empty = pa.table(
+        {
+            "tok": pa.array([], pa.large_string()),
+            "cnt": pa.array([], pa.int64()),
+            "_bk": pa.array([], pa.int64()),
+        }
+    )
+    if n < 2:
+        return empty
+    rid = np.repeat(
+        np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets)
+    )
+    valid = rid[:-1] == rid[1:]
+    if not valid.any():
+        return empty
+    pairs = pc.binary_join_element_wise(
+        flat.slice(0, n - 1), flat.slice(1), pa.scalar(" ", pa.large_string())
+    ).filter(pa.array(valid))
+    toks, counts = np.unique(np.asarray(pairs), return_counts=True)
+    tok_arr = pa.array(toks, pa.large_string())
+    bucket = (poly_hash_array(tok_arr) % np.uint64(num_buckets)).astype(np.int64)
+    return pa.table(
+        {
+            "tok": tok_arr,
+            "cnt": pa.array(counts.astype(np.int64)),
+            "_bk": pa.array(bucket),
+        }
+    )
+
+
+def bigram_topk(
+    ds,
+    text_col: str = "text",
+    k: int = 20,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """Global top-k adjacent-token pairs — same coarse-bucket reduce
+    and ≤ num_buckets × k driver materialization as ``vocab_topk``,
+    with the bigram emitted as one space-joined string column."""
+    part = functools.partial(
+        _bigram_partials, text_col=text_col, num_buckets=num_buckets
+    )
+    red = functools.partial(_bucket_topk, k=k)
+    cand = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(red, batch_format="pandas")
+    )
+    t = pa.concat_tables(cand.iter_batches(batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return pa.table(
+            {"bigram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    toks = np.asarray(t.column("tok"))
+    cnts = t.column("cnt").to_numpy()
+    top = np.lexsort((toks, -cnts))[:k]
+    return pa.table(
+        {
+            "bigram": pa.array(toks[top], pa.string()),
+            "cnt": pa.array(cnts[top], pa.int64()),
+        }
+    )

@@ -5038,6 +5038,110 @@ GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50
 """
 
 
+def q_bigram_topk_documents(sf_dir: str):
+    """Corpus top-20 adjacent-token pairs (the n-gram LM / collocation
+    statistic): the whole batch's bigrams come from TWO zero-copy
+    slices of the flat token buffer joined by one Arrow kernel (pairs
+    masked at document boundaries by row id), map-side combined to
+    distinct (pair, count) partials, then the vocab module's
+    coarse-bucket reduce — a pair lives wholly in one bucket, so the
+    driver sees only buckets × k candidates."""
+    from ..ops.vocab import bigram_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bigram_topk(ds, k=20)
+
+
+SQL_BIGRAM_TOPK_DOCUMENTS = """
+WITH a AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents WHERE text IS NOT NULL
+), b AS (
+  SELECT unnest(list_transform(
+           l, (x, i) -> CASE WHEN i < len(l) THEN x || ' ' || l[i + 1] END
+         )) AS bigram
+  FROM a
+)
+SELECT bigram, count(*)::BIGINT AS cnt
+FROM b WHERE bigram IS NOT NULL
+GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20
+"""
+
+
+def q_centroid_embeddings(sf_dir: str):
+    """Grouped VECTOR aggregate: the per-label centroid of the
+    embedding corpus — the k-means M-step / class-prototype query.
+    Each batch reshapes the fixed-dim list column to an (n, d) matrix
+    zero-copy and np.add.at-scatters per-label integer sums (floats
+    quantized by floor(v·2²⁰ + 0.5), exactly replayed in SQL, so the
+    distributed sum is order-independent); the exchange carries only
+    labels × dims rows per batch. A 100-TB corpus reduces to one tiny
+    (label, dim) grouped sum — no vector ever crosses the wire twice."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    SCALE = 1048576.0  # 2^20
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(emb)
+        d = len(emb[0]) if n else 0
+        m = emb.values.to_numpy(zero_copy_only=False).reshape(n, d)
+        q = np.floor(m.astype(np.float64) * SCALE + 0.5).astype(np.int64)
+        labels = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq))),
+                "n": pa.array(np.repeat(counts, d)),
+                "s": pa.array(sums.ravel()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    nf = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    sf = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            "label": t.column("label"),
+            "dim": t.column("dim"),
+            "n_vectors": t.column("n"),
+            "centroid": pa.array(sf / (SCALE * nf)),
+        }
+    )
+
+
+SQL_CENTROID_EMBEDDINGS = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(list_transform(embedding,
+                               (x, i) -> CAST(i - 1 AS BIGINT))) AS dim,
+         unnest(list_transform(embedding,
+                               (x, i) -> CAST(floor(CAST(x AS DOUBLE)
+                                                    * 1048576.0 + 0.5)
+                                              AS BIGINT))) AS q
+  FROM embeddings
+)
+SELECT label, dim, count(*)::BIGINT AS n_vectors,
+       CAST(sum(q) AS DOUBLE) / (1048576.0 * CAST(count(*) AS DOUBLE)) AS centroid
+FROM e GROUP BY label, dim
+"""
+
+
 def q_inverted_index_documents(sf_dir: str):
     """Inverted index (term → df + sorted doc-id posting list) over
     the corpus: in-batch (doc, term, tf) combining, coarse token-hash
@@ -5398,6 +5502,8 @@ QUERIES = {
     "percent_rank_customers": q_percent_rank_customers,
     "sentence_stats_documents": q_sentence_stats_documents,
     "snapshot_diff_pages": q_snapshot_diff_pages,
+    "bigram_topk_documents": q_bigram_topk_documents,
+    "centroid_embeddings": q_centroid_embeddings,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -5555,6 +5661,8 @@ ORACLES = {
     "percent_rank_customers": SQL_PERCENT_RANK_CUSTOMERS,
     "sentence_stats_documents": SQL_SENTENCE_STATS_DOCUMENTS,
     "snapshot_diff_pages": SQL_SNAPSHOT_DIFF_PAGES,
+    "bigram_topk_documents": SQL_BIGRAM_TOPK_DOCUMENTS,
+    "centroid_embeddings": SQL_CENTROID_EMBEDDINGS,
 }
 
 
