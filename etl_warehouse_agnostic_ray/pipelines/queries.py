@@ -648,6 +648,30 @@ def q_time_travel_pages(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+_DIFF_LAKE_CACHE: dict[str, tuple[str, int]] = {}
+
+
+def _diff_lake(sf_dir: str) -> tuple["CDCEngine", int]:
+    """Two-version lake for the snapshot diff (bootstrap → half the
+    WAL = v₁ → the rest = v₂), memoized per fixture dir under the
+    atexit-cleaned scratch root — the same disclosed read-only-reuse
+    pattern as ``_mor_lake``; the first call in a process still pays
+    the full build."""
+    d = fixture_dir(sf_dir)
+    hit = _DIFF_LAKE_CACHE.get(d)
+    if hit is not None and os.path.isdir(hit[0]):
+        return CDCEngine(hit[0], num_partitions=16), hit[1]
+    first, rest = _stream_halves(d)
+    root = _scratch_dir("lake_diff_")
+    eng = CDCEngine(root, num_partitions=16)
+    eng.bootstrap(os.path.join(d, "pages.parquet"))
+    eng.apply(first, batch_id="sd-half-1")
+    v1 = eng.lake.current_version()
+    eng.apply(rest, batch_id="sd-half-2")
+    _DIFF_LAKE_CACHE[d] = (root, v1)
+    return eng, v1
+
+
 def q_snapshot_diff_pages(sf_dir: str):
     """Version-to-version snapshot diff (the lakehouse audit query):
     classify every url as added / removed / changed between v₁ (half
@@ -665,92 +689,82 @@ def q_snapshot_diff_pages(sf_dir: str):
 
     from ..ops.texthash import poly_hash_array
 
-    d = fixture_dir(sf_dir)
-    first, rest = _stream_halves(d)
-    root = tempfile.mkdtemp(prefix="lake_diff_", dir="/tmp")
-    try:
-        eng = CDCEngine(root, num_partitions=16)
-        eng.bootstrap(os.path.join(d, "pages.parquet"))
-        eng.apply(first, batch_id="sd-half-1")
-        v1 = eng.lake.current_version()
-        eng.apply(rest, batch_id="sd-half-2")
-        cols = ["url", "warc_ts", "text", "lang"]
-        MIN64 = np.iinfo(np.int64).min
+    eng, v1 = _diff_lake(sf_dir)
+    cols = ["url", "warc_ts", "text", "lang"]
+    MIN64 = np.iinfo(np.int64).min
 
-        def tag(is_a: bool):
-            def fn(b: pa.Table) -> pa.Table:
-                n = b.num_rows
-                ts = (
-                    b.column("warc_ts")
-                    .to_numpy(zero_copy_only=False)
-                    .astype("datetime64[us]")
-                    .view("int64")
+    def tag(is_a: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            ts = (
+                b.column("warc_ts")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .view("int64")
+            )
+            txt = pc.fill_null(pc.cast(b.column("text"), pa.large_string()), "\x00")
+            lng = pc.fill_null(pc.cast(b.column("lang"), pa.large_string()), "\x00")
+            h = poly_hash_array(
+                pc.binary_join_element_wise(
+                    txt, lng, pa.scalar("\x01", pa.large_string())
                 )
-                txt = pc.fill_null(pc.cast(b.column("text"), pa.large_string()), "\x00")
-                lng = pc.fill_null(pc.cast(b.column("lang"), pa.large_string()), "\x00")
-                h = poly_hash_array(
-                    pc.binary_join_element_wise(
-                        txt, lng, pa.scalar("\x01", pa.large_string())
-                    )
-                ).view(np.int64)
-                absent = np.full(n, MIN64, dtype=np.int64)
-                one = np.ones(n, dtype=np.int64)
-                zero = np.zeros(n, dtype=np.int64)
-                return pa.table(
-                    {
-                        "url": b.column("url"),
-                        "in_a": pa.array(one if is_a else zero),
-                        "in_b": pa.array(zero if is_a else one),
-                        "wa": pa.array(ts if is_a else absent),
-                        "wb": pa.array(absent if is_a else ts),
-                        "ha": pa.array(h if is_a else absent),
-                        "hb": pa.array(absent if is_a else h),
-                    }
-                )
-
-            return fn
-
-        va = eng.lake.dataset(version=v1, columns=cols).map_batches(
-            tag(True), batch_format="pyarrow"
-        )
-        vb = eng.lake.dataset(columns=cols).map_batches(
-            tag(False), batch_format="pyarrow"
-        )
-
-        def classify(b: pa.Table) -> pa.Table:
-            ina = b.column("in_a").to_numpy(zero_copy_only=False) == 1
-            inb = b.column("in_b").to_numpy(zero_copy_only=False) == 1
-            wa = b.column("wa").to_numpy(zero_copy_only=False)
-            wb = b.column("wb").to_numpy(zero_copy_only=False)
-            ha = b.column("ha").to_numpy(zero_copy_only=False)
-            hb = b.column("hb").to_numpy(zero_copy_only=False)
-            changed = ina & inb & ((wa != wb) | (ha != hb))
-            label = np.where(
-                ~ina, "added", np.where(~inb, "removed", "changed")
-            ).astype(object)
-            keep = changed | (ina ^ inb)
+            ).view(np.int64)
+            absent = np.full(n, MIN64, dtype=np.int64)
+            one = np.ones(n, dtype=np.int64)
+            zero = np.zeros(n, dtype=np.int64)
             return pa.table(
                 {
-                    "url": b.column("url").filter(pa.array(keep)),
-                    "change": pa.array(label[keep], pa.string()),
+                    "url": b.column("url"),
+                    "in_a": pa.array(one if is_a else zero),
+                    "in_b": pa.array(zero if is_a else one),
+                    "wa": pa.array(ts if is_a else absent),
+                    "wb": pa.array(absent if is_a else ts),
+                    "ha": pa.array(h if is_a else absent),
+                    "hb": pa.array(absent if is_a else h),
                 }
             )
 
-        out = (
-            va.union(vb)
-            .groupby("url")
-            .aggregate(
-                *[
-                    Max(c, alias_name=c)
-                    for c in ("in_a", "in_b", "wa", "wb", "ha", "hb")
-                ]
-            )
-            .map_batches(classify, batch_format="pyarrow")
+        return fn
+
+    va = eng.lake.dataset(version=v1, columns=cols).map_batches(
+        tag(True), batch_format="pyarrow"
+    )
+    vb = eng.lake.dataset(columns=cols).map_batches(
+        tag(False), batch_format="pyarrow"
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        ina = b.column("in_a").to_numpy(zero_copy_only=False) == 1
+        inb = b.column("in_b").to_numpy(zero_copy_only=False) == 1
+        wa = b.column("wa").to_numpy(zero_copy_only=False)
+        wb = b.column("wb").to_numpy(zero_copy_only=False)
+        ha = b.column("ha").to_numpy(zero_copy_only=False)
+        hb = b.column("hb").to_numpy(zero_copy_only=False)
+        changed = ina & inb & ((wa != wb) | (ha != hb))
+        label = np.where(
+            ~ina, "added", np.where(~inb, "removed", "changed")
+        ).astype(object)
+        keep = changed | (ina ^ inb)
+        return pa.table(
+            {
+                "url": b.column("url").filter(pa.array(keep)),
+                "change": pa.array(label[keep], pa.string()),
+            }
         )
-        # materialize before the lake dir is removed (lazy lineage)
-        return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+
+    out = (
+        va.union(vb)
+        .groupby("url")
+        .aggregate(
+            *[
+                Max(c, alias_name=c)
+                for c in ("in_a", "in_b", "wa", "wb", "ha", "hb")
+            ]
+        )
+        .map_batches(classify, batch_format="pyarrow")
+    )
+    # materialize before the lake dir is removed (lazy lineage)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
 
 
 SQL_SNAPSHOT_DIFF_PAGES = f"""
