@@ -4020,6 +4020,156 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
 """
 
 
+def q_debounce_events(sf_dir: str):
+    """Proximity dedup (debounce): drop events that repeat the same
+    (user, type) within 60 s of the PREVIOUS such event — the standard
+    click-stream de-noising rule. Same coarse-partition single-lexsort
+    machinery as LAG, with runs keyed on the composite (user, type)
+    boundary; the keep mask is one vectorized compare, and the time
+    arithmetic stays integer µs so membership is bit-stable."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pk", pc.bit_wise_and(b.column("user_id"), pa.scalar(255, pa.int64()))
+        )
+
+    def debounce(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        us = ts.view("int64")
+        order = np.lexsort((eid, us, et, uid))
+        u, e, t = uid[order], et[order], us[order]
+        n = len(u)
+        first = np.ones(n, dtype=bool)
+        if n:
+            first[1:] = (u[1:] != u[:-1]) | (e[1:] != e[:-1])
+        gap = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            gap[1:] = t[1:] - t[:-1]
+        keep = first | (gap > 60_000_000)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order][keep]),
+                "user_id": pa.array(u[keep]),
+                "ts": pa.array(ts[order][keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(debounce, batch_format="pyarrow")
+    )
+
+
+SQL_DEBOUNCE_EVENTS = """
+SELECT event_id, user_id, ts FROM (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS gap
+  FROM events)
+WHERE gap IS NULL OR gap > 60000000
+"""
+
+
+def q_filtered_agg_customers(sf_dir: str):
+    """Conditional aggregates (the SQL FILTER clause): per nation,
+    total customers, customers with balance > 5000, and their share.
+    Map-side each batch pre-reduces to ≤ nations rows carrying both
+    the unconditional and the predicate-gated counts (one boolean sum
+    — no second scan), so the FILTER costs nothing extra at 100 TB;
+    the share division runs in the oracle's op order."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+                "n": pa.array(np.ones(len(bal), dtype=np.int64)),
+                "rich": pa.array((bal > 5000.0).astype(np.int64)),
+            }
+        )
+        return (
+            t.group_by("c_nationkey")
+            .aggregate([("n", "sum"), ("rich", "sum")])
+            .rename_columns(["c_nationkey", "n", "rich"])
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n", alias_name="n_customers"), Sum("rich", alias_name="n_rich"))
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    share = pc.divide(
+        pc.cast(t.column("n_rich"), pa.float64()),
+        pc.cast(t.column("n_customers"), pa.float64()),
+    )
+    return t.append_column("rich_share", share)
+
+
+SQL_FILTERED_AGG_CUSTOMERS = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       count(*)::BIGINT AS n_customers,
+       count(*) FILTER (WHERE c_acctbal > 5000)::BIGINT AS n_rich,
+       CAST(count(*) FILTER (WHERE c_acctbal > 5000) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS rich_share
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_mad_event_value(sf_dir: str):
+    """Median absolute deviation — the robust dispersion statistic —
+    as TWO exact distributed quantile passes (ops/quantiles.py's
+    histogram rank-finding; no global sort either pass): median m of
+    value, then the median of |value − m| over a derived column. Both
+    medians are actual column elements (quantile_disc semantics), and
+    the |v − m| doubles are computed identically on both sides, so the
+    result is bit-exact, not approximate."""
+    from ..ops.quantiles import quantiles_exact
+
+    rd = _rd()
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(path, columns=["value"])
+    med = float(quantiles_exact(ds, "value", qs=(0.5,)).column("value")[0].as_py())
+
+    def absdev(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"ad": pa.array(np.abs(v - med))})
+
+    dev = rd.read_parquet(path, columns=["value"]).map_batches(
+        absdev, batch_format="pyarrow"
+    )
+    mad = float(quantiles_exact(dev, "ad", qs=(0.5,)).column("value")[0].as_py())
+    return pa.table(
+        {"median": pa.array([med], pa.float64()), "mad": pa.array([mad], pa.float64())}
+    )
+
+
+SQL_MAD_EVENT_VALUE = """
+WITH m AS (SELECT quantile_disc(value, 0.5) AS md FROM events
+           WHERE value IS NOT NULL),
+d AS (SELECT abs(value - (SELECT md FROM m)) AS ad FROM events
+      WHERE value IS NOT NULL)
+SELECT (SELECT md FROM m)::DOUBLE AS median,
+       quantile_disc(ad, 0.5)::DOUBLE AS mad
+FROM d
+"""
+
+
 def q_sentence_stats_documents(sf_dir: str):
     """Per-document sentence statistics: terminal-punctuation run
     count ('[.!?]+' — both engines are RE2, so counts agree exactly)
@@ -5518,6 +5668,9 @@ QUERIES = {
     "snapshot_diff_pages": q_snapshot_diff_pages,
     "bigram_topk_documents": q_bigram_topk_documents,
     "centroid_embeddings": q_centroid_embeddings,
+    "debounce_events": q_debounce_events,
+    "filtered_agg_customers": q_filtered_agg_customers,
+    "mad_event_value": q_mad_event_value,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -5677,6 +5830,9 @@ ORACLES = {
     "snapshot_diff_pages": SQL_SNAPSHOT_DIFF_PAGES,
     "bigram_topk_documents": SQL_BIGRAM_TOPK_DOCUMENTS,
     "centroid_embeddings": SQL_CENTROID_EMBEDDINGS,
+    "debounce_events": SQL_DEBOUNCE_EVENTS,
+    "filtered_agg_customers": SQL_FILTERED_AGG_CUSTOMERS,
+    "mad_event_value": SQL_MAD_EVENT_VALUE,
 }
 
 
