@@ -2881,3 +2881,22 @@ class TestSemiJoinStrategies:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestBigramBoundaries:
+    def test_pairs_never_straddle_documents(self, ray_session):
+        import ray.data as rd
+        from etl_warehouse_agnostic_ray.ops.vocab import bigram_topk
+
+        ds = rd.from_items(
+            [
+                {"text": "a b c"},     # bigrams: "a b", "b c"
+                {"text": ""},           # none
+                {"text": "d"},          # none (single token)
+                {"text": "  c   a  "},  # "c a" (runs collapse)
+                {"text": None},         # none
+                {"text": "b c"},        # "b c" again
+            ]
+        )
+        out = bigram_topk(ds, k=10).to_pandas().set_index("bigram")["cnt"].to_dict()
+        assert out == {"b c": 2, "a b": 1, "c a": 1}
