@@ -4170,6 +4170,151 @@ FROM d
 """
 
 
+def q_active_users_events(sf_dir: str):
+    """DAU + trailing-7-day WAU: per calendar day, the exact distinct
+    user counts for that day and for the 7-day window ending on it —
+    the canonical engagement series, which naive SQL computes by
+    re-scanning the fact table per day. Here ONE pass reduces batches
+    to distinct (day, user) pairs (map-side set partial); the window
+    is a 7× np.repeat EXPANSION of those tiny pairs (days × users
+    rows, independent of event count), deduped by the same grouped
+    pass. Nothing but pairs ever shuffles."""
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        days = (
+            b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        ).view("int64")
+        users = b.column("user_id").to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([days, users], axis=1), axis=0)
+        return pa.table({"day": pa.array(pairs[:, 0]), "user_id": pa.array(pairs[:, 1])})
+
+    pairs = (
+        ds.map_batches(day_pairs, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        day = b.column("day").to_numpy(zero_copy_only=False)
+        usr = b.column("user_id").to_numpy(zero_copy_only=False)
+        win = np.repeat(day, 7) + np.tile(np.arange(7, dtype=np.int64), len(day))
+        return pa.table(
+            {
+                "day": pa.array(win),
+                "user_id": pa.array(np.repeat(usr, 7)),
+                "is_today": pa.array(
+                    (np.tile(np.arange(7, dtype=np.int64), len(day)) == 0).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    windowed = (
+        pairs.map_batches(expand, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Max("is_today", alias_name="is_today"))
+        .map_batches(
+            lambda b: (
+                b.group_by("day")
+                .aggregate([("is_today", "sum"), ("user_id", "count")])
+                .rename_columns(["day", "dau", "wau"])
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Sum("dau", alias_name="dau"), Sum("wau", alias_name="wau"))
+    )
+    t = pa.concat_tables(windowed.iter_batches(batch_format="pyarrow"))
+    # the expansion manufactures up to 6 trailing window-days past real
+    # data; a day is real iff some pair has is_today=1 there (dau > 0)
+    t = t.filter(pc.greater(t.column("dau"), 0))
+    return pa.table(
+        {
+            "day": pa.array(
+                t.column("day")
+                .to_numpy(zero_copy_only=False)
+                .view("datetime64[D]")
+                .astype("datetime64[us]")
+            ),
+            "dau": t.column("dau"),
+            "wau": t.column("wau"),
+        }
+    )
+
+
+SQL_ACTIVE_USERS_EVENTS = """
+WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM p)
+SELECT CAST(d.day AS TIMESTAMP) AS day,
+       count(DISTINCT CASE WHEN p.day = d.day THEN p.user_id END)::BIGINT AS dau,
+       count(DISTINCT p.user_id)::BIGINT AS wau
+FROM days d
+JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+
+
+def q_quantile_bucket_events(sf_dir: str):
+    """Global quantile-bucket feature binning: every event labeled
+    with its value quartile (q1..q4) — the equal-frequency
+    discretization step before feature hashing. Thresholds come from
+    ONE exact distributed quantile pass (actual column elements, no
+    sort); the labeling pass is a pure searchsorted map against the
+    3-element broadcast boundary array. Buckets are
+    (lo, hi]-style: value ≤ p25 → q1, ≤ p50 → q2, ≤ p75 → q3, else
+    q4 — replayed verbatim by the oracle's CASE ladder."""
+    from ..ops.quantiles import quantiles_exact
+
+    rd = _rd()
+    path = f"{sf_dir}/events.parquet"
+    qt = quantiles_exact(
+        rd.read_parquet(path, columns=["value"]), "value", qs=(0.25, 0.5, 0.75)
+    )
+    edges = np.sort(qt.column("value").to_numpy(zero_copy_only=False))
+
+    labels = np.asarray(["q1", "q2", "q3", "q4"], dtype=object)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        # side='left' counts edges STRICTLY below v, so v == edge lands
+        # in the lower bucket — exactly the CASE ladder's ≤ semantics
+        idx = np.searchsorted(edges, v, side="left")
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "value": b.column("value"),
+                "bucket": pa.array(labels[idx], pa.string()),
+            }
+        )
+
+    return rd.read_parquet(path, columns=["event_id", "value"]).map_batches(
+        bucket, batch_format="pyarrow"
+    )
+
+
+SQL_QUANTILE_BUCKET_EVENTS = """
+WITH t AS (
+  SELECT quantile_disc(value, 0.25) AS p25,
+         quantile_disc(value, 0.50) AS p50,
+         quantile_disc(value, 0.75) AS p75
+  FROM events WHERE value IS NOT NULL
+)
+SELECT e.event_id, e.value,
+       CASE WHEN e.value <= t.p25 THEN 'q1'
+            WHEN e.value <= t.p50 THEN 'q2'
+            WHEN e.value <= t.p75 THEN 'q3'
+            ELSE 'q4' END AS bucket
+FROM events e, t
+"""
+
+
 def q_sentence_stats_documents(sf_dir: str):
     """Per-document sentence statistics: terminal-punctuation run
     count ('[.!?]+' — both engines are RE2, so counts agree exactly)
@@ -5671,6 +5816,8 @@ QUERIES = {
     "debounce_events": q_debounce_events,
     "filtered_agg_customers": q_filtered_agg_customers,
     "mad_event_value": q_mad_event_value,
+    "active_users_events": q_active_users_events,
+    "quantile_bucket_events": q_quantile_bucket_events,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -5833,6 +5980,8 @@ ORACLES = {
     "debounce_events": SQL_DEBOUNCE_EVENTS,
     "filtered_agg_customers": SQL_FILTERED_AGG_CUSTOMERS,
     "mad_event_value": SQL_MAD_EVENT_VALUE,
+    "active_users_events": SQL_ACTIVE_USERS_EVENTS,
+    "quantile_bucket_events": SQL_QUANTILE_BUCKET_EVENTS,
 }
 
 
