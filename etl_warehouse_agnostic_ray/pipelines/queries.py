@@ -375,6 +375,21 @@ def _rd():
     return rd
 
 
+def _coarse_pk(key_col: str):
+    """map_batches fn appending ``pk = key & 255`` — the coarse hash
+    co-partitioning shared by every per-key window / journey query
+    (256 groups keeps the per-group vectorized pass large while giving
+    the scheduler ample parallelism at any cluster size)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pk", pc.bit_wise_and(b.column(key_col), pa.scalar(255, pa.int64()))
+        )
+
+    return fn
+
+
+
 # ===================================================================
 # CDC pipelines (the engine itself)
 # ===================================================================
@@ -1310,10 +1325,6 @@ def q_latest_order_per_customer(sf_dir: str):
         columns=["o_custkey", "o_orderkey", "o_orderdate"],
     )
 
-    def add_pk(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "pk", pc.bit_wise_and(b.column("o_custkey"), pa.scalar(255, pa.int64()))
-        )
 
     def first_per_customer(g: pd.DataFrame) -> pd.DataFrame:
         k = g["o_custkey"].to_numpy()
@@ -1333,7 +1344,7 @@ def q_latest_order_per_customer(sf_dir: str):
         )
 
     return (
-        ds.map_batches(add_pk, batch_format="pyarrow")
+        ds.map_batches(_coarse_pk("o_custkey"), batch_format="pyarrow")
         .groupby("pk")
         .map_groups(first_per_customer, batch_format="pandas")
     )
@@ -1418,10 +1429,6 @@ def q_asof_join_signup(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
     )
 
-    def add_pk(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "pk", pc.bit_wise_and(b.column("user_id"), pa.scalar(255, pa.int64()))
-        )
 
     def asof(g: pa.Table) -> pa.Table:
         u = g.column("user_id").to_numpy(zero_copy_only=False)
@@ -1457,7 +1464,7 @@ def q_asof_join_signup(sf_dir: str):
         )
 
     return (
-        ds.map_batches(add_pk, batch_format="pyarrow")
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
         .groupby("pk")
         .map_groups(asof, batch_format="pyarrow")
     )
@@ -1802,10 +1809,6 @@ def q_running_total_orders(sf_dir: str):
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
     )
 
-    def add_pk(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "pk", pc.bit_wise_and(b.column("o_custkey"), pa.scalar(255, pa.int64()))
-        )
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         k = g["o_custkey"].to_numpy()
@@ -1834,7 +1837,7 @@ def q_running_total_orders(sf_dir: str):
         )
 
     return (
-        ds.map_batches(add_pk, batch_format="pyarrow")
+        ds.map_batches(_coarse_pk("o_custkey"), batch_format="pyarrow")
         .groupby("pk")
         .map_groups(running, batch_format="pandas")
     )
@@ -3165,10 +3168,6 @@ def q_lag_event_gap(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
 
-    def add_pk(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "pk", pc.bit_wise_and(b.column("user_id"), pa.scalar(255, pa.int64()))
-        )
 
     def gaps(g: pa.Table) -> pa.Table:
         uid = g.column("user_id").to_numpy(zero_copy_only=False)
@@ -3194,7 +3193,7 @@ def q_lag_event_gap(sf_dir: str):
         )
 
     return (
-        ds.map_batches(add_pk, batch_format="pyarrow")
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
         .groupby("pk")
         .map_groups(gaps, batch_format="pyarrow")
     )
@@ -3224,10 +3223,6 @@ def q_moving_avg_orders(sf_dir: str):
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
     )
 
-    def add_pk(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "pk", pc.bit_wise_and(b.column("o_custkey"), pa.scalar(255, pa.int64()))
-        )
 
     def mavg(g: pa.Table) -> pa.Table:
         k = g.column("o_custkey").to_numpy(zero_copy_only=False)
@@ -3263,7 +3258,7 @@ def q_moving_avg_orders(sf_dir: str):
         )
 
     return (
-        ds.map_batches(add_pk, batch_format="pyarrow")
+        ds.map_batches(_coarse_pk("o_custkey"), batch_format="pyarrow")
         .groupby("pk")
         .map_groups(mavg, batch_format="pyarrow")
     )
@@ -3335,7 +3330,9 @@ def q_stddev_order_status(sf_dir: str):
     """Exact distributed sample standard deviation per order status.
     Per-batch partials reduce each block to one (status, n, Σx, Σx²)
     row with x = whole DOLLARS as int64 (cents² would overflow int64
-    at ~10⁹ rows; dollars² holds to sf1000), so the shuffle carries
+    at ~10⁵ rows per group; dollars² holds to ~sf500, i.e. ~5·10⁸
+    orders — shard the group or widen to two-limb sums past that), so
+    the shuffle carries
     3 tiny rows per block and the sums are order-independent exact
     integers. The final sqrt((Σx² − (Σx)²/n)/(n−1)) runs once on the
     driver with the identical operation order as the SQL, making the
@@ -3740,6 +3737,12 @@ def q_semi_join_orders_building(sf_dir: str, strategy: str = "auto"):
     )
 
     if strategy == "auto":
+        # pin the pruned key dataset so the count and the consuming
+        # path share one scan (file convention: any dataset consumed
+        # twice is materialized); count() over per-batch-distinct rows
+        # is an UPPER bound on global distinct keys, so broadcast is
+        # chosen only when even the overcount fits a worker heap
+        key_ds = key_ds.materialize()
         strategy = (
             "broadcast"
             if key_ds.count() <= BROADCAST_SEMI_MAX_KEYS
@@ -3870,10 +3873,6 @@ def q_first_last_event(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
     )
 
-    def add_pk(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "pk", pc.bit_wise_and(b.column("user_id"), pa.scalar(255, pa.int64()))
-        )
 
     def extremes(g: pa.Table) -> pa.Table:
         uid = g.column("user_id").to_numpy(zero_copy_only=False)
@@ -3901,7 +3900,7 @@ def q_first_last_event(sf_dir: str):
         )
 
     return (
-        ds.map_batches(add_pk, batch_format="pyarrow")
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
         .groupby("pk")
         .map_groups(extremes, batch_format="pyarrow")
     )
@@ -4032,10 +4031,6 @@ def q_debounce_events(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
 
-    def add_pk(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "pk", pc.bit_wise_and(b.column("user_id"), pa.scalar(255, pa.int64()))
-        )
 
     def debounce(g: pa.Table) -> pa.Table:
         uid = g.column("user_id").to_numpy(zero_copy_only=False)
@@ -4062,7 +4057,7 @@ def q_debounce_events(sf_dir: str):
         )
 
     return (
-        ds.map_batches(add_pk, batch_format="pyarrow")
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
         .groupby("pk")
         .map_groups(debounce, batch_format="pyarrow")
     )
@@ -4147,7 +4142,9 @@ def q_mad_event_value(sf_dir: str):
     med = float(quantiles_exact(ds, "value", qs=(0.5,)).column("value")[0].as_py())
 
     def absdev(b: pa.Table) -> pa.Table:
-        v = b.column("value").to_numpy(zero_copy_only=False)
+        # drop nulls HERE: to_numpy turns them into NaN floats, which
+        # the quantile pass cannot drop_null (oracle: WHERE NOT NULL)
+        v = b.drop_null().column("value").to_numpy(zero_copy_only=False)
         return pa.table({"ad": pa.array(np.abs(v - med))})
 
     dev = rd.read_parquet(path, columns=["value"]).map_batches(
@@ -4369,10 +4366,6 @@ def q_funnel_events(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
     )
 
-    def add_pk(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "pk", pc.bit_wise_and(b.column("user_id"), pa.scalar(255, pa.int64()))
-        )
 
     def funnel(g: pa.Table) -> pa.Table:
         uid = g.column("user_id").to_numpy(zero_copy_only=False)
@@ -4414,7 +4407,7 @@ def q_funnel_events(sf_dir: str):
         )
 
     parts = pa.concat_tables(
-        ds.map_batches(add_pk, batch_format="pyarrow")
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
         .groupby("pk")
         .map_groups(funnel, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
@@ -4458,6 +4451,9 @@ def q_zscore_events(sf_dir: str):
     ds = rd.read_parquet(path, columns=["event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
+        # nulls are excluded from the stats, like SQL sum()/count():
+        # a NaN would otherwise integerize to INT64_MIN garbage
+        b = b.drop_null()
         vu = np.round(b.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(
             np.int64
         )
@@ -4497,18 +4493,25 @@ def q_zscore_events(sf_dir: str):
 
     def zmap(b: pa.Table) -> pa.Table:
         et = b.column("event_type").to_numpy(zero_copy_only=False)
-        vu = np.round(b.column("value").to_numpy(zero_copy_only=False) * 100.0)
-        mu = np.empty(len(et), dtype=np.float64)
-        sd = np.empty(len(et), dtype=np.float64)
+        valid = pc.is_valid(b.column("value")).to_numpy(zero_copy_only=False)
+        vu = np.round(
+            np.nan_to_num(b.column("value").to_numpy(zero_copy_only=False)) * 100.0
+        )
+        # NaN init: a type absent from the stats (possible only when
+        # every one of its values was null) must not read uninitialized
+        # memory
+        mu = np.full(len(et), np.nan, dtype=np.float64)
+        sd = np.full(len(et), np.nan, dtype=np.float64)
         for k, (m, d) in stats.items():
             sel = et == k
             mu[sel] = m
             sd[sel] = d
+        # a null value yields a null z, matching the SQL expression
         return pa.table(
             {
                 "event_id": b.column("event_id"),
                 "event_type": b.column("event_type"),
-                "z": pa.array((vu - mu) / sd),
+                "z": pa.array((vu - mu) / sd, mask=~valid),
             }
         )
 
@@ -4521,7 +4524,7 @@ WITH st AS (
          sum(CAST(round(value * 100) AS BIGINT)) AS s,
          sum(CAST(round(value * 100) AS BIGINT)
              * CAST(round(value * 100) AS BIGINT)) AS ss
-  FROM events GROUP BY event_type
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
 )
 SELECT e.event_id, e.event_type,
        (CAST(round(e.value * 100) AS BIGINT)
@@ -5395,13 +5398,13 @@ def q_centroid_embeddings(sf_dir: str):
     SCALE = 1048576.0  # 2^20
 
     def partial(b: pa.Table) -> pa.Table:
-        emb = b.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        n = len(emb)
-        d = len(emb[0]) if n else 0
-        m = emb.values.to_numpy(zero_copy_only=False).reshape(n, d)
-        q = np.floor(m.astype(np.float64) * SCALE + 0.5).astype(np.int64)
+        from ..ops.texthash import list_col_to_matrix
+
+        # the shared helper is offset-safe (flatten, not .values) and
+        # validates ragged/null embedding rows loudly
+        m = list_col_to_matrix(b.column("embedding"), dtype=np.float64)
+        d = m.shape[1]
+        q = np.floor(m * SCALE + 0.5).astype(np.int64)
         labels = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, inv = np.unique(labels, return_inverse=True)
         sums = np.zeros((len(uniq), d), dtype=np.int64)

@@ -2862,12 +2862,12 @@ class TestPercentRankSingleRowGroup:
 
 
 class TestSemiJoinStrategies:
-    def test_broadcast_equals_shuffle(self, ray_session):
+    def test_broadcast_equals_shuffle(self, ray_session, sf_dir):
         from etl_warehouse_agnostic_ray.pipelines.queries import (
             q_semi_join_orders_building,
         )
 
-        sf = "/root/testdata/sf0.001"
+        sf = sf_dir
         a = (
             q_semi_join_orders_building(sf, strategy="broadcast")
             .to_pandas()
@@ -2900,3 +2900,46 @@ class TestBigramBoundaries:
         )
         out = bigram_topk(ds, k=10).to_pandas().set_index("bigram")["cnt"].to_dict()
         assert out == {"b c": 2, "a b": 1, "c a": 1}
+
+
+class TestNullValueStats:
+    """Null `value` rows must be excluded from z-score / MAD stats the
+    way SQL sum()/quantile() exclude NULLs — a NaN would integerize to
+    INT64_MIN and poison the partials (round-5 review finding)."""
+
+    def _events(self, tmp_path, values):
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(values)), pa.int64()),
+                "ts": pa.array(
+                    np.arange(len(values), dtype=np.int64).view("datetime64[us]")
+                ),
+                "user_id": pa.array([1] * len(values), pa.int64()),
+                "event_type": pa.array(["click"] * len(values)),
+                "value": pa.array(values, pa.float64()),
+                "props": pa.array(["{}"] * len(values)),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_zscore_skips_nulls(self, ray_session, tmp_path):
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_zscore_events
+
+        d = self._events(tmp_path, [1.0, 2.0, 3.0, None])
+        out = (
+            q_zscore_events(d).to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        # stats over {100,200,300} centi-units: mu=200, sigma=sqrt(20000/3)
+        sd = np.sqrt(((100**2 + 200**2 + 300**2) - 600.0 * 600.0 / 3) / 3)
+        assert np.isclose(out.loc[0, "z"], (100 - 200.0) / sd)
+        assert pd.isna(out.loc[3, "z"])  # null value -> null z
+
+    def test_mad_skips_nulls(self, ray_session, tmp_path):
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_mad_event_value
+
+        d = self._events(tmp_path, [1.0, 2.0, 9.0, None])
+        out = q_mad_event_value(d).to_pandas()
+        assert out.loc[0, "median"] == 2.0
+        # |v-2| over non-null = {1, 0, 7} -> disc median 1
+        assert out.loc[0, "mad"] == 1.0
