@@ -4258,6 +4258,86 @@ GROUP BY d.day
 """
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Weekly retention cohorts: users grouped by FIRST active day,
+    counted per weeks-since-cohort — the standard retention triangle.
+    Users are hash-co-partitioned so each partition resolves its
+    users' whole history locally: one lexsort finds each user's cohort
+    day (run start) and the distinct (user, week-offset) memberships
+    (a keep mask over the sorted run — offsets are nondecreasing, so
+    dedup is one shifted compare, no set); partitions emit pre-counted
+    (cohort, offset) partials and ONE tiny grouped sum finishes. Every
+    arithmetic step is integer days, bit-stable at any partitioning."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def cohort_partial(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        day = (
+            g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        ).view("int64")
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        n = len(u)
+        start = np.ones(n, dtype=bool)
+        if n:
+            start[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(start)
+        lengths = np.diff(np.append(starts, n))
+        cohort = np.repeat(d[start], lengths)
+        wo = (d - cohort) // 7
+        keep = start.copy()
+        if n > 1:
+            keep[1:] |= wo[1:] != wo[:-1]
+        t = pa.table(
+            {
+                "cohort": pa.array(cohort[keep]),
+                "week_offset": pa.array(wo[keep]),
+                "n": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["cohort", "week_offset"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["cohort", "week_offset", "n"])
+        )
+
+    out = (
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(cohort_partial, batch_format="pyarrow")
+        .groupby(["cohort", "week_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return pa.table(
+        {
+            "cohort_day": pa.array(
+                t.column("cohort")
+                .to_numpy(zero_copy_only=False)
+                .view("datetime64[D]")
+                .astype("datetime64[us]")
+            ),
+            "week_offset": t.column("week_offset"),
+            "n_users": t.column("n_users"),
+        }
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort FROM p GROUP BY user_id),
+r AS (SELECT DISTINCT p.user_id, f.cohort,
+             CAST(date_diff('day', f.cohort, p.day) // 7 AS BIGINT) AS week_offset
+      FROM p JOIN f USING (user_id))
+SELECT CAST(cohort AS TIMESTAMP) AS cohort_day, week_offset,
+       count(*)::BIGINT AS n_users
+FROM r GROUP BY cohort, week_offset
+"""
+
+
 def q_quantile_bucket_events(sf_dir: str):
     """Global quantile-bucket feature binning: every event labeled
     with its value quartile (q1..q4) — the equal-frequency
@@ -5821,6 +5901,7 @@ QUERIES = {
     "mad_event_value": q_mad_event_value,
     "active_users_events": q_active_users_events,
     "quantile_bucket_events": q_quantile_bucket_events,
+    "retention_cohorts": q_retention_cohorts,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -5985,6 +6066,7 @@ ORACLES = {
     "mad_event_value": SQL_MAD_EVENT_VALUE,
     "active_users_events": SQL_ACTIVE_USERS_EVENTS,
     "quantile_bucket_events": SQL_QUANTILE_BUCKET_EVENTS,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
 }
 
 
