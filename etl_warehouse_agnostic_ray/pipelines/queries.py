@@ -4258,6 +4258,192 @@ GROUP BY d.day
 """
 
 
+def q_full_outer_customer_activity(sf_dir: str):
+    """Explicit FULL OUTER join: every key on EITHER side — customers
+    with their event counts, event-only users with null customer
+    fields, silent customers with zero events. Completes the join-type
+    matrix (inner/left/anti/semi/as-of/range elsewhere). Same
+    flag-row shape as the EXCEPT query: each side map-reduces to
+    tagged per-key partials (events pre-count map-side, so the fact
+    table ships one row per (batch, user)), one grouped aggregate
+    merges, and the null-field semantics fall out of the flags —
+    no payload ever waits on the other side."""
+    from ray.data.aggregate import Max, Sum
+
+    rd = _rd()
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def cust_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b.column("c_custkey"), pa.int64()),
+                "seg": b.column("c_mktsegment"),
+                "is_cust": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "n_events": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def ev_side(b: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            b.column("user_id").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "key": pa.array(u.astype(np.int64)),
+                "seg": pa.nulls(len(u), pa.string()),
+                "is_cust": pa.array(np.zeros(len(u), dtype=np.int64)),
+                "n_events": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    merged = (
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(ev.map_batches(ev_side, batch_format="pyarrow"))
+        .groupby("key")
+        .aggregate(
+            Max("is_cust", alias_name="is_cust"),
+            Max("seg", alias_name="c_mktsegment"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        is_cust = pc.equal(b.column("is_cust"), 1)
+        return pa.table(
+            {
+                "key": b.column("key"),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "has_customer": pc.cast(is_cust, pa.int64()),
+                "n_events": b.column("n_events"),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_FULL_OUTER_CUSTOMER_ACTIVITY = """
+WITH e AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id)
+SELECT COALESCE(c.c_custkey, e.user_id) AS key,
+       c.c_mktsegment,
+       CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END::BIGINT AS has_customer,
+       COALESCE(e.n, 0)::BIGINT AS n_events
+FROM customer c FULL OUTER JOIN e ON c.c_custkey = e.user_id
+"""
+
+
+def q_lead_event_gap(sf_dir: str):
+    """LEAD window (forward gap): microseconds until each user's NEXT
+    event, NULL for the last — the mirror of the LAG query, same
+    single-lexsort run machinery with the shifted compare reversed.
+    Integer µs end to end, null-masked int64 out."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def gaps(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        us = ts.view("int64")
+        order = np.lexsort((eid, us, uid))
+        u, t = uid[order], us[order]
+        n = len(u)
+        gap = np.zeros(n, dtype=np.int64)
+        last = np.ones(n, dtype=bool)
+        if n > 1:
+            gap[:-1] = t[1:] - t[:-1]
+            last[:-1] = u[1:] != u[:-1]
+            gap[last] = 0
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "event_id": pa.array(eid[order]),
+                "ts": pa.array(ts[order]),
+                "next_gap_us": pa.array(gap, mask=last),
+            }
+        )
+
+    return (
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
+SQL_LEAD_EVENT_GAP = """
+SELECT user_id, event_id, ts,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - epoch_us(ts) AS next_gap_us
+FROM events
+"""
+
+
+def q_cumulative_users(sf_dir: str):
+    """Accumulating snapshot: per day, NEW users (first ever activity
+    that day) and the cumulative users-to-date — the growth-curve
+    query. New-user counts come from each partition's per-user run
+    starts (one lexsort, no distinct set); the cumulative sum runs
+    once over the tiny per-day table on the driver (O(days)). A naive
+    SQL needs a window over a distinct-first-day subquery; the
+    distributed shape ships only (day, count) partials."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def firsts(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        day = (
+            g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        ).view("int64")
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        n = len(u)
+        start = np.ones(n, dtype=bool)
+        if n:
+            start[1:] = u[1:] != u[:-1]
+        fd, counts = np.unique(d[start], return_counts=True)
+        return pa.table(
+            {"day": pa.array(fd), "n_new": pa.array(counts.astype(np.int64))}
+        )
+
+    out = (
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(firsts, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_new", alias_name="new_users"))
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    day = t.column("day").to_numpy(zero_copy_only=False)
+    order = np.argsort(day, kind="stable")
+    new = t.column("new_users").to_numpy(zero_copy_only=False)[order]
+    return pa.table(
+        {
+            "day": pa.array(
+                day[order].view("datetime64[D]").astype("datetime64[us]")
+            ),
+            "new_users": pa.array(new),
+            "cum_users": pa.array(np.cumsum(new)),
+        }
+    )
+
+
+SQL_CUMULATIVE_USERS = """
+WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events
+           GROUP BY user_id),
+d AS (SELECT day, count(*)::BIGINT AS new_users FROM f GROUP BY day)
+SELECT CAST(day AS TIMESTAMP) AS day, new_users,
+       sum(new_users) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+FROM d
+"""
+
+
 def q_retention_cohorts(sf_dir: str):
     """Weekly retention cohorts: users grouped by FIRST active day,
     counted per weeks-since-cohort — the standard retention triangle.
@@ -5902,6 +6088,9 @@ QUERIES = {
     "active_users_events": q_active_users_events,
     "quantile_bucket_events": q_quantile_bucket_events,
     "retention_cohorts": q_retention_cohorts,
+    "full_outer_customer_activity": q_full_outer_customer_activity,
+    "lead_event_gap": q_lead_event_gap,
+    "cumulative_users": q_cumulative_users,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -6067,6 +6256,9 @@ ORACLES = {
     "active_users_events": SQL_ACTIVE_USERS_EVENTS,
     "quantile_bucket_events": SQL_QUANTILE_BUCKET_EVENTS,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    "full_outer_customer_activity": SQL_FULL_OUTER_CUSTOMER_ACTIVITY,
+    "lead_event_gap": SQL_LEAD_EVENT_GAP,
+    "cumulative_users": SQL_CUMULATIVE_USERS,
 }
 
 
