@@ -4258,6 +4258,158 @@ GROUP BY d.day
 """
 
 
+def q_sliding_window_counts(sf_dir: str):
+    """SLIDING (hopping) window aggregate — 1-hour windows sliding
+    every 15 minutes: each event belongs to 4 overlapping windows, so
+    the batch EXPANDS 4× into (window_start, 1) rows map-side and one
+    grouped sum finishes. Completes the window triad (tumbling =
+    `windowed_event_counts`, session = `sessionize_events`). Window
+    membership is pure integer µs arithmetic — the last aligned slide
+    at-or-before ts, then 3 earlier slides, windows clipped to those
+    actually covering the event (always 4 here since 4×15 m = 1 h)."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    SLIDE = 15 * 60 * 1_000_000  # 15 min in µs
+    K = 4  # windows covering each event (1h / 15min)
+
+    def expand(b: pa.Table) -> pa.Table:
+        us = (
+            b.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view("int64")
+        )
+        anchor = (us // SLIDE) * SLIDE
+        starts = np.repeat(anchor, K) - np.tile(
+            np.arange(K, dtype=np.int64) * SLIDE, len(us)
+        )
+        u, c = np.unique(starts, return_counts=True)
+        return pa.table(
+            {"window_start": pa.array(u), "n": pa.array(c.astype(np.int64))}
+        )
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return pa.table(
+        {
+            "window_start": pa.array(
+                t.column("window_start")
+                .to_numpy(zero_copy_only=False)
+                .view("datetime64[us]")
+            ),
+            "n_events": t.column("n_events"),
+        }
+    )
+
+
+SQL_SLIDING_WINDOW_COUNTS = """
+WITH e AS (
+  SELECT epoch_us(ts) // 900000000 * 900000000 AS anchor FROM events
+), w AS (
+  SELECT anchor - CAST(s.i AS BIGINT) * 900000000 AS ws
+  FROM e, (SELECT unnest([0, 1, 2, 3]) AS i) s
+)
+SELECT make_timestamp(ws) AS window_start, count(*)::BIGINT AS n_events
+FROM w GROUP BY ws
+"""
+
+
+def q_regression_slope(sf_dir: str):
+    """Grouped simple linear regression (price explained by quantity,
+    per return flag): slope and intercept from the SAME exact int64
+    (n, Σx, Σy, Σx², Σxy) partials as the Pearson query — 3 tiny rows
+    per block on the shuffle, closed form evaluated once in the
+    oracle's float op order. slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²),
+    intercept = (Σy − slope·Σx)/n; n·Σxy ≈ 10⁹·10¹² overflows int64,
+    so the numerators are combined in DOUBLES of exact ints on both
+    sides (deterministic — same two products, same subtraction)."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.floor(
+            b.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        y = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx": pa.array(x * x),
+                "sxy": pa.array(x * y),
+            }
+        )
+        cols = ["n", "sx", "sy", "sxx", "sxy"]
+        return (
+            t.group_by("l_returnflag")
+            .aggregate([(c, "sum") for c in cols])
+            .rename_columns(["l_returnflag"] + cols)
+        )
+
+    cols = ["n", "sx", "sy", "sxx", "sxy"]
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    f = {
+        c: t.column(c).to_numpy(zero_copy_only=False).astype(np.float64) for c in cols
+    }
+    slope = (f["n"] * f["sxy"] - f["sx"] * f["sy"]) / (
+        f["n"] * f["sxx"] - f["sx"] * f["sx"]
+    )
+    intercept = (f["sy"] - slope * f["sx"]) / f["n"]
+    return pa.table(
+        {
+            "l_returnflag": t.column("l_returnflag"),
+            "n_lines": t.column("n"),
+            "slope": pa.array(slope),
+            "intercept": pa.array(intercept),
+        }
+    )
+
+
+SQL_REGRESSION_SLOPE = """
+WITH p AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+         sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n AS n_lines,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+FROM p
+"""
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -6091,6 +6243,8 @@ QUERIES = {
     "full_outer_customer_activity": q_full_outer_customer_activity,
     "lead_event_gap": q_lead_event_gap,
     "cumulative_users": q_cumulative_users,
+    "sliding_window_counts": q_sliding_window_counts,
+    "regression_slope": q_regression_slope,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -6259,6 +6413,8 @@ ORACLES = {
     "full_outer_customer_activity": SQL_FULL_OUTER_CUSTOMER_ACTIVITY,
     "lead_event_gap": SQL_LEAD_EVENT_GAP,
     "cumulative_users": SQL_CUMULATIVE_USERS,
+    "sliding_window_counts": SQL_SLIDING_WINDOW_COUNTS,
+    "regression_slope": SQL_REGRESSION_SLOPE,
 }
 
 
