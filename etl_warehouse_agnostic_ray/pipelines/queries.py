@@ -3154,48 +3154,125 @@ FROM documents GROUP BY source
 # ===================================================================
 
 
+def gap_table(g: pa.Table, gap_col: str, forward: bool = False) -> pa.Table:
+    """Per-group LAG/LEAD gap kernel, shared by `q_lag_event_gap` and
+    `q_lead_event_gap` (and pinned directly by the window property
+    tests): one lexsort by (user, ts, id), shifted int64-µs diff, and
+    a run-boundary mask nulling the first (LAG) or last (LEAD) row of
+    each user's run."""
+    uid = g.column("user_id").to_numpy(zero_copy_only=False)
+    eid = g.column("event_id").to_numpy(zero_copy_only=False)
+    ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    us = ts.view("int64")
+    order = np.lexsort((eid, us, uid))
+    u, t = uid[order], us[order]
+    n = len(u)
+    gap = np.zeros(n, dtype=np.int64)
+    edge = np.ones(n, dtype=bool)
+    if n > 1:
+        if forward:
+            gap[:-1] = t[1:] - t[:-1]
+            edge[:-1] = u[1:] != u[:-1]
+        else:
+            gap[1:] = t[1:] - t[:-1]
+            edge[1:] = u[1:] != u[:-1]
+        gap[edge] = 0
+    return pa.table(
+        {
+            "user_id": pa.array(u),
+            "event_id": pa.array(eid[order]),
+            "ts": pa.array(ts[order]),
+            gap_col: pa.array(gap, mask=edge),
+        }
+    )
+
+
+def moving_frame_sums(
+    keys: np.ndarray, vals: np.ndarray, preceding: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """ROWS-frame window sums over key-sorted arrays: for each row i,
+    the sum and count of vals over [max(run_start, i−preceding), i]
+    within i's key run — cumsum[i+1] − cumsum[lo] with lo clamped to
+    each run's start. Shared by `q_moving_avg_orders` and pinned
+    directly by the window property tests. Inputs MUST already be
+    sorted with keys contiguous (the callers lexsort first)."""
+    n = len(keys)
+    start = np.ones(n, dtype=bool)
+    if n:
+        start[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(start)
+    lengths = np.diff(np.append(starts, n))
+    run_start = np.repeat(starts, lengths)
+    pos = np.arange(n, dtype=np.int64)
+    lo = np.maximum(run_start, pos - preceding)
+    cum = np.concatenate(([0], np.cumsum(vals)))
+    return cum[pos + 1] - cum[lo], pos - lo + 1
+
+
+def ntile_assign(n: int, k: int) -> np.ndarray:
+    """NTILE bucket per rank position (DuckDB rule: the first n mod k
+    buckets take the extra row), closed-form — shared by
+    `q_ntile_customers` and pinned by the window property tests."""
+    q, r = divmod(n, k)
+    pos = np.arange(n, dtype=np.int64)
+    if q == 0:
+        return pos + 1
+    thresh = r * (q + 1)
+    return np.where(pos < thresh, pos // (q + 1) + 1, r + (pos - thresh) // q + 1)
+
+
+def _lineitem_moment_partials(b: pa.Table, cols: tuple[str, ...]) -> pa.Table:
+    """Per-batch exact-integer moment partials over lineitem — x =
+    quantity units, y = whole dollars, floor(v+0.5) matching SQL
+    round()'s half-away-from-zero on .50 ties — reduced map-side to
+    ≤ flags rows per batch. Shared by the Pearson-correlation and
+    regression queries (one rounding/overflow rule to maintain)."""
+    x = np.floor(b.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5).astype(
+        np.int64
+    )
+    y = np.floor(
+        b.column("l_extendedprice").to_numpy(zero_copy_only=False) + 0.5
+    ).astype(np.int64)
+    moments = {
+        "n": np.ones(len(x), dtype=np.int64),
+        "sx": x,
+        "sy": y,
+        "sxx": x * x,
+        "syy": y * y,
+        "sxy": x * y,
+    }
+    t = pa.table(
+        {"l_returnflag": b.column("l_returnflag")}
+        | {c: pa.array(moments[c]) for c in cols}
+    )
+    return (
+        t.group_by("l_returnflag")
+        .aggregate([(c, "sum") for c in cols])
+        .rename_columns(["l_returnflag", *cols])
+    )
+
+
+def _lag_gaps(g: pa.Table) -> pa.Table:
+    return gap_table(g, "gap_us", forward=False)
+
+
 def q_lag_event_gap(sf_dir: str):
     """LAG window: microseconds since each user's PREVIOUS event
     (NULL for the first) — ``lag(ts) OVER (PARTITION BY user_id ORDER
     BY ts, event_id)``. Coarse hash partition (user_id & 255)
-    co-locates each user's events; inside a partition ONE lexsort +
-    shifted-diff with run-boundary masking computes every user's gaps
-    vectorized. Gap stays integer µs end to end (timestamp diffs are
-    exact int64), emitted as an Arrow null-masked int64 like the as-of
-    join, so ours and the SQL window hash bit-equal."""
+    co-locates each user's events; inside a partition the shared
+    `gap_table` kernel (one lexsort + shifted-diff with run-boundary
+    masking) computes every user's gaps vectorized. Gap stays integer
+    µs end to end, emitted as an Arrow null-masked int64 like the
+    as-of join, so ours and the SQL window hash bit-equal."""
     rd = _rd()
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
-
-
-    def gaps(g: pa.Table) -> pa.Table:
-        uid = g.column("user_id").to_numpy(zero_copy_only=False)
-        eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        us = ts.view("int64")
-        order = np.lexsort((eid, us, uid))
-        u, t = uid[order], us[order]
-        gap = np.empty(len(u), dtype=np.int64)
-        first = np.ones(len(u), dtype=bool)
-        if len(u):
-            gap[0] = 0
-            gap[1:] = t[1:] - t[:-1]
-            first[1:] = u[1:] != u[:-1]
-            gap[first] = 0
-        return pa.table(
-            {
-                "user_id": pa.array(u),
-                "event_id": pa.array(eid[order]),
-                "ts": pa.array(ts[order]),
-                "gap_us": pa.array(gap, mask=first),
-            }
-        )
-
     return (
         ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
         .groupby("pk")
-        .map_groups(gaps, batch_format="pyarrow")
+        .map_groups(_lag_gaps, batch_format="pyarrow")
     )
 
 
@@ -3234,21 +3311,10 @@ def q_moving_avg_orders(sf_dir: str):
             g.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
         order = np.lexsort((okey, od.view("int64"), k))
-        ks, cs = k[order], cents[order]
-        n = len(ks)
-        start = np.ones(n, dtype=bool)
-        start[1:] = ks[1:] != ks[:-1]
-        starts = np.flatnonzero(start)
-        lengths = np.diff(np.append(starts, n))
-        run_start = np.repeat(starts, lengths)
-        pos = np.arange(n, dtype=np.int64)
-        lo = np.maximum(run_start, pos - 2)
-        cum = np.concatenate(([0], np.cumsum(cs)))
-        wsum = cum[pos + 1] - cum[lo]
-        cnt = pos - lo + 1
+        wsum, cnt = moving_frame_sums(k[order], cents[order], preceding=2)
         return pa.table(
             {
-                "o_custkey": pa.array(ks),
+                "o_custkey": pa.array(k[order]),
                 "o_orderkey": pa.array(okey[order]),
                 "o_orderdate": pa.array(od[order]),
                 "mavg_price": pa.array(
@@ -3295,17 +3361,7 @@ def q_ntile_customers(sf_dir: str):
         bal = g["c_acctbal"].to_numpy()
         key = g["c_custkey"].to_numpy()
         order = np.lexsort((key, bal))
-        n = len(order)
-        k = 4
-        q, r = divmod(n, k)
-        pos = np.arange(n, dtype=np.int64)
-        thresh = r * (q + 1)
-        if q == 0:
-            tile = pos + 1
-        else:
-            tile = np.where(
-                pos < thresh, pos // (q + 1) + 1, r + (pos - thresh) // q + 1
-            )
+        tile = ntile_assign(len(order), 4)
         return pd.DataFrame(
             {
                 "c_custkey": key[order],
@@ -3419,36 +3475,14 @@ def q_corr_qty_price(sf_dir: str):
         columns=["l_returnflag", "l_quantity", "l_extendedprice"],
     )
 
-    def partial(b: pa.Table) -> pa.Table:
-        # floor(x+0.5) matches SQL round()'s half-away-from-zero on the
-        # whole-dollar .50 ties (see q_stddev_order_status)
-        x = np.floor(
-            b.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
-        ).astype(np.int64)
-        y = np.floor(
-            b.column("l_extendedprice").to_numpy(zero_copy_only=False) + 0.5
-        ).astype(np.int64)
-        t = pa.table(
-            {
-                "l_returnflag": b.column("l_returnflag"),
-                "n": pa.array(np.ones(len(x), dtype=np.int64)),
-                "sx": pa.array(x),
-                "sy": pa.array(y),
-                "sxx": pa.array(x * x),
-                "syy": pa.array(y * y),
-                "sxy": pa.array(x * y),
-            }
-        )
-        cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
-        return (
-            t.group_by("l_returnflag")
-            .aggregate([(c, "sum") for c in cols])
-            .rename_columns(["l_returnflag"] + cols)
-        )
+    import functools
 
-    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    cols = ("n", "sx", "sy", "sxx", "syy", "sxy")
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(
+            functools.partial(_lineitem_moment_partials, cols=cols),
+            batch_format="pyarrow",
+        )
         .groupby("l_returnflag")
         .aggregate(*[Sum(c, alias_name=c) for c in cols])
     )
@@ -4309,7 +4343,10 @@ def q_sliding_window_counts(sf_dir: str):
 
 SQL_SLIDING_WINDOW_COUNTS = """
 WITH e AS (
-  SELECT epoch_us(ts) // 900000000 * 900000000 AS anchor FROM events
+  -- time_bucket FLOORS (also pre-epoch), matching numpy's // which
+  -- floors toward -inf; a bare epoch_us // slide would TRUNCATE
+  -- toward zero and shift pre-1970 events one slide up
+  SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)) AS anchor FROM events
 ), w AS (
   SELECT anchor - CAST(s.i AS BIGINT) * 900000000 AS ws
   FROM e, (SELECT unnest([0, 1, 2, 3]) AS i) s
@@ -4336,33 +4373,14 @@ def q_regression_slope(sf_dir: str):
         columns=["l_returnflag", "l_quantity", "l_extendedprice"],
     )
 
-    def partial(b: pa.Table) -> pa.Table:
-        x = np.floor(
-            b.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
-        ).astype(np.int64)
-        y = np.floor(
-            b.column("l_extendedprice").to_numpy(zero_copy_only=False) + 0.5
-        ).astype(np.int64)
-        t = pa.table(
-            {
-                "l_returnflag": b.column("l_returnflag"),
-                "n": pa.array(np.ones(len(x), dtype=np.int64)),
-                "sx": pa.array(x),
-                "sy": pa.array(y),
-                "sxx": pa.array(x * x),
-                "sxy": pa.array(x * y),
-            }
-        )
-        cols = ["n", "sx", "sy", "sxx", "sxy"]
-        return (
-            t.group_by("l_returnflag")
-            .aggregate([(c, "sum") for c in cols])
-            .rename_columns(["l_returnflag"] + cols)
-        )
+    import functools
 
-    cols = ["n", "sx", "sy", "sxx", "sxy"]
+    cols = ("n", "sx", "sy", "sxx", "sxy")
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(
+            functools.partial(_lineitem_moment_partials, cols=cols),
+            batch_format="pyarrow",
+        )
         .groupby("l_returnflag")
         .aggregate(*[Sum(c, alias_name=c) for c in cols])
     )
@@ -4486,43 +4504,24 @@ FROM customer c FULL OUTER JOIN e ON c.c_custkey = e.user_id
 """
 
 
+def _lead_gaps(g: pa.Table) -> pa.Table:
+    return gap_table(g, "next_gap_us", forward=True)
+
+
 def q_lead_event_gap(sf_dir: str):
     """LEAD window (forward gap): microseconds until each user's NEXT
-    event, NULL for the last — the mirror of the LAG query, same
-    single-lexsort run machinery with the shifted compare reversed.
-    Integer µs end to end, null-masked int64 out."""
+    event, NULL for the last — the LAG query's shared `gap_table`
+    kernel with the direction flag reversed (one boundary-mask
+    implementation for both, the bug class the window property tests
+    guard). Integer µs end to end, null-masked int64 out."""
     rd = _rd()
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
-
-    def gaps(g: pa.Table) -> pa.Table:
-        uid = g.column("user_id").to_numpy(zero_copy_only=False)
-        eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        us = ts.view("int64")
-        order = np.lexsort((eid, us, uid))
-        u, t = uid[order], us[order]
-        n = len(u)
-        gap = np.zeros(n, dtype=np.int64)
-        last = np.ones(n, dtype=bool)
-        if n > 1:
-            gap[:-1] = t[1:] - t[:-1]
-            last[:-1] = u[1:] != u[:-1]
-            gap[last] = 0
-        return pa.table(
-            {
-                "user_id": pa.array(u),
-                "event_id": pa.array(eid[order]),
-                "ts": pa.array(ts[order]),
-                "next_gap_us": pa.array(gap, mask=last),
-            }
-        )
-
     return (
         ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
         .groupby("pk")
-        .map_groups(gaps, batch_format="pyarrow")
+        .map_groups(_lead_gaps, batch_format="pyarrow")
     )
 
 
