@@ -483,3 +483,55 @@ def bpe_token_count(
         pc.cast(batch.column(col), pa.string()), BPE_TOKEN_PATTERN
     )
     return batch.append_column(out, pc.cast(n, pa.int64()))
+
+
+def char_entropy(
+    batch: pa.Table,
+    col: str = "text",
+) -> pa.Table:
+    """Per-document character (code-point) Shannon entropy in nats —
+    the classic gibberish / low-diversity filter (a page of "aaaa…" or
+    base64 noise sits at the entropy extremes; natural prose clusters
+    near ~2.8–3.2 nats/char). Stateless, shuffle-free, one pass.
+
+    Vectorized shape: the batch's texts become ONE code-point array
+    (utf-32 view) tagged with a (doc, code-point) composite uint64 key;
+    a single sort + run-length pass yields every per-document character
+    count — no per-row Python, no per-document dict.
+
+    Determinism contract (DuckDB twin replays value-for-value):
+    H = ln(L) - (1/L)·Σ n_c·ln(n_c) is computed over INTEGER
+    micro-nats — per-char cost floor(ln(n_c)·1e6) — so every sum is
+    order-independent; the only floats shared with SQL are libm ln and
+    ONE final division of exact-integer-valued doubles (< 2^53), both
+    bit-stable across numpy and DuckDB (the ops/lm.py contract).
+    Appends ``n_cp`` (code-point length), ``n_distinct_chars``, and
+    ``char_entropy`` (nats/char; 0.0 for empty text).
+    """
+    texts = pc.cast(batch.column(col), pa.string()).fill_null("").to_pylist()
+    n_docs = len(texts)
+    lens = np.fromiter((len(t) for t in texts), np.int64, n_docs)
+    cp = np.frombuffer("".join(texts).encode("utf-32-le"), np.uint32)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.uint64), lens)
+    key = (doc_idx << np.uint64(32)) | cp.astype(np.uint64)
+    key.sort()
+    first = np.ones(len(key), bool)
+    first[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(first)
+    runs = np.diff(np.append(starts, len(key))).astype(np.int64)
+    # exact-integer-valued doubles throughout: runs ≤ 2^31, ln·1e6 ≤ 2^36
+    ln_cost = np.floor(np.log(runs) * 1e6)
+    doc_of_run = (key[starts] >> np.uint64(32)).astype(np.int64)
+    sub = np.bincount(doc_of_run, weights=runs * ln_cost, minlength=n_docs)
+    n_distinct = np.bincount(doc_of_run, minlength=n_docs).astype(np.int64)
+    ln_len = np.floor(np.log(np.maximum(lens, 1)) * 1e6)
+    # denominator clamped only where lens == 0 (masked to 0.0 anyway),
+    # so the lens > 0 lanes keep the oracle's exact single division
+    entropy = np.where(
+        lens > 0, (lens * ln_len - sub) / (np.maximum(lens, 1) * 1e6), 0.0
+    )
+    return (
+        batch.append_column("n_cp", pa.array(lens))
+        .append_column("n_distinct_chars", pa.array(n_distinct))
+        .append_column("char_entropy", pa.array(entropy, pa.float64()))
+    )

@@ -4428,6 +4428,128 @@ FROM p
 """
 
 
+def q_char_entropy_documents(sf_dir: str):
+    """Per-document character-entropy quality signal (ops/text.
+    char_entropy): the gibberish / low-diversity filter every webtext
+    cleaning recipe runs alongside the Gopher battery. Shuffle-free
+    vectorized map over pruned columns; integer micro-nat sums keep the
+    DuckDB twin value-exact (see the op's determinism contract)."""
+    from ..ops.text import char_entropy
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def ent(b: pa.Table) -> pa.Table:
+        return char_entropy(b).drop(["text"])
+
+    return ds.map_batches(ent, batch_format="pyarrow")
+
+
+SQL_CHAR_ENTROPY_DOCUMENTS = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+  FROM documents
+), counts AS (
+  SELECT doc_id, substr(text, i, 1) AS ch, COUNT(*)::BIGINT AS n
+  FROM pos GROUP BY doc_id, substr(text, i, 1)
+), per_doc AS (
+  SELECT doc_id,
+         SUM(n)::BIGINT AS n_cp,
+         COUNT(*)::BIGINT AS n_distinct_chars,
+         SUM(n * CAST(floor(ln(n) * 1e6) AS BIGINT))::BIGINT AS sub
+  FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_cp, 0) AS n_cp,
+       COALESCE(p.n_distinct_chars, 0) AS n_distinct_chars,
+       CASE WHEN COALESCE(p.n_cp, 0) > 0
+            THEN CAST(p.n_cp * CAST(floor(ln(p.n_cp) * 1e6) AS BIGINT)
+                      - p.sub AS DOUBLE)
+                 / CAST(p.n_cp * 1000000 AS DOUBLE)
+            ELSE 0.0 END AS char_entropy
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q_winsorized_mean_events(sf_dir: str):
+    """Per-event-type winsorized mean: clip values at the group's exact
+    p10/p90 (quantile_disc order statistics — the shared-histogram
+    grouped-quantile op, constant passes regardless of group count),
+    then ONE zero-shuffle clip + integer-cent sum pass with the tiny
+    (group → bounds) map broadcast in the task closure. The standard
+    robust-mean rollup for metric pipelines where a few runaway values
+    (bot sessions, logging bugs) would otherwise dominate a plain AVG.
+    Determinism: cents = round(value·100) AFTER clipping — clip bounds
+    are actual data values, round is monotone, and the final division
+    runs in the oracle's float op order."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.quantiles import grouped_quantiles
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    qt = grouped_quantiles(ds, "value", "event_type", qs=(0.1, 0.9), n_bins=256)
+    bounds: dict[str, list[float]] = {}
+    for g, q, v in zip(
+        qt.column("event_type").to_pylist(),
+        qt.column("q").to_pylist(),
+        qt.column("value").to_pylist(),
+    ):
+        bounds.setdefault(g, [0.0, 0.0])[0 if q == 0.1 else 1] = v
+
+    def clip_cents(b: pa.Table) -> pa.Table:
+        gv = b.column("event_type").to_numpy(zero_copy_only=False)
+        vv = b.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(vv)
+        lo = np.empty(len(gv))
+        hi = np.empty(len(gv))
+        for g in np.unique(gv):
+            gb = bounds.get(g)
+            if gb is None:  # group with no non-null value anywhere
+                ok[gv == g] = False
+                continue
+            m = gv == g
+            lo[m], hi[m] = gb
+        clipped = np.minimum(np.maximum(vv, lo), hi)
+        cents = np.zeros(len(gv), np.int64)
+        cents[ok] = np.round(clipped[ok] * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": b.column("event_type").filter(pa.array(ok)),
+                "_cents": pa.array(cents[ok]),
+            }
+        )
+
+    out = (
+        ds.map_batches(clip_cents, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"), Sum("_cents", alias_name="_cents"))
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    s = t.column("_cents").to_numpy(zero_copy_only=False).astype(np.float64)
+    n = t.column("n_events").to_numpy(zero_copy_only=False)
+    wm = pa.array(s / (100.0 * n), pa.float64())
+    return t.drop(["_cents"]).append_column("winsor_mean", wm)
+
+
+SQL_WINSORIZED_MEAN_EVENTS = """
+WITH b AS (
+  SELECT event_type,
+         quantile_disc(value, 0.1) AS lo,
+         quantile_disc(value, 0.9) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(round(least(greatest(e.value, b.lo), b.hi) * 100)
+                     AS BIGINT)) AS DOUBLE)
+       / (100.0 * count(*)) AS winsor_mean
+FROM events e JOIN b USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type
+"""
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -6244,6 +6366,8 @@ QUERIES = {
     "cumulative_users": q_cumulative_users,
     "sliding_window_counts": q_sliding_window_counts,
     "regression_slope": q_regression_slope,
+    "char_entropy_documents": q_char_entropy_documents,
+    "winsorized_mean_events": q_winsorized_mean_events,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -6414,6 +6538,8 @@ ORACLES = {
     "cumulative_users": SQL_CUMULATIVE_USERS,
     "sliding_window_counts": SQL_SLIDING_WINDOW_COUNTS,
     "regression_slope": SQL_REGRESSION_SLOPE,
+    "char_entropy_documents": SQL_CHAR_ENTROPY_DOCUMENTS,
+    "winsorized_mean_events": SQL_WINSORIZED_MEAN_EVENTS,
 }
 
 

@@ -2943,3 +2943,108 @@ class TestNullValueStats:
         assert out.loc[0, "median"] == 2.0
         # |v-2| over non-null = {1, 0, 7} -> disc median 1
         assert out.loc[0, "mad"] == 1.0
+
+
+class TestCharEntropy:
+    def test_known_values_and_edges(self):
+        from etl_warehouse_agnostic_ray.ops.text import char_entropy
+
+        b = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["aaaa", "ab", "", "abcd", "héé"]),
+            }
+        )
+        out = char_entropy(b)
+        ent = out.column("char_entropy").to_pylist()
+        # uniform single char -> 0; "ab" -> ln 2; "abcd" -> ln 4
+        assert ent[0] == 0.0
+        assert abs(ent[1] - np.log(2)) < 1e-5
+        assert ent[2] == 0.0 and out.column("n_cp").to_pylist()[2] == 0
+        assert abs(ent[3] - np.log(4)) < 1e-5
+        # unicode is counted per CODE POINT: h(1) + é(2), L=3
+        assert out.column("n_cp").to_pylist()[4] == 3
+        assert out.column("n_distinct_chars").to_pylist()[4] == 2
+        expect = np.log(3) - (2 * np.log(2)) / 3
+        assert abs(ent[4] - expect) < 1e-5
+
+    def test_null_text_treated_empty(self):
+        from etl_warehouse_agnostic_ray.ops.text import char_entropy
+
+        b = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array([None], pa.string())})
+        out = char_entropy(b)
+        assert out.column("n_cp").to_pylist() == [0]
+        assert out.column("char_entropy").to_pylist() == [0.0]
+
+
+class TestWinsorizedMean:
+    def test_clips_outliers(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_winsorized_mean_events,
+        )
+
+        # ten 1.00s and one 1000.00 outlier: p10 = p90 = 1.0 by
+        # quantile_disc rank ceil(q*11) in {2..10} -> value 1.0, so the
+        # outlier clips to 1.0 and the winsorized mean is exactly 1.0
+        values = [1.0] * 10 + [1000.0, None]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(values)), pa.int64()),
+                "ts": pa.array(
+                    [pd.Timestamp("2024-01-01")] * len(values),
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(values), pa.int64()),
+                "event_type": pa.array(["click"] * len(values)),
+                "value": pa.array(values, pa.float64()),
+                "props": pa.array(["{}"] * len(values)),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_winsorized_mean_events(str(tmp_path)).to_pandas()
+        assert out.loc[0, "n_events"] == 11  # null excluded
+        assert out.loc[0, "winsor_mean"] == 1.0
+
+
+class TestCharEntropyProperty:
+    def test_matches_counter_reference(self):
+        from collections import Counter
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from etl_warehouse_agnostic_ray.ops.text import char_entropy
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            texts=st.lists(
+                st.text(max_size=64),  # full unicode incl. surrogate-free BMP+
+                min_size=1,
+                max_size=8,
+            )
+        )
+        def run(texts):
+            b = pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+            out = char_entropy(b)
+            got = out.column("char_entropy").to_numpy()
+            for i, t in enumerate(texts):
+                counts = np.array(list(Counter(t).values()), np.int64)
+                L = counts.sum()
+                if L == 0:
+                    want = 0.0
+                else:
+                    sub = float((counts * np.floor(np.log(counts) * 1e6)).sum())
+                    want = (L * np.floor(np.log(L) * 1e6) - sub) / (L * 1e6)
+                assert got[i] == want, (i, t)
+                assert out.column("n_cp")[i].as_py() == len(t)
+                assert out.column("n_distinct_chars")[i].as_py() == len(set(t))
+
+        run()
