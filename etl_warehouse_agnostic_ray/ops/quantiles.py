@@ -220,9 +220,10 @@ def grouped_quantiles(
     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99),
     n_bins: int = 512,
     max_driver_rows: int = 1_000_000,
+    interp: str = "disc",
 ) -> pa.Table:
-    """Per-group exact discrete quantiles, in a CONSTANT number of
-    passes independent of group count: one stats groupby, one shared
+    """Per-group exact quantiles, in a CONSTANT number of passes
+    independent of group count: one stats groupby, one shared
     histogram pass (composite group×bin key, reduced by a native
     groupby over ≤ groups·n_bins keys), one candidate-pull pass for
     every needed (group, bin) at once. Group cardinality is assumed
@@ -230,9 +231,24 @@ def grouped_quantiles(
     per-key-rollup regime — event types, languages, tenants); the
     per-batch kernel loops over groups PRESENT IN THE BATCH, not over
     rows. Skewed bins recurse per group via _rank_in_range on a
-    group-filtered view."""
+    group-filtered view.
+
+    ``interp="disc"`` (default) returns SQL ``quantile_disc`` order
+    statistics (rank ceil(q·n)). ``interp="cont"`` returns ANSI
+    PERCENTILE_CONT: h = (n−1)·q, and the value interpolates the two
+    adjacent order statistics v⌊h⌋₊₁, v⌈h⌉₊₁ as
+    v_lo·(⌈h⌉−h) + v_hi·(h−⌊h⌋) — BOTH ranks resolve through the same
+    exact histogram machinery, so the only float arithmetic beyond the
+    order statistics themselves is that one textbook expression, whose
+    op order an SQL twin can replay verbatim. (DuckDB's built-in
+    quantile_cont aggregate evaluates the same definition with a
+    measured ≤3-ulp internal wobble, so twins must replay the explicit
+    expression rather than call the aggregate.)"""
     import ray
     from ray.data.aggregate import Count, Max, Min, Sum
+
+    if interp not in ("disc", "cont"):
+        raise ValueError(f"interp must be 'disc' or 'cont', got {interp!r}")
 
     def prune(b: pa.Table) -> pa.Table:
         return b.select([group_col, col]).drop_null()
@@ -276,14 +292,30 @@ def grouped_quantiles(
     for b in red.iter_batches(batch_format="pyarrow"):
         hist[b.column("gb").to_numpy()] += b.column("cnt").to_numpy()
 
-    # locate every (group, q) rank; collect needed bins per group
-    need: dict[str, dict[int, list[tuple[float, int]]]] = {}
+    # per-(group, q) rank spec: disc needs one rank; cont needs the
+    # two adjacent order statistics around h = (n-1)·q plus h itself
+    spec: dict[object, list[tuple[float, int, int, float]]] = {}
+    want: dict[object, set[int]] = {}
+    for g in groups:
+        n = gn[g]
+        for q in qs:
+            if interp == "cont":
+                h = (n - 1) * q
+                r_lo = max(1, min(n, int(math.floor(h)) + 1))
+                r_hi = max(1, min(n, int(math.ceil(h)) + 1))
+            else:
+                h = 0.0
+                r_lo = r_hi = max(1, min(n, math.ceil(q * n)))
+            spec.setdefault(g, []).append((q, r_lo, r_hi, h))
+            want.setdefault(g, set()).update((r_lo, r_hi))
+
+    # locate every needed (group, rank); collect needed bins per group
+    need: dict[object, dict[int, list[tuple[int, int]]]] = {}
     for g in groups:
         counts = hist[gidx[g] * n_bins : (gidx[g] + 1) * n_bins]
-        for q in qs:
-            rank = max(1, min(gn[g], math.ceil(q * gn[g])))
+        for rank in sorted(want[g]):
             b, rib = _locate(counts, rank)
-            need.setdefault(g, {}).setdefault(b, []).append((q, rib))
+            need.setdefault(g, {}).setdefault(b, []).append((rank, rib))
 
     # one pass pulls every needed small (group, bin); big bins recurse
     pull_bins = {
@@ -332,7 +364,7 @@ def grouped_quantiles(
             m = (gi == key[0]) & (bi == key[1])
             cand.setdefault(key, []).append(va[m])
 
-    out_rows: list[tuple[object, float, float]] = []
+    resolved: dict[tuple[object, int], float] = {}
     for g in groups:
         counts = hist[gidx[g] * n_bins : (gidx[g] + 1) * n_bins]
         edges = edges_by_g[g]
@@ -346,24 +378,30 @@ def grouped_quantiles(
                         f"hist={counts[b]} pulled={len(vals)}"
                     )
                 vals.sort()
-                for q, rib in wanted:
-                    out_rows.append((g, q, float(vals[rib - 1])))
+                for rank, rib in wanted:
+                    resolved[(g, rank)] = float(vals[rib - 1])
             else:  # skew: refine within the group's oversized bin
                 gview = pruned.map_batches(
                     functools.partial(_group_select, group_col=group_col, g=g, col=col),
                     batch_format="pyarrow",
                 )
-                for q, rib in wanted:
-                    out_rows.append(
-                        (
-                            g,
-                            q,
-                            _rank_in_range(
-                                gview, col, float(edges[b]), float(edges[b + 1]),
-                                b == n_bins - 1, rib, n_bins, max_driver_rows,
-                            ),
-                        )
+                for rank, rib in wanted:
+                    resolved[(g, rank)] = _rank_in_range(
+                        gview, col, float(edges[b]), float(edges[b + 1]),
+                        b == n_bins - 1, rib, n_bins, max_driver_rows,
                     )
+
+    out_rows: list[tuple[object, float, float]] = []
+    for g in groups:
+        for q, r_lo, r_hi, h in spec[g]:
+            v_lo = resolved[(g, r_lo)]
+            if r_hi == r_lo:
+                v = v_lo
+            else:  # the one float expression an SQL twin replays verbatim
+                v = v_lo * (math.ceil(h) - h) + resolved[(g, r_hi)] * (
+                    h - math.floor(h)
+                )
+            out_rows.append((g, q, v))
     out_rows.sort(key=lambda r: (str(r[0]), r[1]))
     return pa.table(
         {

@@ -535,3 +535,38 @@ def char_entropy(
         .append_column("n_distinct_chars", pa.array(n_distinct))
         .append_column("char_entropy", pa.array(entropy, pa.float64()))
     )
+
+
+def type_token_ratio(
+    batch: pa.Table,
+    col: str = "text",
+) -> pa.Table:
+    """Per-document lexical diversity (type-token ratio): distinct
+    lowered whitespace tokens / total tokens — the standard companion
+    to [char_entropy] in webtext quality filtering (template/boilerplate
+    pages repeat a tiny vocabulary; TTR → 0 as text degenerates).
+
+    Vectorized shape: the whole batch tokenizes through the shared
+    Arrow split kernel (ops/texthash.tokenize_ws), token identity is
+    the canonical poly64 hash, and per-document distinct counts come
+    from ONE lexsort + run-length pass over (doc, hash) — no per-row
+    Python, no shuffle.
+
+    Determinism contract: the SQL twin counts DISTINCT over the SAME
+    poly64 hash (pipelines/hash_sql.poly64_expr), so both sides agree
+    even in the astronomically-unlikely collision case; ``ttr`` is ONE
+    division of exact-integer-valued doubles (< 2^53). Appends
+    ``n_tokens``, ``n_types``, ``ttr`` (0.0 for token-free text).
+    """
+    from .texthash import _unique_per_segment, token_hashes
+
+    th, offs = token_hashes(batch.column(col), lower=True)
+    n_tok = np.diff(offs).astype(np.int64)
+    _, _, starts = _unique_per_segment(th, offs)
+    n_typ = np.diff(starts).astype(np.int64)
+    ttr = np.where(n_tok > 0, n_typ / np.maximum(n_tok, 1), 0.0)
+    return (
+        batch.append_column("n_tokens", pa.array(n_tok))
+        .append_column("n_types", pa.array(n_typ))
+        .append_column("ttr", pa.array(ttr, pa.float64()))
+    )

@@ -13,6 +13,7 @@ here calls ray.init().
 from __future__ import annotations
 
 import functools
+import math
 import os
 import shutil
 import tempfile
@@ -4550,6 +4551,199 @@ GROUP BY e.event_type
 """
 
 
+def q_quantile_cont_events(sf_dir: str):
+    """Per-event-type ANSI PERCENTILE_CONT (p25/p50/p75): both
+    bracketing order statistics resolve through the shared-histogram
+    grouped-quantile machinery (constant passes regardless of group
+    count), then the textbook interpolation v_lo·(⌈h⌉−h)+v_hi·(h−⌊h⌋)
+    with h=(n−1)·q. The oracle replays that exact expression from
+    row_number order statistics rather than calling DuckDB's
+    quantile_cont aggregate, whose internal evaluation wobbles ≤3 ulp
+    off any closed formula (measured on 1.0.0) — the explicit
+    interpolation IS the ANSI definition, mirrored op for op."""
+    from ..ops.quantiles import grouped_quantiles
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantiles(
+        ds, "value", "event_type", qs=(0.25, 0.5, 0.75), n_bins=256, interp="cont"
+    )
+
+
+SQL_QUANTILE_CONT_EVENTS = """
+WITH v AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+), spec AS (
+  SELECT event_type, n, q, CAST(n - 1 AS DOUBLE) * q AS h
+  FROM (SELECT DISTINCT event_type, n FROM v)
+  CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75])::DOUBLE AS q)
+), j AS (
+  SELECT s.event_type, s.q, s.h, lo.value AS vlo, hi.value AS vhi
+  FROM spec s
+  JOIN v lo ON lo.event_type = s.event_type
+           AND lo.rk = CAST(floor(s.h) AS BIGINT) + 1
+  JOIN v hi ON hi.event_type = s.event_type
+           AND hi.rk = CAST(ceil(s.h) AS BIGINT) + 1
+)
+SELECT event_type, q,
+       CASE WHEN floor(h) = ceil(h) THEN vlo
+            ELSE vlo * (ceil(h) - h) + vhi * (h - floor(h)) END AS value
+FROM j ORDER BY event_type, q
+"""
+
+
+def q_ttr_documents(sf_dir: str):
+    """Per-document type-token ratio (ops/text.type_token_ratio): the
+    lexical-diversity quality filter. Shuffle-free vectorized map over
+    pruned columns; token identity is the canonical poly64 hash so the
+    DuckDB twin's COUNT(DISTINCT) replays value-exact."""
+    from ..ops.text import type_token_ratio
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def ttr(b: pa.Table) -> pa.Table:
+        return type_token_ratio(b).drop(["text"])
+
+    return ds.map_batches(ttr, batch_format="pyarrow")
+
+
+SQL_TTR_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+h AS (SELECT doc_id, {poly} AS v FROM t),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT v)::BIGINT AS n_types
+  FROM h GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_types, 0) AS n_types,
+       CASE WHEN COALESCE(a.n_tokens, 0) > 0
+            THEN CAST(a.n_types AS DOUBLE) / a.n_tokens
+            ELSE 0.0 END AS ttr
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+SQL_TTR_DOCUMENTS = SQL_TTR_DOCUMENTS.format(poly=hash_sql.poly64_expr("tok"))
+
+
+def q_dup_ratio_by_source(sf_dir: str):
+    """Per-source exact-duplicate audit: n_docs, distinct normalized
+    fingerprints, and the dup ratio — the first number a curation run
+    reports per crawl/source. Per-batch fingerprints (the shared
+    poly64 kernel) pre-reduce to distinct (source, fp, count) partials
+    before ONE pair groupby, then a tiny per-source rollup; no driver
+    materialization of the fingerprint table at any point."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.text import doc_fingerprint
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def fp_pairs(b: pa.Table) -> pa.Table:
+        t = doc_fingerprint(b, "text").select(["source", "fingerprint"])
+        return t.group_by(["source", "fingerprint"]).aggregate([("fingerprint", "count")])
+
+    pairs = (
+        ds.map_batches(fp_pairs, batch_format="pyarrow")
+        .groupby(["source", "fingerprint"])
+        .aggregate(Sum("fingerprint_count", alias_name="cnt"))
+    )
+    out = pa.concat_tables(
+        pairs.groupby("source")
+        .aggregate(Count(alias_name="n_distinct"), Sum("cnt", alias_name="n_docs"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    n = out.column("n_docs").to_numpy(zero_copy_only=False)
+    d = out.column("n_distinct").to_numpy(zero_copy_only=False)
+    ratio = pa.array((n - d) / n, pa.float64())
+    return out.select(["source", "n_docs", "n_distinct"]).append_column(
+        "dup_ratio", ratio
+    )
+
+
+SQL_DUP_RATIO_BY_SOURCE = """
+WITH f AS ({fp})
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT f.fingerprint)::BIGINT AS n_distinct,
+       CAST(count(*) - count(DISTINCT f.fingerprint) AS DOUBLE) / count(*)
+         AS dup_ratio
+FROM documents d JOIN f USING (doc_id)
+GROUP BY d.source
+"""
+SQL_DUP_RATIO_BY_SOURCE = SQL_DUP_RATIO_BY_SOURCE.format(
+    fp=hash_sql.fingerprint_sql("documents")
+)
+
+
+def q_benford_orders(sf_dir: str):
+    """Benford first-significant-digit audit over order totals — the
+    classic fraud / synthetic-data screen. The leading digit comes
+    from pure int64 arithmetic (cents = floor(x·100+0.5), then integer
+    division by 10 until < 10 — a loop over DIGITS, not rows), one
+    9-bucket bincount partial per batch, one tiny groupby. Expected
+    Benford mass ln(1+1/d)/ln(10) is computed in the oracle's exact
+    float op order."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def digit_counts(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        while True:
+            m = c >= 10
+            if not m.any():
+                break
+            c[m] //= 10
+        cnt = np.bincount(c, minlength=10)[1:10]
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"digit": pa.array(nz + 1), "n": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    out = pa.concat_tables(
+        ds.map_batches(digit_counts, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    n = out.column("n").to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    frac = pa.array(n / total, pa.float64())
+    # math.log (libm) — np.log's SIMD path differs from DuckDB ln by ulps
+    expected = pa.array(
+        [
+            math.log(1 + 1.0 / int(dd)) / math.log(10)
+            for dd in out.column("digit").to_pylist()
+        ],
+        pa.float64(),
+    )
+    return out.append_column("frac", frac).append_column("benford_expected", expected)
+
+
+SQL_BENFORD_ORDERS = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / (SELECT sum(n) FROM c) AS frac,
+       ln(1 + 1.0 / digit) / ln(10) AS benford_expected
+FROM c ORDER BY digit
+"""
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -6368,6 +6562,10 @@ QUERIES = {
     "regression_slope": q_regression_slope,
     "char_entropy_documents": q_char_entropy_documents,
     "winsorized_mean_events": q_winsorized_mean_events,
+    "quantile_cont_events": q_quantile_cont_events,
+    "ttr_documents": q_ttr_documents,
+    "dup_ratio_by_source": q_dup_ratio_by_source,
+    "benford_orders": q_benford_orders,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -6540,6 +6738,10 @@ ORACLES = {
     "regression_slope": SQL_REGRESSION_SLOPE,
     "char_entropy_documents": SQL_CHAR_ENTROPY_DOCUMENTS,
     "winsorized_mean_events": SQL_WINSORIZED_MEAN_EVENTS,
+    "quantile_cont_events": SQL_QUANTILE_CONT_EVENTS,
+    "ttr_documents": SQL_TTR_DOCUMENTS,
+    "dup_ratio_by_source": SQL_DUP_RATIO_BY_SOURCE,
+    "benford_orders": SQL_BENFORD_ORDERS,
 }
 
 

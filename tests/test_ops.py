@@ -3048,3 +3048,109 @@ class TestCharEntropyProperty:
                 assert out.column("n_distinct_chars")[i].as_py() == len(set(t))
 
         run()
+
+
+class TestQuantileCont:
+    def test_interpolates_known_values(self, ray_session):
+        import ray
+
+        from etl_warehouse_agnostic_ray.ops.quantiles import grouped_quantiles
+
+        # group a: [10, 20, 30, 40] -> h(.25)=0.75 -> 10*(1-.75)+20*.75=17.5
+        # h(.5)=1.5 -> 25.0 ; group b: single value -> every q = 7.0
+        t = pa.table(
+            {
+                "g": pa.array(["a"] * 4 + ["b"]),
+                "v": pa.array([10.0, 20.0, 30.0, 40.0, 7.0]),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        out = grouped_quantiles(ds, "v", "g", qs=(0.25, 0.5, 1.0), n_bins=16,
+                                interp="cont")
+        rows = {(r["g"], r["q"]): r["value"] for r in out.to_pylist()}
+        assert rows[("a", 0.25)] == 17.5
+        assert rows[("a", 0.5)] == 25.0
+        assert rows[("a", 1.0)] == 40.0  # h = n-1 exactly: no interpolation
+        assert rows[("b", 0.25)] == 7.0 and rows[("b", 1.0)] == 7.0
+
+    def test_disc_unchanged_and_bad_interp_rejected(self, ray_session):
+        import ray
+
+        from etl_warehouse_agnostic_ray.ops.quantiles import grouped_quantiles
+
+        t = pa.table({"g": pa.array(["a"] * 4), "v": pa.array([1.0, 2.0, 3.0, 4.0])})
+        ds = ray.data.from_arrow(t)
+        out = grouped_quantiles(ds, "v", "g", qs=(0.5,), n_bins=8)
+        assert out.column("value").to_pylist() == [2.0]  # rank ceil(.5*4)=2
+        with pytest.raises(ValueError, match="interp"):
+            grouped_quantiles(ds, "v", "g", qs=(0.5,), interp="nearest")
+
+
+class TestTypeTokenRatio:
+    def test_counts_and_edges(self):
+        from etl_warehouse_agnostic_ray.ops.text import type_token_ratio
+
+        b = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["a b a B", "", None, "x  y\tz"]),
+            }
+        )
+        out = type_token_ratio(b)
+        assert out.column("n_tokens").to_pylist() == [4, 0, 0, 3]
+        # lowered: {a, b} -> 2 types
+        assert out.column("n_types").to_pylist() == [2, 0, 0, 3]
+        assert out.column("ttr").to_pylist() == [0.5, 0.0, 0.0, 1.0]
+
+
+class TestDupRatioBySource:
+    def test_cross_batch_duplicates(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_dup_ratio_by_source,
+        )
+
+        # source s1: 4 docs, 2 distinct normalized texts ("A  b" == "a b")
+        # source s2: 1 doc
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": pa.array(["a b", "A  b", "c", "c", "zzz"]),
+                "lang": pa.array(["en"] * 5),
+                "source": pa.array(["s1", "s1", "s1", "s1", "s2"]),
+                "n_chars": pa.array([3, 4, 1, 1, 3], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_dup_ratio_by_source(str(tmp_path)).to_pandas()
+        out = out.set_index("source")
+        assert out.loc["s1", "n_docs"] == 4 and out.loc["s1", "n_distinct"] == 2
+        assert out.loc["s1", "dup_ratio"] == 0.5
+        assert out.loc["s2", "dup_ratio"] == 0.0
+
+
+class TestBenfordDigits:
+    def test_leading_digit_extraction(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_benford_orders
+
+        vals = [1.00, 19.99, 999.99, 0.07, 500.00, 123.45]  # digits 1,1,9,7,5,1
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(range(len(vals)), pa.int64()),
+                "o_custkey": pa.array([1] * len(vals), pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(vals)),
+                "o_totalprice": pa.array(vals, pa.float64()),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("2024-01-01")] * len(vals), pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(vals)),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        out = q_benford_orders(str(tmp_path)).to_pandas().set_index("digit")
+        assert out.loc[1, "n"] == 3 and out.loc[9, "n"] == 1
+        assert out.loc[7, "n"] == 1 and out.loc[5, "n"] == 1
+        assert abs(out.loc[1, "benford_expected"] - 0.3010299956639812) < 1e-15
