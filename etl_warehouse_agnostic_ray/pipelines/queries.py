@@ -4744,6 +4744,263 @@ FROM c ORDER BY digit
 """
 
 
+def q_chisq_lang_source(sf_dir: str):
+    """Chi-square contingency audit over (lang × source): per-cell
+    observed count, Benford-style expected mass row_tot·col_tot/N, and
+    the chi-square contribution (o−e)²/e — the standard independence
+    screen for "does this crawl's language mix depend on the source?".
+    Emitting the PER-CELL contributions (not the scalar χ² total)
+    keeps every float op deterministic: the only reduction is the
+    exact-integer count groupby; expected and contribution are
+    per-row expressions whose op order the oracle replays verbatim
+    (int products < 2^53 convert to double exactly; Python int/int
+    true division IS IEEE double division there)."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": b.column("lang"),
+                "source": b.column("source"),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["lang", "source"]).aggregate([("n", "sum")])
+            .rename_columns(["lang", "source", "n"])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="observed"))
+    )
+    t = pa.concat_tables(counts.iter_batches(batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "observed": pa.array([], pa.int64()),
+                "expected": pa.array([], pa.float64()),
+                "chisq_contrib": pa.array([], pa.float64()),
+            }
+        )
+    lang = t.column("lang").to_numpy(zero_copy_only=False)
+    src = t.column("source").to_numpy(zero_copy_only=False)
+    o = t.column("observed").to_numpy(zero_copy_only=False)
+    n_total = o.sum()
+    ul, li = np.unique(lang, return_inverse=True)
+    us_, si = np.unique(src, return_inverse=True)
+    rt = np.zeros(len(ul), np.int64)
+    np.add.at(rt, li, o)
+    ct = np.zeros(len(us_), np.int64)
+    np.add.at(ct, si, o)
+    e = (rt[li] * ct[si]).astype(np.float64) / np.float64(n_total)
+    d = o.astype(np.float64) - e
+    contrib = d * d / e
+    return pa.table(
+        {
+            "lang": pa.array(lang, pa.string()),
+            "source": pa.array(src, pa.string()),
+            "observed": pa.array(o.astype(np.int64)),
+            "expected": pa.array(e, pa.float64()),
+            "chisq_contrib": pa.array(contrib, pa.float64()),
+        }
+    )
+
+
+SQL_CHISQ_LANG_SOURCE = """
+WITH c AS (
+  SELECT lang, source, count(*)::BIGINT AS observed
+  FROM documents GROUP BY lang, source
+), tot AS (SELECT sum(observed)::BIGINT AS n FROM c),
+rt AS (SELECT lang, sum(observed)::BIGINT AS rn FROM c GROUP BY lang),
+ct AS (SELECT source, sum(observed)::BIGINT AS cn FROM c GROUP BY source),
+e AS (
+  SELECT c.lang, c.source, c.observed,
+         CAST(rt.rn * ct.cn AS DOUBLE) / CAST(tot.n AS DOUBLE) AS expected
+  FROM c JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+)
+SELECT lang, source, observed, expected,
+       (CAST(observed AS DOUBLE) - expected)
+         * (CAST(observed AS DOUBLE) - expected) / expected AS chisq_contrib
+FROM e
+"""
+
+
+def _transition_partial(g: pa.Table) -> pa.Table:
+    """Per-pk-partition Markov transition partials: one lexsort by
+    (user, ts, event_id), adjacent-pair extraction masked at user run
+    boundaries, then a within-task (prev, cur) count rollup — each
+    task ships at most |types|² rows regardless of partition size."""
+    uid = g.column("user_id").to_numpy(zero_copy_only=False)
+    eid = g.column("event_id").to_numpy(zero_copy_only=False)
+    us = (
+        g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        .view("int64")
+    )
+    et = g.column("event_type").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, us, uid))
+    u, s = uid[order], et[order]
+    same = u[1:] == u[:-1] if len(u) > 1 else np.zeros(0, dtype=bool)
+    prev, cur = s[:-1][same], s[1:][same]
+    t = pa.table(
+        {
+            "prev_type": pa.array(prev, pa.string()),
+            "cur_type": pa.array(cur, pa.string()),
+            "n": pa.array(np.ones(len(prev), np.int64)),
+        }
+    )
+    return (
+        t.group_by(["prev_type", "cur_type"]).aggregate([("n", "sum")])
+        .rename_columns(["prev_type", "cur_type", "n"])
+    )
+
+
+def q_transition_matrix_events(sf_dir: str):
+    """Event-type transition (Markov) matrix: for every consecutive
+    event pair within a user's (ts, event_id)-ordered stream, count
+    (prev_type → cur_type) — the behavioral fingerprint behind funnel
+    and journey analytics, and a pure LAG window in SQL. Coarse hash
+    co-partition by user (the shared `_coarse_pk` contract), one
+    lexsort per partition, map-side (prev, cur) partials, one tiny
+    grouped sum. Integer counts only — nothing can drift."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    return (
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_transition_partial, batch_format="pyarrow")
+        .groupby(["prev_type", "cur_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_TRANSITION_MATRIX_EVENTS = """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS cur_type, count(*)::BIGINT AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, cur_type
+"""
+
+
+def q_vocab_overlap_langs(sf_dir: str):
+    """Pairwise Jaccard overlap between language VOCABULARIES (distinct
+    lowered whitespace tokens, poly64 identity) — "how much lexicon do
+    two language buckets share?", the cross-lingual contamination /
+    mislabeling screen. Scale shape: per-batch distinct (lang, hash)
+    partials → ONE global distinct groupby → lang-index bitmask per
+    hash via a Sum exchange keyed by hash → the driver reduces a
+    bounded stream of masks with one L×n 0/1 matmul per batch (all
+    pairwise intersections at once; L = #langs, guarded ≤ 62). Nothing
+    driver-side ever holds the vocabulary. Jaccard is ONE int/int
+    division (exact operands < 2^53), mirrored in the oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.texthash import token_hashes
+
+    rd = _rd()
+    langs = sorted(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"]).unique("lang")
+    )
+    if len(langs) > 62:
+        raise ValueError(
+            f"{len(langs)} languages exceed the 62-bit mask budget — "
+            "run per-language-block"
+        )
+    langs_np = np.array(langs)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        th, offs = token_hashes(b.column("text"), lower=True)
+        lens = np.diff(offs)
+        lv = np.repeat(b.column("lang").to_numpy(zero_copy_only=False), lens)
+        t = pa.table(
+            {
+                "lang": pa.array(lv, pa.string()),
+                "h": pa.array(th.view(np.int64)),
+            }
+        )
+        return t.group_by(["lang", "h"]).aggregate([])
+
+    def to_bits(b: pa.Table) -> pa.Table:
+        lv = b.column("lang").to_numpy(zero_copy_only=False)
+        li = np.searchsorted(langs_np, lv).astype(np.int64)
+        return pa.table(
+            {"h": b.column("h"), "bit": pa.array(np.int64(1) << li)}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    masks = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["lang", "h"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(to_bits, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("bit", alias_name="mask"))
+    )
+    L = len(langs)
+    inter = np.zeros((L, L), np.int64)
+    for b in masks.iter_batches(batch_format="pyarrow"):
+        m = b.column("mask").to_numpy(zero_copy_only=False)
+        H = np.stack([(m >> i) & 1 for i in range(L)])
+        inter += H @ H.T
+    rows = [
+        (langs[i], langs[j], int(inter[i, i]), int(inter[j, j]), int(inter[i, j]))
+        for i in range(L)
+        for j in range(i + 1, L)
+        if inter[i, j] > 0
+    ]
+    return pa.table(
+        {
+            "lang_a": pa.array([r[0] for r in rows], pa.string()),
+            "lang_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_a": pa.array([r[2] for r in rows], pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], pa.int64()),
+            "n_inter": pa.array([r[4] for r in rows], pa.int64()),
+            "jaccard": pa.array(
+                [r[4] / (r[2] + r[3] - r[4]) for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_VOCAB_OVERLAP_LANGS = """
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT DISTINCT lang, {poly} AS h FROM toks WHERE tok <> ''
+), sz AS (SELECT lang, count(*)::BIGINT AS n FROM t GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*)::BIGINT AS n_inter
+  FROM t a JOIN t b USING (h) WHERE a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT i.lang_a, i.lang_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+       CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.lang = i.lang_a
+JOIN sz sb ON sb.lang = i.lang_b
+"""
+SQL_VOCAB_OVERLAP_LANGS = SQL_VOCAB_OVERLAP_LANGS.format(
+    poly=hash_sql.poly64_expr("tok")
+)
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -6566,6 +6823,9 @@ QUERIES = {
     "ttr_documents": q_ttr_documents,
     "dup_ratio_by_source": q_dup_ratio_by_source,
     "benford_orders": q_benford_orders,
+    "chisq_lang_source": q_chisq_lang_source,
+    "transition_matrix_events": q_transition_matrix_events,
+    "vocab_overlap_langs": q_vocab_overlap_langs,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -6742,6 +7002,9 @@ ORACLES = {
     "ttr_documents": SQL_TTR_DOCUMENTS,
     "dup_ratio_by_source": SQL_DUP_RATIO_BY_SOURCE,
     "benford_orders": SQL_BENFORD_ORDERS,
+    "chisq_lang_source": SQL_CHISQ_LANG_SOURCE,
+    "transition_matrix_events": SQL_TRANSITION_MATRIX_EVENTS,
+    "vocab_overlap_langs": SQL_VOCAB_OVERLAP_LANGS,
 }
 
 

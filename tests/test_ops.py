@@ -3154,3 +3154,89 @@ class TestBenfordDigits:
         assert out.loc[1, "n"] == 3 and out.loc[9, "n"] == 1
         assert out.loc[7, "n"] == 1 and out.loc[5, "n"] == 1
         assert abs(out.loc[1, "benford_expected"] - 0.3010299956639812) < 1e-15
+
+
+class TestChisqLangSource:
+    def test_known_contingency(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_chisq_lang_source
+
+        # 2x2: en/s1=3, en/s2=1, de/s1=1, de/s2=3 -> N=8,
+        # rt(en)=4, ct(s1)=4 -> expected(en,s1)=2.0, contrib=(3-2)^2/2=0.5
+        rows = [("en", "s1")] * 3 + [("en", "s2")] + [("de", "s1")] + [("de", "s2")] * 3
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(8), pa.int64()),
+                "text": pa.array(["x"] * 8),
+                "lang": pa.array([r[0] for r in rows]),
+                "source": pa.array([r[1] for r in rows]),
+                "n_chars": pa.array([1] * 8, pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_chisq_lang_source(str(tmp_path)).to_pandas()
+        out = out.set_index(["lang", "source"])
+        for key in [("en", "s1"), ("en", "s2"), ("de", "s1"), ("de", "s2")]:
+            assert out.loc[key, "expected"] == 2.0
+        assert out.loc[("en", "s1"), "observed"] == 3
+        assert out.loc[("en", "s1"), "chisq_contrib"] == 0.5
+        assert out.loc[("en", "s2"), "chisq_contrib"] == 0.5
+
+
+class TestTransitionMatrix:
+    def test_ordering_and_boundaries(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_transition_matrix_events,
+        )
+
+        ts0 = pd.Timestamp("2024-01-01")
+        # user 1: A(t0) -> B(t1) -> B(t1, higher event_id) : A->B, B->B
+        # user 2: single event, contributes nothing
+        # user 300 (different pk bucket): C(t0) -> A(t2) : C->A
+        t = pa.table(
+            {
+                "event_id": pa.array([10, 11, 12, 20, 30, 31], pa.int64()),
+                "ts": pa.array(
+                    [ts0, ts0 + pd.Timedelta(seconds=1), ts0 + pd.Timedelta(seconds=1),
+                     ts0, ts0, ts0 + pd.Timedelta(seconds=2)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 1, 1, 2, 300, 300], pa.int64()),
+                "event_type": pa.array(["A", "B", "B", "Z", "C", "A"]),
+                "value": pa.array([0.0] * 6),
+                "props": pa.array(["{}"] * 6),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_transition_matrix_events(str(tmp_path)).to_pandas()
+        got = {(r.prev_type, r.cur_type): r.n for r in out.itertuples()}
+        assert got == {("A", "B"): 1, ("B", "B"): 1, ("C", "A"): 1}
+
+
+class TestVocabOverlapLangs:
+    def test_known_jaccard(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_vocab_overlap_langs
+
+        # en vocab {a,b,c} (across 2 docs, case-folded), de vocab {b,c,d,e},
+        # fr vocab {q} (no overlap -> pair absent)
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(["a b C", "c B a", "b c d e", "q"]),
+                "lang": pa.array(["en", "en", "de", "fr"]),
+                "source": pa.array(["s"] * 4),
+                "n_chars": pa.array([5, 5, 7, 1], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_vocab_overlap_langs(str(tmp_path)).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r.lang_a, r.lang_b) == ("de", "en")
+        assert r.n_a == 4 and r.n_b == 3 and r.n_inter == 2
+        assert r.jaccard == 2 / 5
