@@ -5001,6 +5001,292 @@ SQL_VOCAB_OVERLAP_LANGS = SQL_VOCAB_OVERLAP_LANGS.format(
 )
 
 
+def _cheapest_rows(t: pa.Table) -> pa.Table:
+    """First row per l_partkey under the total order (l_extendedprice,
+    l_suppkey, l_orderkey, l_linenumber) — one lexsort + first-per-run
+    mask, shared by the batch partial and the per-partition final (the
+    ordering compares RAW parquet doubles, no arithmetic to drift)."""
+    pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+    price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+    ok_ = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+    ln = t.column("l_linenumber").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ln, ok_, sk, price, pk))
+    first = np.ones(len(order), dtype=bool)
+    pks = pk[order]
+    first[1:] = pks[1:] != pks[:-1]
+    return t.take(pa.array(order[first]))
+
+
+def _cheapest_final(g: pa.Table) -> pa.Table:
+    return _cheapest_rows(g).drop(["pk"])
+
+
+def q_cheapest_supplier_part(sf_dir: str):
+    """Grouped ARG-MIN with full-row attribution: for every part, the
+    cheapest lineitem (supplier, order, line, price) under a total
+    tie-break order — the generic 'which row achieved the group's
+    minimum' join (TPC-H Q2's core move). Map-side partial arg-min
+    collapses each batch to ≤ distinct-parts rows BEFORE the exchange,
+    then the shared coarse-pk lexsort finalizes per partition. The
+    ordering key is raw parquet doubles + integer tiebreaks, so no
+    float op exists anywhere."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_partkey",
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+        ],
+    )
+    return (
+        ds.map_batches(_cheapest_rows, batch_format="pyarrow")
+        .map_batches(_coarse_pk("l_partkey"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_cheapest_final, batch_format="pyarrow")
+    )
+
+
+SQL_CHEAPEST_SUPPLIER_PART = """
+SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+FROM (
+  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_partkey
+             ORDER BY l_extendedprice, l_suppkey, l_orderkey, l_linenumber)
+           AS rk
+  FROM lineitem
+) WHERE rk = 1
+"""
+
+
+def q_event_share_by_day(sf_dir: str):
+    """Ratio-to-report window: each event type's share of its DAY's
+    traffic — ``n / sum(n) OVER (PARTITION BY day)``, the canonical
+    mix-shift monitor. Map-side (day, type) count partials, one small
+    grouped sum, then day totals and shares computed over the bounded
+    (days × types) aggregate on the driver — integer counts end to
+    end, ONE int/int division per row mirrored in the oracle."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = (
+            b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            .view("int64")
+        )
+        t = pa.table(
+            {
+                "day": pa.array((us - us % day_us).view("datetime64[us]")),
+                "event_type": b.column("event_type"),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["day", "event_type"]).aggregate([("n", "sum")])
+            .rename_columns(["day", "event_type", "n"])
+        )
+
+    out = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    d = out.column("day").to_numpy(zero_copy_only=False).view("int64")
+    n = out.column("n").to_numpy(zero_copy_only=False)
+    ud, di = np.unique(d, return_inverse=True)
+    tot = np.zeros(len(ud), np.int64)
+    np.add.at(tot, di, n)
+    day_total = tot[di]
+    return (
+        out.append_column("day_total", pa.array(day_total))
+        .append_column("share", pa.array(n / day_total, pa.float64()))
+    )
+
+
+SQL_EVENT_SHARE_BY_DAY = """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY day, event_type
+)
+SELECT day, event_type, n,
+       sum(n) OVER (PARTITION BY day)::BIGINT AS day_total,
+       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY day) AS share
+FROM c
+"""
+
+
+def _streaks(g: pa.Table) -> pa.Table:
+    """Gaps-and-islands kernel per pk partition: distinct (user, day)
+    via one lexsort + unique mask, island boundaries where the user
+    changes or the day step ≠ 1, run lengths by diff over boundary
+    starts, then a within-task (user → max, sum) rollup. Users are
+    co-located by the coarse pk, so per-partition results are final."""
+    uid = g.column("user_id").to_numpy(zero_copy_only=False)
+    us = (
+        g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        .view("int64")
+    )
+    day = us // np.int64(86_400_000_000)
+    order = np.lexsort((day, uid))
+    u, d = uid[order], day[order]
+    keep = np.ones(len(u), dtype=bool)
+    keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+    u, d = u[keep], d[keep]
+    boundary = np.ones(len(u), dtype=bool)
+    boundary[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)
+    starts = np.flatnonzero(boundary)
+    lengths = np.diff(np.append(starts, len(u)))
+    t = pa.table(
+        {
+            "user_id": pa.array(u[starts]),
+            "len": pa.array(lengths.astype(np.int64)),
+        }
+    )
+    return (
+        t.group_by("user_id").aggregate([("len", "max"), ("len", "sum")])
+        .rename_columns(["user_id", "max_streak", "n_active_days"])
+    )
+
+
+def q_streak_days_users(sf_dir: str):
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands pattern (distinct days, anchor = day − rank,
+    island lengths, max). One coarse-pk co-partition by user, one
+    lexsort per partition, pure integer day arithmetic throughout."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return (
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_streaks, batch_format="pyarrow")
+    )
+
+
+SQL_STREAK_DAYS_USERS = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), i AS (
+  SELECT user_id,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS anchor
+  FROM d
+), s AS (
+  SELECT user_id, count(*)::BIGINT AS len FROM i GROUP BY user_id, anchor
+)
+SELECT user_id, max(len)::BIGINT AS max_streak,
+       sum(len)::BIGINT AS n_active_days
+FROM s GROUP BY user_id
+"""
+
+
+def q_outlier_fence_events(sf_dir: str):
+    """Tukey-fence outlier audit per event type: exact q1/q3 from the
+    shared-histogram grouped-quantile op, fences q1 − 1.5·(q3 − q1) /
+    q3 + 1.5·(q3 − q1) computed ONCE per group in the oracle's float
+    op order, then one zero-shuffle counting pass with the tiny fence
+    map in the task closure (the winsorized-mean shape). The standard
+    'how much of this metric is garbage' report — only comparisons
+    touch the data, so nothing can drift."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.quantiles import grouped_quantiles
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    qt = grouped_quantiles(ds, "value", "event_type", qs=(0.25, 0.75), n_bins=256)
+    quart: dict[str, list[float]] = {}
+    for g, q, v in zip(
+        qt.column("event_type").to_pylist(),
+        qt.column("q").to_pylist(),
+        qt.column("value").to_pylist(),
+    ):
+        quart.setdefault(g, [0.0, 0.0])[0 if q == 0.25 else 1] = v
+    fences = {
+        g: (q1, q3, q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+        for g, (q1, q3) in quart.items()
+    }
+
+    def count_fences(b: pa.Table) -> pa.Table:
+        gv = b.column("event_type").to_numpy(zero_copy_only=False)
+        vv = b.column("value").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(vv)
+        below = np.zeros(len(gv), np.int64)
+        above = np.zeros(len(gv), np.int64)
+        for g in np.unique(gv):
+            f = fences.get(g)
+            if f is None:
+                ok[gv == g] = False
+                continue
+            m = (gv == g) & ok
+            below[m] = vv[m] < f[2]
+            above[m] = vv[m] > f[3]
+        t = pa.table(
+            {
+                "event_type": b.column("event_type").filter(pa.array(ok)),
+                "one": pa.array(np.ones(int(ok.sum()), np.int64)),
+                "n_below": pa.array(below[ok]),
+                "n_above": pa.array(above[ok]),
+            }
+        )
+        return (
+            t.group_by("event_type")
+            .aggregate([("one", "sum"), ("n_below", "sum"), ("n_above", "sum")])
+            .rename_columns(["event_type", "n", "n_below", "n_above"])
+        )
+
+    out = pa.concat_tables(
+        ds.map_batches(count_fences, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_below", alias_name="n_below"),
+            Sum("n_above", alias_name="n_above"),
+        )
+        .iter_batches(batch_format="pyarrow")
+    )
+    gs = out.column("event_type").to_pylist()
+    cols = {
+        "q1": [fences[g][0] for g in gs],
+        "q3": [fences[g][1] for g in gs],
+        "lo_fence": [fences[g][2] for g in gs],
+        "hi_fence": [fences[g][3] for g in gs],
+    }
+    for name, vals in cols.items():
+        out = out.append_column(name, pa.array(vals, pa.float64()))
+    return out.select(
+        ["event_type", "q1", "q3", "lo_fence", "hi_fence", "n", "n_below", "n_above"]
+    )
+
+
+SQL_OUTLIER_FENCE_EVENTS = """
+WITH b AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.75) AS q3
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), f AS (
+  SELECT event_type, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo_fence,
+         q3 + 1.5 * (q3 - q1) AS hi_fence
+  FROM b
+)
+SELECT e.event_type, f.q1, f.q3, f.lo_fence, f.hi_fence,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN e.value < f.lo_fence THEN 1 ELSE 0 END)::BIGINT AS n_below,
+       sum(CASE WHEN e.value > f.hi_fence THEN 1 ELSE 0 END)::BIGINT AS n_above
+FROM events e JOIN f USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type, f.q1, f.q3, f.lo_fence, f.hi_fence
+"""
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -6826,6 +7112,10 @@ QUERIES = {
     "chisq_lang_source": q_chisq_lang_source,
     "transition_matrix_events": q_transition_matrix_events,
     "vocab_overlap_langs": q_vocab_overlap_langs,
+    "cheapest_supplier_part": q_cheapest_supplier_part,
+    "event_share_by_day": q_event_share_by_day,
+    "streak_days_users": q_streak_days_users,
+    "outlier_fence_events": q_outlier_fence_events,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -7005,6 +7295,10 @@ ORACLES = {
     "chisq_lang_source": SQL_CHISQ_LANG_SOURCE,
     "transition_matrix_events": SQL_TRANSITION_MATRIX_EVENTS,
     "vocab_overlap_langs": SQL_VOCAB_OVERLAP_LANGS,
+    "cheapest_supplier_part": SQL_CHEAPEST_SUPPLIER_PART,
+    "event_share_by_day": SQL_EVENT_SHARE_BY_DAY,
+    "streak_days_users": SQL_STREAK_DAYS_USERS,
+    "outlier_fence_events": SQL_OUTLIER_FENCE_EVENTS,
 }
 
 

@@ -3240,3 +3240,120 @@ class TestVocabOverlapLangs:
         assert (r.lang_a, r.lang_b) == ("de", "en")
         assert r.n_a == 4 and r.n_b == 3 and r.n_inter == 2
         assert r.jaccard == 2 / 5
+
+
+class TestCheapestSupplierPart:
+    def test_tiebreak_and_cross_batch(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_cheapest_supplier_part,
+        )
+
+        # part 1: price tie 5.0 -> suppkey 2 beats 7; part 2: min 1.0 wins
+        t = pa.table(
+            {
+                "l_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+                "l_partkey": pa.array([1, 1, 2, 2], pa.int64()),
+                "l_suppkey": pa.array([7, 2, 9, 3], pa.int64()),
+                "l_linenumber": pa.array([1, 1, 1, 1], pa.int32()),
+                "l_quantity": pa.array([1.0] * 4),
+                "l_extendedprice": pa.array([5.0, 5.0, 4.0, 1.0]),
+                "l_discount": pa.array([0.0] * 4),
+                "l_tax": pa.array([0.0] * 4),
+                "l_returnflag": pa.array(["N"] * 4),
+                "l_linestatus": pa.array(["O"] * 4),
+                "l_shipdate": pa.array(
+                    [pd.Timestamp("2024-01-01")] * 4, pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+        out = q_cheapest_supplier_part(str(tmp_path)).to_pandas().set_index("l_partkey")
+        assert out.loc[1, "l_suppkey"] == 2 and out.loc[1, "l_extendedprice"] == 5.0
+        assert out.loc[2, "l_suppkey"] == 3 and out.loc[2, "l_extendedprice"] == 1.0
+
+
+class TestEventShareByDay:
+    def test_known_shares(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_event_share_by_day
+
+        d1, d2 = pd.Timestamp("2024-01-01 03:00"), pd.Timestamp("2024-01-02 23:59")
+        rows = [(d1, "a")] * 3 + [(d1, "b")] + [(d2, "a")]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(5), pa.int64()),
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * 5, pa.int64()),
+                "event_type": pa.array([r[1] for r in rows]),
+                "value": pa.array([0.0] * 5),
+                "props": pa.array(["{}"] * 5),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_event_share_by_day(str(tmp_path)).to_pandas()
+        out["day"] = out["day"].astype(str)
+        got = {(r.day, r.event_type): (r.n, r.day_total, r.share)
+               for r in out.itertuples()}
+        assert got[("2024-01-01", "a")] == (3, 4, 0.75)
+        assert got[("2024-01-01", "b")] == (1, 4, 0.25)
+        assert got[("2024-01-02", "a")] == (1, 1, 1.0)
+
+
+class TestStreakDaysUsers:
+    def test_islands_and_dups(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_streak_days_users
+
+        base = pd.Timestamp("2024-03-01")
+        # user 1 active on days 0,1,2,4,5 (day 1 twice) -> max 3, active 5
+        # user 2 active on day 0 only -> max 1, active 1
+        days1 = [0, 1, 1, 2, 4, 5]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(7), pa.int64()),
+                "ts": pa.array(
+                    [base + pd.Timedelta(days=d, hours=i) for i, d in enumerate(days1)]
+                    + [base],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * 6 + [2], pa.int64()),
+                "event_type": pa.array(["x"] * 7),
+                "value": pa.array([0.0] * 7),
+                "props": pa.array(["{}"] * 7),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_streak_days_users(str(tmp_path)).to_pandas().set_index("user_id")
+        assert out.loc[1, "max_streak"] == 3 and out.loc[1, "n_active_days"] == 5
+        assert out.loc[2, "max_streak"] == 1 and out.loc[2, "n_active_days"] == 1
+
+
+class TestOutlierFenceEvents:
+    def test_known_fences(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_outlier_fence_events
+
+        # type a: values 1..4 plus outlier 100. quantile_disc ranks:
+        # q1 = ceil(.25*5)=2nd -> 2.0, q3 = ceil(.75*5)=4th -> 4.0,
+        # iqr=2 -> fences [-1, 7] -> one above (100), none below
+        vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(5), pa.int64()),
+                "ts": pa.array([pd.Timestamp("2024-01-01")] * 5, pa.timestamp("us")),
+                "user_id": pa.array([1] * 5, pa.int64()),
+                "event_type": pa.array(["a"] * 5),
+                "value": pa.array(vals),
+                "props": pa.array(["{}"] * 5),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_outlier_fence_events(str(tmp_path)).to_pandas().set_index("event_type")
+        r = out.loc["a"]
+        assert (r.q1, r.q3, r.lo_fence, r.hi_fence) == (2.0, 4.0, -1.0, 7.0)
+        assert (r.n, r.n_below, r.n_above) == (5, 0, 1)
