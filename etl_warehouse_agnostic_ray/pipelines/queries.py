@@ -5287,6 +5287,301 @@ GROUP BY e.event_type, f.q1, f.q3, f.lo_fence, f.hi_fence
 """
 
 
+def _above_avg(g: pa.Table) -> pa.Table:
+    """Correlated-subquery kernel per pk partition: per-customer order
+    count / cent total via one unique+scatter pass, then the EXACT
+    integer comparison cents·n > Σcents (equivalent to value > AVG but
+    with zero float arithmetic anywhere)."""
+    ck = g.column("o_custkey").to_numpy(zero_copy_only=False)
+    cents = np.round(
+        g.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+    ).astype(np.int64)
+    uc, ci = np.unique(ck, return_inverse=True)
+    n = np.zeros(len(uc), np.int64)
+    np.add.at(n, ci, 1)
+    s = np.zeros(len(uc), np.int64)
+    np.add.at(s, ci, cents)
+    above = (cents * n[ci] > s[ci]).astype(np.int64)
+    na = np.zeros(len(uc), np.int64)
+    np.add.at(na, ci, above)
+    return pa.table(
+        {
+            "o_custkey": pa.array(uc),
+            "n_orders": pa.array(n),
+            "n_above_avg": pa.array(na),
+        }
+    )
+
+
+def q_above_avg_orders(sf_dir: str):
+    """Correlated subquery: per customer, how many of their orders
+    exceed their OWN average order value — ``o.value > (SELECT avg(..)
+    .. WHERE custkey = o.custkey)``, the canonical correlated-scalar
+    pattern. One coarse-pk co-partition; the comparison is lifted to
+    exact integers (cents·n > Σcents), so the whole query has NO float
+    op at all — the strongest determinism class in the registry."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return (
+        ds.map_batches(_coarse_pk("o_custkey"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_above_avg, batch_format="pyarrow")
+    )
+
+
+SQL_ABOVE_AVG_ORDERS = """
+WITH o AS (
+  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), t AS (
+  SELECT o_custkey, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+  FROM o GROUP BY o_custkey
+)
+SELECT t.o_custkey, t.n AS n_orders,
+       sum(CASE WHEN o.cents * t.n > t.s THEN 1 ELSE 0 END)::BIGINT
+         AS n_above_avg
+FROM o JOIN t USING (o_custkey)
+GROUP BY t.o_custkey, t.n
+"""
+
+
+_GAP_BUCKET = 4096
+
+
+def _bucket_gaps(g: pa.Table) -> pa.Table:
+    """Within-bucket gap kernel: sort the bucket's distinct keys, emit
+    every internal missing run (prev+1 … next−1), plus ONE marker row
+    carrying the bucket's (min, max) so the driver can close gaps that
+    span bucket boundaries. Range bucketing (key // B) means adjacent
+    keys co-locate — the whole-sequence sort the SQL twin needs never
+    happens; cross-bucket stitching costs one tiny row per bucket."""
+    k = np.unique(g.column("k").to_numpy(zero_copy_only=False))
+    d = np.diff(k)
+    gi = np.flatnonzero(d > 1)
+    return pa.table(
+        {
+            "gap_start": pa.array(
+                np.concatenate([k[gi] + 1, [k[0]]]).astype(np.int64)
+            ),
+            "gap_end": pa.array(
+                np.concatenate([k[gi + 1] - 1, [k[-1]]]).astype(np.int64)
+            ),
+            "marker": pa.array(
+                np.concatenate([np.zeros(len(gi), bool), [True]])
+            ),
+        }
+    )
+
+
+def q_orderkey_gaps(sf_dir: str):
+    """Sequence-gap detection (missing-record audit): the maximal runs
+    of orderkeys absent from the URGENT feed — 'which ID ranges never
+    arrived' for a filtered/partial stream, the classic ingest
+    reconciliation query. Scale shape: distinct keys range-bucket by
+    key // 4096 so consecutive keys co-locate; each bucket finds its
+    internal gaps locally and ships one (min, max) marker; the driver
+    stitches ONLY the bounded bucket-boundary stream (gaps spanning
+    empty buckets merge correctly since markers exist only for
+    non-empty buckets). Pure integer arithmetic."""
+    import pyarrow.compute as _pc
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def keys(b: pa.Table) -> pa.Table:
+        t = b.filter(_pc.equal(b.column("o_orderpriority"), "1-URGENT"))
+        k = t.column("o_orderkey")
+        return pa.table(
+            {"k": k, "bucket": _pc.divide(k, pa.scalar(_GAP_BUCKET, pa.int64()))}
+        )
+
+    parts = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_bucket_gaps, batch_format="pyarrow")
+    )
+    gaps: list[tuple[int, int]] = []
+    marks: list[tuple[int, int]] = []
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        gs = b.column("gap_start").to_numpy(zero_copy_only=False)
+        ge = b.column("gap_end").to_numpy(zero_copy_only=False)
+        mk = b.column("marker").to_numpy(zero_copy_only=False)
+        gaps.extend(zip(gs[~mk].tolist(), ge[~mk].tolist()))
+        marks.extend(zip(gs[mk].tolist(), ge[mk].tolist()))
+    marks.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(marks, marks[1:]):
+        if lo2 > hi1 + 1:
+            gaps.append((hi1 + 1, lo2 - 1))
+    gaps.sort()
+    return pa.table(
+        {
+            "gap_start": pa.array([g[0] for g in gaps], pa.int64()),
+            "gap_end": pa.array([g[1] for g in gaps], pa.int64()),
+        }
+    )
+
+
+SQL_ORDERKEY_GAPS = """
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), i AS (
+  SELECT k, k - row_number() OVER (ORDER BY k) AS anchor FROM k
+), s AS (
+  SELECT anchor, min(k) AS lo, max(k) AS hi FROM i GROUP BY anchor
+), g AS (
+  SELECT hi + 1 AS gap_start,
+         lead(lo) OVER (ORDER BY lo) - 1 AS gap_end
+  FROM s
+)
+SELECT gap_start, gap_end FROM g WHERE gap_end IS NOT NULL
+"""
+
+
+def _user_entropy(g: pa.Table) -> pa.Table:
+    """Per-user event-type Shannon entropy kernel (integer micro-nats,
+    the ops/text.char_entropy contract): one lexsort over (user, type
+    index), run lengths = per-(user, type) counts, per-user reduction
+    by unique+scatter — every sum order-free integers, ONE final
+    division shared with the oracle."""
+    uid = g.column("user_id").to_numpy(zero_copy_only=False)
+    _, ti = np.unique(
+        g.column("event_type").to_numpy(zero_copy_only=False), return_inverse=True
+    )
+    order = np.lexsort((ti, uid))
+    u, t = uid[order], ti[order]
+    first = np.ones(len(u), bool)
+    first[1:] = (u[1:] != u[:-1]) | (t[1:] != t[:-1])
+    starts = np.flatnonzero(first)
+    runs = np.diff(np.append(starts, len(u))).astype(np.int64)
+    ru = u[starts]
+    uu, ui = np.unique(ru, return_inverse=True)
+    n_events = np.zeros(len(uu), np.int64)
+    np.add.at(n_events, ui, runs)
+    n_types = np.zeros(len(uu), np.int64)
+    np.add.at(n_types, ui, 1)
+    ln_cost = np.floor(np.log(runs) * 1e6).astype(np.int64)
+    sub = np.zeros(len(uu), np.int64)
+    np.add.at(sub, ui, runs * ln_cost)
+    ln_n = np.floor(np.log(n_events) * 1e6).astype(np.int64)
+    ent = (n_events * ln_n - sub).astype(np.float64) / (
+        n_events.astype(np.float64) * 1e6
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(uu),
+            "n_events": pa.array(n_events),
+            "n_types": pa.array(n_types),
+            "type_entropy": pa.array(ent, pa.float64()),
+        }
+    )
+
+
+def q_user_event_entropy(sf_dir: str):
+    """Behavioral-diversity score: Shannon entropy of each user's
+    event-type mix — bots and single-purpose scripts sit near 0, broad
+    organic users near ln(|types|); the standard per-entity diversity
+    feature. One coarse-pk co-partition by user, then the shared
+    integer micro-nat entropy contract (ops/text.char_entropy): every
+    reduction is an order-free integer sum, libm ln and ONE division
+    are the only floats, both replayed verbatim by the oracle."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return (
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_user_entropy, batch_format="pyarrow")
+    )
+
+
+SQL_USER_EVENT_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY user_id, event_type
+), p AS (
+  SELECT user_id, sum(n)::BIGINT AS n_events, count(*)::BIGINT AS n_types,
+         sum(n * CAST(floor(ln(n) * 1e6) AS BIGINT))::BIGINT AS sub
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       CAST(n_events * CAST(floor(ln(n_events) * 1e6) AS BIGINT) - sub
+            AS DOUBLE)
+         / CAST(n_events * 1000000 AS DOUBLE) AS type_entropy
+FROM p
+"""
+
+
+def q_robust_scale_events(sf_dir: str):
+    """Robust scaling (median/IQR — the outlier-immune cousin of the
+    z-score): every event's value scaled as (v − median)/(q3 − q1)
+    with the group's EXACT order statistics from the shared-histogram
+    quantile op. Zero-shuffle map with the tiny (group → constants)
+    table in the closure; the scale expression is the oracle's float
+    op order verbatim; zero-IQR groups yield NULL (NULLIF twin)."""
+    from ..ops.quantiles import grouped_quantiles
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    qt = grouped_quantiles(
+        ds, "value", "event_type", qs=(0.25, 0.5, 0.75), n_bins=256
+    )
+    stats: dict[str, list[float]] = {}
+    for g, q, v in zip(
+        qt.column("event_type").to_pylist(),
+        qt.column("q").to_pylist(),
+        qt.column("value").to_pylist(),
+    ):
+        stats.setdefault(g, [0.0, 0.0, 0.0])[{0.25: 0, 0.5: 1, 0.75: 2}[q]] = v
+
+    def scale(b: pa.Table) -> pa.Table:
+        gv = b.column("event_type").to_numpy(zero_copy_only=False)
+        vv = b.column("value").to_numpy(zero_copy_only=False)
+        out = np.full(len(gv), np.nan)
+        valid = np.zeros(len(gv), bool)
+        for g in np.unique(gv):
+            st = stats.get(g)
+            if st is None:
+                continue
+            q1, med, q3 = st
+            iqr = q3 - q1
+            m = (gv == g) & ~np.isnan(vv)
+            if iqr != 0.0:
+                out[m] = (vv[m] - med) / iqr
+                valid |= m
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "value": b.column("value"),
+                "robust_z": pa.array(out, pa.float64(), mask=~valid),
+            }
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow")
+
+
+SQL_ROBUST_SCALE_EVENTS = """
+WITH b AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.5) AS med,
+         quantile_disc(value, 0.75) AS q3
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - b.med) / NULLIF(b.q3 - b.q1, 0) AS robust_z
+FROM events e LEFT JOIN b USING (event_type)
+"""
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -7116,6 +7411,10 @@ QUERIES = {
     "event_share_by_day": q_event_share_by_day,
     "streak_days_users": q_streak_days_users,
     "outlier_fence_events": q_outlier_fence_events,
+    "above_avg_orders": q_above_avg_orders,
+    "orderkey_gaps": q_orderkey_gaps,
+    "user_event_entropy": q_user_event_entropy,
+    "robust_scale_events": q_robust_scale_events,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -7299,6 +7598,10 @@ ORACLES = {
     "event_share_by_day": SQL_EVENT_SHARE_BY_DAY,
     "streak_days_users": SQL_STREAK_DAYS_USERS,
     "outlier_fence_events": SQL_OUTLIER_FENCE_EVENTS,
+    "above_avg_orders": SQL_ABOVE_AVG_ORDERS,
+    "orderkey_gaps": SQL_ORDERKEY_GAPS,
+    "user_event_entropy": SQL_USER_EVENT_ENTROPY,
+    "robust_scale_events": SQL_ROBUST_SCALE_EVENTS,
 }
 
 

@@ -3357,3 +3357,115 @@ class TestOutlierFenceEvents:
         r = out.loc["a"]
         assert (r.q1, r.q3, r.lo_fence, r.hi_fence) == (2.0, 4.0, -1.0, 7.0)
         assert (r.n, r.n_below, r.n_above) == (5, 0, 1)
+
+
+class TestAboveAvgOrders:
+    def test_integer_comparison(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_above_avg_orders
+
+        # cust 1: 10, 20, 30 -> avg 20 -> exactly one above (30; ties lose)
+        # cust 2: single order -> never above its own avg
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(range(4), pa.int64()),
+                "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 4),
+                "o_totalprice": pa.array([10.0, 20.0, 30.0, 5.0]),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("2024-01-01")] * 4, pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 4),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        out = q_above_avg_orders(str(tmp_path)).to_pandas().set_index("o_custkey")
+        assert out.loc[1, "n_orders"] == 3 and out.loc[1, "n_above_avg"] == 1
+        assert out.loc[2, "n_orders"] == 1 and out.loc[2, "n_above_avg"] == 0
+
+
+class TestOrderkeyGaps:
+    def test_cross_bucket_and_internal_gaps(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            _GAP_BUCKET,
+            q_orderkey_gaps,
+        )
+
+        # urgent keys: 1, 2, 5 (internal gap 3-4), then nothing until
+        # key in bucket 2 (cross-bucket gap spanning the empty bucket 1)
+        far = 2 * _GAP_BUCKET + 3
+        keys = [1, 2, 5, far]
+        noise = [10]  # non-urgent, must be ignored
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(keys + noise, pa.int64()),
+                "o_custkey": pa.array([1] * 5, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 5),
+                "o_totalprice": pa.array([1.0] * 5),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("2024-01-01")] * 5, pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 4 + ["3-MEDIUM"]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        out = q_orderkey_gaps(str(tmp_path)).to_pandas()
+        got = list(zip(out.gap_start, out.gap_end))
+        assert got == [(3, 4), (6, far - 1)]
+
+
+class TestUserEventEntropy:
+    def test_micro_nat_contract(self, ray_session, tmp_path):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_user_event_entropy
+
+        # user 1: a,a,b -> n=3, sub = 2*floor(ln2*1e6) + 1*0
+        # user 2: single event -> entropy 0
+        t = pa.table(
+            {
+                "event_id": pa.array(range(4), pa.int64()),
+                "ts": pa.array([pd.Timestamp("2024-01-01")] * 4, pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "event_type": pa.array(["a", "a", "b", "x"]),
+                "value": pa.array([0.0] * 4),
+                "props": pa.array(["{}"] * 4),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_user_event_entropy(str(tmp_path)).to_pandas().set_index("user_id")
+        sub = 2 * math.floor(math.log(2) * 1e6)
+        want = (3 * math.floor(math.log(3) * 1e6) - sub) / (3 * 1e6)
+        assert out.loc[1, "n_events"] == 3 and out.loc[1, "n_types"] == 2
+        assert out.loc[1, "type_entropy"] == want
+        assert out.loc[2, "type_entropy"] == 0.0
+
+
+class TestRobustScaleEvents:
+    def test_scaling_and_zero_iqr(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_robust_scale_events
+
+        # type a: 1..4 -> q1=1(rank ceil(.25*4)=1), med=2, q3=3 -> iqr=2
+        # type b: constant -> iqr 0 -> robust_z NULL
+        t = pa.table(
+            {
+                "event_id": pa.array(range(6), pa.int64()),
+                "ts": pa.array([pd.Timestamp("2024-01-01")] * 6, pa.timestamp("us")),
+                "user_id": pa.array([1] * 6, pa.int64()),
+                "event_type": pa.array(["a"] * 4 + ["b"] * 2),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0, 7.0, 7.0]),
+                "props": pa.array(["{}"] * 6),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_robust_scale_events(str(tmp_path)).to_pandas().set_index("event_id")
+        assert out.loc[0, "robust_z"] == -0.5   # (1-2)/2
+        assert out.loc[3, "robust_z"] == 1.0    # (4-2)/2
+        assert pd.isna(out.loc[4, "robust_z"]) and pd.isna(out.loc[5, "robust_z"])
