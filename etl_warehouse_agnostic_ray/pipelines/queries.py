@@ -5582,6 +5582,271 @@ FROM events e LEFT JOIN b USING (event_type)
 """
 
 
+def q_dod_change_events(sf_dir: str):
+    """Day-over-day traffic change per event type — LAG over the daily
+    count series, pct_change = (n − prev)/prev. Map-side (day, type)
+    count partials, one small grouped sum, then the window runs over
+    the bounded (days × types) aggregate on the driver: one lexsort,
+    a shifted compare masked at type boundaries. Counts are integers;
+    the division is mirrored in the oracle."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = (
+            b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            .view("int64")
+        )
+        t = pa.table(
+            {
+                "day": pa.array((us - us % day_us).view("datetime64[us]")),
+                "event_type": b.column("event_type"),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["day", "event_type"]).aggregate([("n", "sum")])
+            .rename_columns(["day", "event_type", "n"])
+        )
+
+    out = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    d = out.column("day").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    et = out.column("event_type").to_numpy(zero_copy_only=False)
+    n = out.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((d.view("int64"), et))
+    d, et, n = d[order], et[order], n[order]
+    prev = np.zeros(len(n), np.int64)
+    has_prev = np.zeros(len(n), bool)
+    if len(n) > 1:
+        prev[1:] = n[:-1]
+        has_prev[1:] = et[1:] == et[:-1]
+    pct = np.where(has_prev, (n - prev) / np.maximum(prev, 1), 0.0)
+    return pa.table(
+        {
+            "day": pa.array(d),
+            "event_type": pa.array(et, pa.string()),
+            "n": pa.array(n.astype(np.int64)),
+            "prev_n": pa.array(prev, mask=~has_prev),
+            "pct_change": pa.array(pct, pa.float64(), mask=~has_prev),
+        }
+    )
+
+
+SQL_DOD_CHANGE_EVENTS = """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY day, event_type
+)
+SELECT day, event_type, n,
+       lag(n) OVER w AS prev_n,
+       CAST(n - lag(n) OVER w AS DOUBLE) / lag(n) OVER w AS pct_change
+FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+def _since_purchase(g: pa.Table) -> pa.Table:
+    """Conditional forward-fill kernel: for every event, µs since the
+    user's latest 'purchase' AT OR BEFORE it in (ts, event_id) order.
+    One lexsort; the running 'latest purchase position' is a plain
+    maximum.accumulate over per-row purchase indices, and cross-user
+    leakage is voided by the run-start comparison (a previous user's
+    purchase index is always < this run's first index) — no loop, no
+    per-user reset pass."""
+    uid = g.column("user_id").to_numpy(zero_copy_only=False)
+    eid = g.column("event_id").to_numpy(zero_copy_only=False)
+    ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    us = ts.view("int64")
+    et = g.column("event_type").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, us, uid))
+    u, t, e = uid[order], us[order], et[order]
+    n = len(u)
+    idx = np.arange(n, dtype=np.int64)
+    pidx = np.where(e == "purchase", idx, np.int64(-1))
+    last_p = np.maximum.accumulate(pidx) if n else pidx
+    start = np.ones(n, dtype=bool)
+    if n > 1:
+        start[1:] = u[1:] != u[:-1]
+    starts = np.flatnonzero(start)
+    lengths = np.diff(np.append(starts, n))
+    run_start = np.repeat(starts, lengths)
+    valid = last_p >= run_start
+    gap = np.zeros(n, np.int64)
+    gap[valid] = t[valid] - t[last_p[valid]]
+    return pa.table(
+        {
+            "user_id": pa.array(u),
+            "event_id": pa.array(eid[order]),
+            "ts": pa.array(ts[order]),
+            "event_type": pa.array(e, pa.string()),
+            "us_since_purchase": pa.array(gap, mask=~valid),
+        }
+    )
+
+
+def q_since_purchase_events(sf_dir: str):
+    """Time since each user's last PURCHASE at every event — the
+    conditional forward-fill ('fill down the last matching row')
+    window, NULL before the first purchase, 0 on purchases themselves.
+    In SQL this is a running conditional MAX over the ordered frame;
+    distributed it is the shared coarse-pk lexsort plus ONE
+    maximum.accumulate. Integer µs end to end."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    return (
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_since_purchase, batch_format="pyarrow")
+    )
+
+
+SQL_SINCE_PURCHASE_EVENTS = """
+SELECT user_id, event_id, ts, event_type,
+       epoch_us(ts) - max(CASE WHEN event_type = 'purchase'
+                               THEN epoch_us(ts) END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS us_since_purchase
+FROM events
+"""
+
+
+def _kl_bucket(g: pa.Table) -> pa.Table:
+    """Per-hash-bucket KL partial: the bucket holds EVERY (source, n)
+    row of its hashes, so per-token corpus totals n_t are exact here.
+    Emits one integer partial per source present: Σ n_st·(mln n_st −
+    mln n_t) plus the source's token mass in this bucket — both
+    order-free integer sums under the shared micro-nat contract."""
+    src = g.column("source").to_numpy(zero_copy_only=False)
+    h = g.column("h").to_numpy(zero_copy_only=False)
+    n = g.column("n").to_numpy(zero_copy_only=False)
+    _, hi = np.unique(h, return_inverse=True)
+    nt = np.zeros(hi.max() + 1 if len(hi) else 0, np.int64)
+    np.add.at(nt, hi, n)
+    term = n * (
+        np.floor(np.log(n) * 1e6).astype(np.int64)
+        - np.floor(np.log(nt[hi]) * 1e6).astype(np.int64)
+    )
+    us_, si = np.unique(src, return_inverse=True)
+    sub = np.zeros(len(us_), np.int64)
+    np.add.at(sub, si, term)
+    ns = np.zeros(len(us_), np.int64)
+    np.add.at(ns, si, n)
+    return pa.table(
+        {
+            "source": pa.array(us_, pa.string()),
+            "sub": pa.array(sub),
+            "ns": pa.array(ns),
+        }
+    )
+
+
+def q_kl_divergence_sources(sf_dir: str):
+    """Lexical drift per source: KL(source ‖ corpus) over unigram
+    token distributions — the CCNet/Gopher-style 'which domain looks
+    nothing like the rest of the crawl' screen. Decomposition keeps it
+    exact: KL_s = [Σ_t n_st·(mln n_st − mln n_t) + N_s·(mln N −
+    mln N_s)] / (N_s·10⁶) with mln(x) = floor(ln(x)·10⁶) — the
+    h-dependent part reduces inside hash buckets (each bucket owns all
+    rows of its hashes, so corpus totals are exact locally), the rest
+    is driver arithmetic over one tiny per-source table. Every sum is
+    an order-free integer; the single division casts both sides to
+    double first, exactly as the oracle does."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.texthash import token_hashes
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        th, offs = token_hashes(b.column("text"), lower=True)
+        lens = np.diff(offs)
+        sv = np.repeat(b.column("source").to_numpy(zero_copy_only=False), lens)
+        t = pa.table(
+            {
+                "source": pa.array(sv, pa.string()),
+                "h": pa.array(th.view(np.int64)),
+                "n": pa.array(np.ones(len(th), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["source", "h"]).aggregate([("n", "sum")])
+            .rename_columns(["source", "h", "n"])
+        )
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "hb", pc.bit_wise_and(b.column("h"), pa.scalar(255, pa.int64()))
+        )
+
+    partials = pa.concat_tables(
+        ds.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["source", "h"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(_kl_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    src = partials.column("source").to_numpy(zero_copy_only=False)
+    us_, si = np.unique(src, return_inverse=True)
+    sub = np.zeros(len(us_), np.int64)
+    np.add.at(sub, si, partials.column("sub").to_numpy(zero_copy_only=False))
+    ns = np.zeros(len(us_), np.int64)
+    np.add.at(ns, si, partials.column("ns").to_numpy(zero_copy_only=False))
+    n_total = ns.sum()
+    mln_n = np.int64(np.floor(np.log(n_total) * 1e6)) if n_total else np.int64(0)
+    mln_ns = np.floor(np.log(np.maximum(ns, 1)) * 1e6).astype(np.int64)
+    num = (sub + ns * (mln_n - mln_ns)).astype(np.float64)
+    kl = num / (ns.astype(np.float64) * 1e6)
+    return pa.table(
+        {
+            "source": pa.array(us_, pa.string()),
+            "n_tokens": pa.array(ns),
+            "kl_nats": pa.array(kl, pa.float64()),
+        }
+    )
+
+
+SQL_KL_DIVERGENCE_SOURCES = """
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT source, {poly} AS h FROM toks WHERE tok <> ''
+), c AS (
+  SELECT source, h, count(*)::BIGINT AS n FROM t GROUP BY source, h
+), g AS (SELECT h, sum(n)::BIGINT AS nt FROM c GROUP BY h),
+ns AS (SELECT source, sum(n)::BIGINT AS n_tokens FROM c GROUP BY source),
+tot AS (SELECT sum(n)::BIGINT AS nn FROM c),
+sub AS (
+  SELECT c.source,
+         sum(c.n * (CAST(floor(ln(c.n) * 1e6) AS BIGINT)
+                    - CAST(floor(ln(g.nt) * 1e6) AS BIGINT)))::BIGINT AS sub
+  FROM c JOIN g USING (h) GROUP BY c.source
+)
+SELECT ns.source, ns.n_tokens,
+       CAST(sub.sub + ns.n_tokens
+              * (CAST(floor(ln(tot.nn) * 1e6) AS BIGINT)
+                 - CAST(floor(ln(ns.n_tokens) * 1e6) AS BIGINT)) AS DOUBLE)
+         / CAST(ns.n_tokens * 1000000 AS BIGINT) AS kl_nats
+FROM ns JOIN sub USING (source) CROSS JOIN tot
+"""
+SQL_KL_DIVERGENCE_SOURCES = SQL_KL_DIVERGENCE_SOURCES.format(
+    poly=hash_sql.poly64_expr("tok")
+)
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -7415,6 +7680,9 @@ QUERIES = {
     "orderkey_gaps": q_orderkey_gaps,
     "user_event_entropy": q_user_event_entropy,
     "robust_scale_events": q_robust_scale_events,
+    "dod_change_events": q_dod_change_events,
+    "since_purchase_events": q_since_purchase_events,
+    "kl_divergence_sources": q_kl_divergence_sources,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -7602,6 +7870,9 @@ ORACLES = {
     "orderkey_gaps": SQL_ORDERKEY_GAPS,
     "user_event_entropy": SQL_USER_EVENT_ENTROPY,
     "robust_scale_events": SQL_ROBUST_SCALE_EVENTS,
+    "dod_change_events": SQL_DOD_CHANGE_EVENTS,
+    "since_purchase_events": SQL_SINCE_PURCHASE_EVENTS,
+    "kl_divergence_sources": SQL_KL_DIVERGENCE_SOURCES,
 }
 
 

@@ -3469,3 +3469,107 @@ class TestRobustScaleEvents:
         assert out.loc[0, "robust_z"] == -0.5   # (1-2)/2
         assert out.loc[3, "robust_z"] == 1.0    # (4-2)/2
         assert pd.isna(out.loc[4, "robust_z"]) and pd.isna(out.loc[5, "robust_z"])
+
+
+class TestDodChangeEvents:
+    def test_lag_and_boundaries(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_dod_change_events
+
+        d1, d2 = pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-02")
+        rows = [(d1, "a")] * 2 + [(d2, "a")] * 3 + [(d2, "b")]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(6), pa.int64()),
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * 6, pa.int64()),
+                "event_type": pa.array([r[1] for r in rows]),
+                "value": pa.array([0.0] * 6),
+                "props": pa.array(["{}"] * 6),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_dod_change_events(str(tmp_path)).to_pandas()
+        out["day"] = out["day"].astype(str)
+        got = {(r.day, r.event_type): (r.n, r.prev_n, r.pct_change)
+               for r in out.itertuples()}
+        assert got[("2024-01-01", "a")][0] == 2
+        assert pd.isna(got[("2024-01-01", "a")][1])  # first day: no prev
+        assert got[("2024-01-02", "a")] == (3, 2, 0.5)
+        assert pd.isna(got[("2024-01-02", "b")][1])  # b's first day
+
+
+class TestSincePurchaseEvents:
+    def test_forward_fill_and_user_isolation(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_since_purchase_events,
+        )
+
+        t0 = pd.Timestamp("2024-01-01")
+        sec = pd.Timedelta(seconds=1)
+        # user 1: view(t0) purchase(t1) view(t3) purchase(t4) view(t5)
+        # user 2: view only — must NOT see user 1's purchases
+        rows = [
+            (1, 0, t0, "view"),
+            (1, 1, t0 + sec, "purchase"),
+            (1, 2, t0 + 3 * sec, "view"),
+            (1, 3, t0 + 4 * sec, "purchase"),
+            (1, 4, t0 + 5 * sec, "view"),
+            (2, 5, t0 + 9 * sec, "view"),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([0.0] * 6),
+                "props": pa.array(["{}"] * 6),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_since_purchase_events(str(tmp_path)).to_pandas().set_index("event_id")
+        assert pd.isna(out.loc[0, "us_since_purchase"])  # before first purchase
+        assert out.loc[1, "us_since_purchase"] == 0      # purchase itself
+        assert out.loc[2, "us_since_purchase"] == 2_000_000
+        assert out.loc[3, "us_since_purchase"] == 0
+        assert out.loc[4, "us_since_purchase"] == 1_000_000
+        assert pd.isna(out.loc[5, "us_since_purchase"])  # other user isolated
+
+
+class TestKlDivergenceSources:
+    def test_identical_sources_zero_kl(self, ray_session, tmp_path):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_kl_divergence_sources,
+        )
+
+        # two sources with IDENTICAL token distributions -> KL = 0 in
+        # exact arithmetic; the micro-nat floor makes it >= 0 and tiny
+        # s3 is disjoint -> KL = ln(3) (each token: n=1, nt=1, N=6, Ns=2)
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(["a b", "a b", "x y"]),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s1", "s2", "s3"]),
+                "n_chars": pa.array([3, 3, 3], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_kl_divergence_sources(str(tmp_path)).to_pandas().set_index("source")
+        # s1: each token n=1 (mln 0), nt=2 -> sub = -2*mln(2);
+        # + Ns*(mln(6)-mln(2)) -> 2*(mln6 - 2*mln2) / 2e6
+        mln = lambda x: math.floor(math.log(x) * 1e6)
+        want_s1 = (-2 * mln(2) + 2 * (mln(6) - mln(2))) / (2 * 1e6)
+        want_s3 = (2 * (mln(6) - mln(2))) / (2 * 1e6)
+        assert out.loc["s1", "kl_nats"] == want_s1
+        assert out.loc["s2", "kl_nats"] == want_s1
+        assert out.loc["s3", "kl_nats"] == want_s3
+        assert abs(out.loc["s3", "kl_nats"] - math.log(3)) < 1e-5
