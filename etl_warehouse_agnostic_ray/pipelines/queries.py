@@ -4689,9 +4689,11 @@ def q_benford_orders(sf_dir: str):
     classic fraud / synthetic-data screen. The leading digit comes
     from pure int64 arithmetic (cents = floor(x·100+0.5), then integer
     division by 10 until < 10 — a loop over DIGITS, not rows), one
-    9-bucket bincount partial per batch, one tiny groupby. Expected
-    Benford mass ln(1+1/d)/ln(10) is computed in the oracle's exact
-    float op order."""
+    9-bucket bincount partial per batch, one tiny groupby. Rows whose
+    cent value is ≤ 0 have no first SIGNIFICANT digit and are excluded
+    on BOTH sides (Benford is defined over positive magnitudes).
+    Expected Benford mass ln(1+1/d)/ln(10) is computed in the oracle's
+    exact float op order."""
     from ray.data.aggregate import Sum
 
     rd = _rd()
@@ -4700,6 +4702,7 @@ def q_benford_orders(sf_dir: str):
     def digit_counts(b: pa.Table) -> pa.Table:
         v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
         c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        c = c[c > 0]
         while True:
             m = c >= 10
             if not m.any():
@@ -4735,7 +4738,7 @@ SQL_BENFORD_ORDERS = """
 WITH d AS (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                           AS VARCHAR), 1, 1) AS BIGINT) AS digit
-  FROM orders
+  FROM orders WHERE floor(o_totalprice * 100 + 0.5) > 0
 ), c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit)
 SELECT digit, n,
        CAST(n AS DOUBLE) / (SELECT sum(n) FROM c) AS frac,
@@ -5062,6 +5065,44 @@ FROM (
 """
 
 
+def _daily_type_counts_partial(b: pa.Table) -> pa.Table:
+    """Map-side (day, event_type) count partial — day = µs truncated
+    to the UTC day (the date_trunc twin). Shared by the share-of-day
+    and day-over-day queries; each batch collapses to ≤ days × types
+    rows before the exchange."""
+    day_us = np.int64(86_400_000_000)
+    us = (
+        b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        .view("int64")
+    )
+    t = pa.table(
+        {
+            "day": pa.array((us - us % day_us).view("datetime64[us]")),
+            "event_type": b.column("event_type"),
+            "n": pa.array(np.ones(len(b), np.int64)),
+        }
+    )
+    return (
+        t.group_by(["day", "event_type"]).aggregate([("n", "sum")])
+        .rename_columns(["day", "event_type", "n"])
+    )
+
+
+def _daily_type_counts(sf_dir: str) -> pa.Table:
+    """The bounded (day, event_type, n) aggregate both daily-window
+    queries start from: one map-side partial, one small grouped sum."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return pa.concat_tables(
+        ds.map_batches(_daily_type_counts_partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    )
+
+
 def q_event_share_by_day(sf_dir: str):
     """Ratio-to-report window: each event type's share of its DAY's
     traffic — ``n / sum(n) OVER (PARTITION BY day)``, the canonical
@@ -5069,35 +5110,7 @@ def q_event_share_by_day(sf_dir: str):
     grouped sum, then day totals and shares computed over the bounded
     (days × types) aggregate on the driver — integer counts end to
     end, ONE int/int division per row mirrored in the oracle."""
-    from ray.data.aggregate import Sum
-
-    rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
-    day_us = np.int64(86_400_000_000)
-
-    def partial(b: pa.Table) -> pa.Table:
-        us = (
-            b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
-            .view("int64")
-        )
-        t = pa.table(
-            {
-                "day": pa.array((us - us % day_us).view("datetime64[us]")),
-                "event_type": b.column("event_type"),
-                "n": pa.array(np.ones(len(b), np.int64)),
-            }
-        )
-        return (
-            t.group_by(["day", "event_type"]).aggregate([("n", "sum")])
-            .rename_columns(["day", "event_type", "n"])
-        )
-
-    out = pa.concat_tables(
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["day", "event_type"])
-        .aggregate(Sum("n", alias_name="n"))
-        .iter_batches(batch_format="pyarrow")
-    )
+    out = _daily_type_counts(sf_dir)
     d = out.column("day").to_numpy(zero_copy_only=False).view("int64")
     n = out.column("n").to_numpy(zero_copy_only=False)
     ud, di = np.unique(d, return_inverse=True)
@@ -5589,35 +5602,7 @@ def q_dod_change_events(sf_dir: str):
     the bounded (days × types) aggregate on the driver: one lexsort,
     a shifted compare masked at type boundaries. Counts are integers;
     the division is mirrored in the oracle."""
-    from ray.data.aggregate import Sum
-
-    rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
-    day_us = np.int64(86_400_000_000)
-
-    def partial(b: pa.Table) -> pa.Table:
-        us = (
-            b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
-            .view("int64")
-        )
-        t = pa.table(
-            {
-                "day": pa.array((us - us % day_us).view("datetime64[us]")),
-                "event_type": b.column("event_type"),
-                "n": pa.array(np.ones(len(b), np.int64)),
-            }
-        )
-        return (
-            t.group_by(["day", "event_type"]).aggregate([("n", "sum")])
-            .rename_columns(["day", "event_type", "n"])
-        )
-
-    out = pa.concat_tables(
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["day", "event_type"])
-        .aggregate(Sum("n", alias_name="n"))
-        .iter_batches(batch_format="pyarrow")
-    )
+    out = _daily_type_counts(sf_dir)
     d = out.column("day").to_numpy(zero_copy_only=False).astype("datetime64[us]")
     et = out.column("event_type").to_numpy(zero_copy_only=False)
     n = out.column("n").to_numpy(zero_copy_only=False)

@@ -3155,6 +3155,31 @@ class TestBenfordDigits:
         assert out.loc[7, "n"] == 1 and out.loc[5, "n"] == 1
         assert abs(out.loc[1, "benford_expected"] - 0.3010299956639812) < 1e-15
 
+    def test_sub_cent_values_excluded(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_benford_orders
+
+        # 0.001 rounds to 0 cents: no first significant digit — the row
+        # must drop from counts AND the frac denominator (review fix)
+        vals = [0.001, 19.99, 500.00]
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(range(3), pa.int64()),
+                "o_custkey": pa.array([1] * 3, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 3),
+                "o_totalprice": pa.array(vals, pa.float64()),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("2024-01-01")] * 3, pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 3),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        out = q_benford_orders(str(tmp_path)).to_pandas().set_index("digit")
+        assert set(out.index) == {1, 5}
+        assert out.loc[1, "frac"] == 0.5 and out.loc[5, "frac"] == 0.5
+
 
 class TestChisqLangSource:
     def test_known_contingency(self, ray_session, tmp_path):
