@@ -4901,6 +4901,39 @@ GROUP BY prev_type, cur_type
 """
 
 
+def _bitmask_intersections(
+    distinct, labels_np: np.ndarray, label_col: str, h_col: str = "h"
+) -> np.ndarray:
+    """Distinct (label, hash) Dataset → L×L pairwise intersection
+    matrix (L = len(labels) ≤ 62): per-row label bit, ONE Sum exchange
+    keyed by hash, then the driver reduces a bounded mask stream with
+    an L×n 0/1 matmul per batch — all pairwise intersections at once,
+    the label universe never materializes driver-side. Shared by the
+    vocabulary- and shingle-overlap queries."""
+    from ray.data.aggregate import Sum
+
+    L = len(labels_np)
+
+    def to_bits(b: pa.Table) -> pa.Table:
+        lv = b.column(label_col).to_numpy(zero_copy_only=False)
+        li = np.searchsorted(labels_np, lv).astype(np.int64)
+        return pa.table(
+            {"h": b.column(h_col), "bit": pa.array(np.int64(1) << li)}
+        )
+
+    masks = (
+        distinct.map_batches(to_bits, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("bit", alias_name="mask"))
+    )
+    inter = np.zeros((L, L), np.int64)
+    for b in masks.iter_batches(batch_format="pyarrow"):
+        m = b.column("mask").to_numpy(zero_copy_only=False)
+        H = np.stack([(m >> i) & 1 for i in range(L)])
+        inter += H @ H.T
+    return inter
+
+
 def q_vocab_overlap_langs(sf_dir: str):
     """Pairwise Jaccard overlap between language VOCABULARIES (distinct
     lowered whitespace tokens, poly64 identity) — "how much lexicon do
@@ -4912,7 +4945,7 @@ def q_vocab_overlap_langs(sf_dir: str):
     pairwise intersections at once; L = #langs, guarded ≤ 62). Nothing
     driver-side ever holds the vocabulary. Jaccard is ONE int/int
     division (exact operands < 2^53), mirrored in the oracle."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
     from ..ops.texthash import token_hashes
 
@@ -4939,28 +4972,14 @@ def q_vocab_overlap_langs(sf_dir: str):
         )
         return t.group_by(["lang", "h"]).aggregate([])
 
-    def to_bits(b: pa.Table) -> pa.Table:
-        lv = b.column("lang").to_numpy(zero_copy_only=False)
-        li = np.searchsorted(langs_np, lv).astype(np.int64)
-        return pa.table(
-            {"h": b.column("h"), "bit": pa.array(np.int64(1) << li)}
-        )
-
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
-    masks = (
+    distinct = (
         ds.map_batches(pair_partial, batch_format="pyarrow")
         .groupby(["lang", "h"])
         .aggregate(Count(alias_name="_c"))
-        .map_batches(to_bits, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Sum("bit", alias_name="mask"))
     )
     L = len(langs)
-    inter = np.zeros((L, L), np.int64)
-    for b in masks.iter_batches(batch_format="pyarrow"):
-        m = b.column("mask").to_numpy(zero_copy_only=False)
-        H = np.stack([(m >> i) & 1 for i in range(L)])
-        inter += H @ H.T
+    inter = _bitmask_intersections(distinct, langs_np, label_col="lang")
     rows = [
         (langs[i], langs[j], int(inter[i, i]), int(inter[j, j]), int(inter[i, j]))
         for i in range(L)
@@ -5001,6 +5020,104 @@ JOIN sz sb ON sb.lang = i.lang_b
 """
 SQL_VOCAB_OVERLAP_LANGS = SQL_VOCAB_OVERLAP_LANGS.format(
     poly=hash_sql.poly64_expr("tok")
+)
+
+
+def q_shingle_overlap_sources(sf_dir: str):
+    """Cross-source 3-token-shingle containment — the mirror-site /
+    shared-boilerplate detector: for every source pair, how much of
+    source A's distinct shingle set appears in B (and vice versa, plus
+    Jaccard). Exact full-document fingerprints miss near-mirrors; the
+    shingle grain is what CCNet-style pipelines actually compare.
+    Same scale shape as the vocabulary overlap: per-batch distinct
+    (source, shingle) partials → one global distinct groupby → the
+    shared `_bitmask_intersections` mask exchange; the shingle
+    universe never lands on the driver. Containments are single
+    int/int divisions mirrored in the oracle."""
+    from ray.data.aggregate import Count
+
+    from ..ops.texthash import shingle_hashes
+
+    rd = _rd()
+    srcs = sorted(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"]).unique(
+            "source"
+        )
+    )
+    if len(srcs) > 62:
+        raise ValueError(
+            f"{len(srcs)} sources exceed the 62-bit mask budget — "
+            "run per-source-block"
+        )
+    srcs_np = np.array(srcs)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        sh, seg, _starts = shingle_hashes(b.column("text"), 3)
+        sv = b.column("source").to_numpy(zero_copy_only=False)[seg]
+        t = pa.table(
+            {
+                "source": pa.array(sv, pa.string()),
+                "h": pa.array(sh.view(np.int64)),
+            }
+        )
+        return t.group_by(["source", "h"]).aggregate([])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    distinct = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["source", "h"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    L = len(srcs)
+    inter = _bitmask_intersections(distinct, srcs_np, label_col="source")
+    rows = [
+        (srcs[i], srcs[j], int(inter[i, i]), int(inter[j, j]), int(inter[i, j]))
+        for i in range(L)
+        for j in range(i + 1, L)
+        if inter[i, j] > 0
+    ]
+    return pa.table(
+        {
+            "source_a": pa.array([r[0] for r in rows], pa.string()),
+            "source_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_a": pa.array([r[2] for r in rows], pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], pa.int64()),
+            "n_inter": pa.array([r[4] for r in rows], pa.int64()),
+            "contain_a": pa.array(
+                [r[4] / r[2] for r in rows], pa.float64()
+            ),
+            "contain_b": pa.array(
+                [r[4] / r[3] for r in rows], pa.float64()
+            ),
+            "jaccard": pa.array(
+                [r[4] / (r[2] + r[3] - r[4]) for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_SHINGLE_OVERLAP_SOURCES = """
+WITH {shingles},
+t AS (
+  SELECT DISTINCT d.source, s.s AS h
+  FROM documents d JOIN shingle s USING (doc_id)
+), sz AS (SELECT source, count(*)::BIGINT AS n FROM t GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_inter
+  FROM t a JOIN t b USING (h) WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+       CAST(i.n_inter AS DOUBLE) / sa.n AS contain_a,
+       CAST(i.n_inter AS DOUBLE) / sb.n AS contain_b,
+       CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.source = i.source_a
+JOIN sz sb ON sb.source = i.source_b
+"""
+SQL_SHINGLE_OVERLAP_SOURCES = SQL_SHINGLE_OVERLAP_SOURCES.format(
+    shingles=hash_sql.shingle_cte("documents", 3)
 )
 
 
@@ -7668,6 +7785,7 @@ QUERIES = {
     "dod_change_events": q_dod_change_events,
     "since_purchase_events": q_since_purchase_events,
     "kl_divergence_sources": q_kl_divergence_sources,
+    "shingle_overlap_sources": q_shingle_overlap_sources,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -7858,6 +7976,7 @@ ORACLES = {
     "dod_change_events": SQL_DOD_CHANGE_EVENTS,
     "since_purchase_events": SQL_SINCE_PURCHASE_EVENTS,
     "kl_divergence_sources": SQL_KL_DIVERGENCE_SOURCES,
+    "shingle_overlap_sources": SQL_SHINGLE_OVERLAP_SOURCES,
 }
 
 

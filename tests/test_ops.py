@@ -3598,3 +3598,32 @@ class TestKlDivergenceSources:
         assert out.loc["s2", "kl_nats"] == want_s1
         assert out.loc["s3", "kl_nats"] == want_s3
         assert abs(out.loc["s3", "kl_nats"] - math.log(3)) < 1e-5
+
+
+class TestShingleOverlapSources:
+    def test_mirror_detection(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_shingle_overlap_sources,
+        )
+
+        # s1 doc and s2 doc share text (mirror); s3 disjoint
+        txt = "alpha beta gamma delta epsilon"
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array([txt, txt, "zz yy xx ww vv"]),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s1", "s2", "s3"]),
+                "n_chars": pa.array([30, 30, 14], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_shingle_overlap_sources(str(tmp_path)).to_pandas()
+        assert len(out) == 1  # only the mirror pair intersects
+        r = out.iloc[0]
+        assert (r.source_a, r.source_b) == ("s1", "s2")
+        # identical 5-token docs -> 3 shingles each, all shared
+        assert r.n_a == 3 and r.n_b == 3 and r.n_inter == 3
+        assert r.contain_a == 1.0 and r.contain_b == 1.0 and r.jaccard == 1.0

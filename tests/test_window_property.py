@@ -102,3 +102,102 @@ def test_ntile_assign_matches_duckdb_rule(n, k):
         # fewer rows than buckets: row i gets bucket i+1
         ref = np.arange(1, n + 1)
     assert len(tile) == n and (tile == ref).all()
+
+
+# ---- round-5 session kernels: transitions / forward fill / streaks ----
+
+typed_frames = st.lists(
+    st.tuples(
+        st.integers(0, 5),            # user key
+        st.integers(0, 50),           # ts (µs)
+        st.sampled_from(["p", "q", "r"]),  # event type ('p' = purchase)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _as_typed_events(rows, purchase_label="purchase"):
+    df = pd.DataFrame(rows, columns=["k", "ts", "y"]).reset_index(names="i")
+    types = df["y"].map(lambda y: purchase_label if y == "p" else y)
+    return df.assign(t=types), pa.table(
+        {
+            "user_id": pa.array(df["k"].to_numpy(np.int64)),
+            "event_id": pa.array(df["i"].to_numpy(np.int64)),
+            "ts": pa.array(df["ts"].to_numpy(np.int64).view("datetime64[us]")),
+            "event_type": pa.array(types.tolist(), pa.string()),
+        }
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(rows=typed_frames)
+def test_transition_partial_matches_pandas(rows):
+    from etl_warehouse_agnostic_ray.pipelines.queries import _transition_partial
+
+    df, t = _as_typed_events(rows)
+    got = {
+        (r["prev_type"], r["cur_type"]): r["n"]
+        for r in _transition_partial(t).to_pylist()
+    }
+    s = df.sort_values(["k", "ts", "i"])
+    want: dict = {}
+    for _, g in s.groupby("k"):
+        ts_ = g["t"].tolist()
+        for a, b in zip(ts_, ts_[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(rows=typed_frames)
+def test_since_purchase_matches_pandas(rows):
+    from etl_warehouse_agnostic_ray.pipelines.queries import _since_purchase
+
+    df, t = _as_typed_events(rows)
+    out = _since_purchase(t)
+    got = dict(
+        zip(out.column("event_id").to_pylist(),
+            out.column("us_since_purchase").to_pylist())
+    )
+    s = df.sort_values(["k", "ts", "i"]).copy()
+    s["pt"] = s["ts"].where(s["t"] == "purchase").astype(float)
+    # cummax leaves NaN at non-purchase positions; carry the running
+    # max forward within each user
+    s["last_p"] = s.groupby("k")["pt"].transform(lambda x: x.cummax().ffill())
+    for _, r in s.iterrows():
+        want = None if pd.isna(r["last_p"]) else int(r["ts"] - r["last_p"])
+        assert got[r["i"]] == want
+
+
+day_frames = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 20)),  # (user, day)
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(rows=day_frames)
+def test_streaks_match_bruteforce(rows):
+    from etl_warehouse_agnostic_ray.pipelines.queries import _streaks
+
+    df = pd.DataFrame(rows, columns=["k", "day"]).reset_index(names="i")
+    t = pa.table(
+        {
+            "user_id": pa.array(df["k"].to_numpy(np.int64)),
+            "ts": pa.array(
+                (df["day"].to_numpy(np.int64) * 86_400_000_000
+                 + df["i"].to_numpy(np.int64)).view("datetime64[us]")
+            ),
+        }
+    )
+    out = {r["user_id"]: (r["max_streak"], r["n_active_days"])
+           for r in _streaks(t).to_pylist()}
+    for k, g in df.groupby("k"):
+        days = sorted(set(g["day"]))
+        best = run = 1
+        for a, b in zip(days, days[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        assert out[k] == (best, len(days))
