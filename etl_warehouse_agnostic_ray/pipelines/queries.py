@@ -5949,6 +5949,208 @@ SQL_KL_DIVERGENCE_SOURCES = SQL_KL_DIVERGENCE_SOURCES.format(
 )
 
 
+def q_division_priority_customers(sf_dir: str):
+    """Relational DIVISION — customers who have placed at least one
+    order under EVERY priority present in the table: the classic
+    universal quantifier ('suppliers who supply ALL parts') no join
+    type expresses directly. Map-side batch-distinct (customer,
+    priority) partials → ONE global distinct groupby → per-customer
+    distinct counts compared against the divisor's cardinality (a
+    by-product of the same bounded pair table). Pure integers."""
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.select(["o_custkey", "o_orderpriority"])
+            .group_by(["o_custkey", "o_orderpriority"])
+            .aggregate([])
+        )
+
+    pairs = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_custkey", "o_orderpriority"])
+        .aggregate(Count(alias_name="_c"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    n_divisor = len(
+        np.unique(pairs.column("o_orderpriority").to_numpy(zero_copy_only=False))
+    )
+    ck = pairs.column("o_custkey").to_numpy(zero_copy_only=False)
+    uc, ci = np.unique(ck, return_inverse=True)
+    n = np.zeros(len(uc), np.int64)
+    np.add.at(n, ci, 1)
+    keep = n == n_divisor
+    return pa.table(
+        {
+            "o_custkey": pa.array(uc[keep]),
+            "n_priorities": pa.array(n[keep]),
+        }
+    )
+
+
+SQL_DIVISION_PRIORITY_CUSTOMERS = """
+WITH p AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders),
+c AS (SELECT o_custkey, count(*)::BIGINT AS n_priorities
+      FROM p GROUP BY o_custkey)
+SELECT o_custkey, n_priorities FROM c
+WHERE n_priorities = (SELECT count(DISTINCT o_orderpriority) FROM orders)
+"""
+
+
+def _view_to_purchase(g: pa.Table) -> pa.Table:
+    """Time-bounded adjacency motif kernel: per user, count ordered
+    consecutive (view → purchase) pairs with gap ≤ 1 hour — the shared
+    transition lexsort plus ONE gap comparison; ships one row per user
+    present."""
+    uid = g.column("user_id").to_numpy(zero_copy_only=False)
+    eid = g.column("event_id").to_numpy(zero_copy_only=False)
+    us = (
+        g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        .view("int64")
+    )
+    et = g.column("event_type").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, us, uid))
+    u, t, e = uid[order], us[order], et[order]
+    if len(u) > 1:
+        hit = (
+            (u[1:] == u[:-1])
+            & (e[:-1] == "view")
+            & (e[1:] == "purchase")
+            & (t[1:] - t[:-1] <= np.int64(3_600_000_000))
+        )
+    else:
+        hit = np.zeros(0, dtype=bool)
+    uu = np.unique(u)
+    n = np.zeros(len(uu), np.int64)
+    if hit.any():
+        np.add.at(n, np.searchsorted(uu, u[:-1][hit]), 1)
+    return pa.table(
+        {"user_id": pa.array(uu), "n_view_to_purchase": pa.array(n)}
+    )
+
+
+def q_view_to_purchase_events(sf_dir: str):
+    """Sequence-motif count (MATCH_RECOGNIZE-lite): per user, how many
+    times a view is IMMEDIATELY followed by a purchase within one hour
+    — the adjacency-with-deadline conversion signal funnels over
+    longer windows miss. Shared coarse-pk transition machinery plus
+    one integer gap comparison; LAG twin in SQL. Every user appears
+    (zero-count users included via the partition's user set)."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    return (
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_view_to_purchase, batch_format="pyarrow")
+    )
+
+
+SQL_VIEW_TO_PURCHASE_EVENTS = """
+WITH s AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         lag(event_type) OVER w AS prev_type,
+         lag(epoch_us(ts)) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       sum(CASE WHEN prev_type = 'view' AND event_type = 'purchase'
+                AND us - prev_us <= 3600000000 THEN 1 ELSE 0 END)::BIGINT
+         AS n_view_to_purchase
+FROM s GROUP BY user_id
+"""
+
+
+def q_ref_integrity_audit(sf_dir: str):
+    """Referential-integrity audit: orphan fact rows whose foreign key
+    has no dimension row — ``orders.o_custkey → customer`` and
+    ``events.user_id → customer`` in one report. Each side map-reduces
+    to per-key tagged partials (facts pre-count map-side, the
+    dimension ships one flag row per key), ONE grouped sum over
+    distinct keys, then a bounded orphan scan — the anti-join-as-audit
+    shape, never materializing fact rows. Output is a single summary
+    row of exact integers."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def tag(col: str, dim: int, n_ord: int, n_ev: int):
+        def fn(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "key": b.column(col),
+                    "is_dim": pa.array(np.full(len(b), dim, np.int64)),
+                    "n_ord": pa.array(np.full(len(b), n_ord, np.int64)),
+                    "n_ev": pa.array(np.full(len(b), n_ev, np.int64)),
+                }
+            )
+            return (
+                t.group_by("key")
+                .aggregate([("is_dim", "max"), ("n_ord", "sum"), ("n_ev", "sum")])
+                .rename_columns(["key", "is_dim", "n_ord", "n_ev"])
+            )
+
+        return fn
+
+    from ray.data.aggregate import Max
+
+    merged = (
+        cust.map_batches(tag("c_custkey", 1, 0, 0), batch_format="pyarrow")
+        .union(orders.map_batches(tag("o_custkey", 0, 1, 0), batch_format="pyarrow"))
+        .union(events.map_batches(tag("user_id", 0, 0, 1), batch_format="pyarrow"))
+        .groupby("key")
+        .aggregate(
+            Max("is_dim", alias_name="is_dim"),
+            Sum("n_ord", alias_name="n_ord"),
+            Sum("n_ev", alias_name="n_ev"),
+        )
+    )
+    n_orders = n_events = orph_ord = orph_ev = 0
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        d = b.column("is_dim").to_numpy(zero_copy_only=False)
+        no = b.column("n_ord").to_numpy(zero_copy_only=False)
+        ne = b.column("n_ev").to_numpy(zero_copy_only=False)
+        n_orders += int(no.sum())
+        n_events += int(ne.sum())
+        miss = d == 0
+        orph_ord += int(no[miss].sum())
+        orph_ev += int(ne[miss].sum())
+    return pa.table(
+        {
+            "n_orders": pa.array([n_orders], pa.int64()),
+            "n_orphan_orders": pa.array([orph_ord], pa.int64()),
+            "n_events": pa.array([n_events], pa.int64()),
+            "n_orphan_events": pa.array([orph_ev], pa.int64()),
+        }
+    )
+
+
+SQL_REF_INTEGRITY_AUDIT = """
+SELECT
+  (SELECT count(*) FROM orders)::BIGINT AS n_orders,
+  (SELECT count(*) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey))::BIGINT
+    AS n_orphan_orders,
+  (SELECT count(*) FROM events)::BIGINT AS n_events,
+  (SELECT count(*) FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = e.user_id))::BIGINT
+    AS n_orphan_events
+"""
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -7786,6 +7988,9 @@ QUERIES = {
     "since_purchase_events": q_since_purchase_events,
     "kl_divergence_sources": q_kl_divergence_sources,
     "shingle_overlap_sources": q_shingle_overlap_sources,
+    "division_priority_customers": q_division_priority_customers,
+    "view_to_purchase_events": q_view_to_purchase_events,
+    "ref_integrity_audit": q_ref_integrity_audit,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -7977,6 +8182,9 @@ ORACLES = {
     "since_purchase_events": SQL_SINCE_PURCHASE_EVENTS,
     "kl_divergence_sources": SQL_KL_DIVERGENCE_SOURCES,
     "shingle_overlap_sources": SQL_SHINGLE_OVERLAP_SOURCES,
+    "division_priority_customers": SQL_DIVISION_PRIORITY_CUSTOMERS,
+    "view_to_purchase_events": SQL_VIEW_TO_PURCHASE_EVENTS,
+    "ref_integrity_audit": SQL_REF_INTEGRITY_AUDIT,
 }
 
 

@@ -3627,3 +3627,119 @@ class TestShingleOverlapSources:
         # identical 5-token docs -> 3 shingles each, all shared
         assert r.n_a == 3 and r.n_b == 3 and r.n_inter == 3
         assert r.contain_a == 1.0 and r.contain_b == 1.0 and r.jaccard == 1.0
+
+
+class TestDivisionPriorityCustomers:
+    def test_universal_quantifier(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_division_priority_customers,
+        )
+
+        # priorities present: {U, H}. cust 1 covers both; cust 2 only U.
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(range(4), pa.int64()),
+                "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 4),
+                "o_totalprice": pa.array([1.0] * 4),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("2024-01-01")] * 4, pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["U", "H", "U", "U"]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        out = q_division_priority_customers(str(tmp_path)).to_pandas()
+        assert out.o_custkey.tolist() == [1]
+        assert out.n_priorities.tolist() == [2]
+
+
+class TestViewToPurchase:
+    def test_adjacency_and_deadline(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_view_to_purchase_events,
+        )
+
+        t0 = pd.Timestamp("2024-01-01")
+        h = pd.Timedelta(hours=1)
+        rows = [
+            # user 1: view->purchase in 30min (hit), then
+            # view->click->purchase (no hit: not adjacent), then
+            # view->purchase after 2h (no hit: deadline)
+            (1, 0, t0, "view"), (1, 1, t0 + h / 2, "purchase"),
+            (1, 2, t0 + 2 * h, "view"), (1, 3, t0 + 2 * h + h / 4, "click"),
+            (1, 4, t0 + 2 * h + h / 2, "purchase"),
+            (1, 5, t0 + 5 * h, "view"), (1, 6, t0 + 8 * h, "purchase"),
+            # user 2: no purchases at all
+            (2, 7, t0, "view"),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_view_to_purchase_events(str(tmp_path)).to_pandas().set_index("user_id")
+        assert out.loc[1, "n_view_to_purchase"] == 1
+        assert out.loc[2, "n_view_to_purchase"] == 0
+
+
+class TestRefIntegrityAudit:
+    def test_orphan_counts(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_ref_integrity_audit
+
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2], pa.int64()),
+                    "c_name": pa.array(["a", "b"]),
+                    "c_nationkey": pa.array([0, 0], pa.int32()),
+                    "c_acctbal": pa.array([0.0, 0.0]),
+                }
+            ),
+            str(tmp_path / "customer.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(3), pa.int64()),
+                    "o_custkey": pa.array([1, 2, 99], pa.int64()),  # 99 orphan
+                    "o_orderstatus": pa.array(["O"] * 3),
+                    "o_totalprice": pa.array([1.0] * 3),
+                    "o_orderdate": pa.array(
+                        [pd.Timestamp("2024-01-01")] * 3, pa.timestamp("us")
+                    ),
+                    "o_orderpriority": pa.array(["U"] * 3),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(4), pa.int64()),
+                    "ts": pa.array(
+                        [pd.Timestamp("2024-01-01")] * 4, pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([1, 7, 8, 2], pa.int64()),  # 7, 8 orphans
+                    "event_type": pa.array(["x"] * 4),
+                    "value": pa.array([0.0] * 4),
+                    "props": pa.array(["{}"] * 4),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        out = q_ref_integrity_audit(str(tmp_path)).to_pandas().iloc[0]
+        assert out.n_orders == 3 and out.n_orphan_orders == 1
+        assert out.n_events == 4 and out.n_orphan_events == 2
