@@ -6151,6 +6151,217 @@ SELECT
 """
 
 
+def _median_gap(g: pa.Table) -> pa.Table:
+    """Per-customer median inter-order gap kernel: one lexsort by
+    (customer, date, orderkey) builds the integer-day gaps with
+    run-boundary masking, a second lexsort by (customer, gap) makes
+    every customer's gaps contiguous-sorted, and the quantile_disc
+    rank ceil(k/2) is picked per run by pure indexing — exact local
+    order statistics for UNBOUNDED key cardinality (each key lives in
+    one partition), the complement of the bounded-group shared
+    histogram in ops/quantiles."""
+    ck = g.column("o_custkey").to_numpy(zero_copy_only=False)
+    ok_ = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+    day = (
+        g.column("o_orderdate").to_numpy(zero_copy_only=False)
+        .astype("datetime64[D]").view("int64")
+    )
+    order = np.lexsort((ok_, day, ck))
+    c, d = ck[order], day[order]
+    n = len(c)
+    same = c[1:] == c[:-1] if n > 1 else np.zeros(0, dtype=bool)
+    gap_c = c[1:][same]
+    gaps = (d[1:] - d[:-1])[same]
+    if len(gap_c) == 0:
+        return pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "median_gap_days": pa.array([], pa.int64()),
+            }
+        )
+    o2 = np.lexsort((gaps, gap_c))
+    gc, gv = gap_c[o2], gaps[o2]
+    start = np.ones(len(gc), dtype=bool)
+    start[1:] = gc[1:] != gc[:-1]
+    starts = np.flatnonzero(start)
+    lens = np.diff(np.append(starts, len(gc)))
+    med_idx = starts + np.ceil(lens / 2).astype(np.int64) - 1
+    return pa.table(
+        {
+            "o_custkey": pa.array(gc[starts]),
+            "n_gaps": pa.array(lens.astype(np.int64)),
+            "median_gap_days": pa.array(gv[med_idx]),
+        }
+    )
+
+
+def q_median_gap_customers(sf_dir: str):
+    """Median days between consecutive orders, per customer — the
+    repurchase-cadence feature. This is the HIGH-CARDINALITY quantile
+    shape the shared-histogram op deliberately excludes: keys are
+    unbounded, so each customer's exact order statistic is computed
+    LOCALLY inside its coarse-pk partition (two lexsorts + indexing,
+    no histogram, no driver state). Integer days end to end; the twin
+    replays quantile_disc over the LAG gaps."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+    return (
+        ds.map_batches(_coarse_pk("o_custkey"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_median_gap, batch_format="pyarrow")
+    )
+
+
+SQL_MEDIAN_GAP_CUSTOMERS = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap
+  FROM orders
+)
+SELECT o_custkey, count(gap)::BIGINT AS n_gaps,
+       quantile_disc(gap, 0.5)::BIGINT AS median_gap_days
+FROM g WHERE gap IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
+def q_pareto_customers(sf_dir: str):
+    """Revenue concentration (the 80/20 report): how many customers —
+    ranked by revenue desc, custkey tiebreak — does it take to cover
+    80 % of total revenue, plus the exact cents covered at that point.
+    Per-customer integer-cent partials, one grouped sum (bounded by
+    customer count), then the ranked cumulative scan over that
+    aggregate. The threshold compare is lifted to exact integers:
+    5·cum ≥ 4·total ⟺ cum/total ≥ 0.8 — no float op anywhere."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({"o_custkey": b.column("o_custkey"), "c": pa.array(cents)})
+        return (
+            t.group_by("o_custkey").aggregate([("c", "sum")])
+            .rename_columns(["o_custkey", "c"])
+        )
+
+    agg = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("c", alias_name="c"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    ck = agg.column("o_custkey").to_numpy(zero_copy_only=False)
+    c = agg.column("c").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ck, -c))
+    cum = np.cumsum(c[order])
+    total = int(cum[-1]) if len(cum) else 0
+    k = int(np.searchsorted(5 * cum, 4 * total) + 1) if total > 0 else 0
+    covered = int(cum[k - 1]) if k else 0
+    return pa.table(
+        {
+            "n_customers_80pct": pa.array([k], pa.int64()),
+            "n_customers_total": pa.array([len(c)], pa.int64()),
+            "cents_covered": pa.array([covered], pa.int64()),
+            "cents_total": pa.array([total], pa.int64()),
+        }
+    )
+
+
+SQL_PARETO_CUSTOMERS = """
+WITH a AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS c
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT c, sum(c) OVER (ORDER BY c DESC, o_custkey
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM a
+), t AS (SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS n FROM a)
+SELECT (SELECT count(*) + 1 FROM r, t WHERE 5 * r.cum < 4 * t.total)::BIGINT
+         AS n_customers_80pct,
+       t.n AS n_customers_total,
+       (SELECT min(cum) FROM r, t WHERE 5 * cum >= 4 * t.total)::BIGINT
+         AS cents_covered,
+       t.total AS cents_total
+FROM t
+"""
+
+
+def q_hhi_lang_sources(sf_dir: str):
+    """Herfindahl–Hirschman concentration index per language: Σ over
+    sources of (share of that language's docs)² — 'is this language
+    bucket dominated by one domain?', the monoculture screen beside
+    the chi-square audit. HHI = Σ n_ls² / N_l² needs only integer
+    count sums (squares < 2^53) and ONE division of exact-integer
+    doubles, mirrored in the oracle."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": b.column("lang"),
+                "source": b.column("source"),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["lang", "source"]).aggregate([("n", "sum")])
+            .rename_columns(["lang", "source", "n"])
+        )
+
+    out = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    lang = out.column("lang").to_numpy(zero_copy_only=False)
+    n = out.column("n").to_numpy(zero_copy_only=False)
+    ul, li = np.unique(lang, return_inverse=True)
+    tot = np.zeros(len(ul), np.int64)
+    np.add.at(tot, li, n)
+    sq = np.zeros(len(ul), np.int64)
+    np.add.at(sq, li, n * n)
+    ns = np.zeros(len(ul), np.int64)
+    np.add.at(ns, li, 1)
+    hhi = sq.astype(np.float64) / (tot * tot).astype(np.float64)
+    return pa.table(
+        {
+            "lang": pa.array(ul, pa.string()),
+            "n_docs": pa.array(tot),
+            "n_sources": pa.array(ns),
+            "hhi": pa.array(hhi, pa.float64()),
+        }
+    )
+
+
+SQL_HHI_LANG_SOURCES = """
+WITH c AS (
+  SELECT lang, source, count(*)::BIGINT AS n
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_sources,
+       CAST(sum(n * n) AS DOUBLE) / CAST(sum(n) * sum(n) AS DOUBLE) AS hhi
+FROM c GROUP BY lang
+"""
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -7991,6 +8202,9 @@ QUERIES = {
     "division_priority_customers": q_division_priority_customers,
     "view_to_purchase_events": q_view_to_purchase_events,
     "ref_integrity_audit": q_ref_integrity_audit,
+    "median_gap_customers": q_median_gap_customers,
+    "pareto_customers": q_pareto_customers,
+    "hhi_lang_sources": q_hhi_lang_sources,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -8185,6 +8399,9 @@ ORACLES = {
     "division_priority_customers": SQL_DIVISION_PRIORITY_CUSTOMERS,
     "view_to_purchase_events": SQL_VIEW_TO_PURCHASE_EVENTS,
     "ref_integrity_audit": SQL_REF_INTEGRITY_AUDIT,
+    "median_gap_customers": SQL_MEDIAN_GAP_CUSTOMERS,
+    "pareto_customers": SQL_PARETO_CUSTOMERS,
+    "hhi_lang_sources": SQL_HHI_LANG_SOURCES,
 }
 
 

@@ -3743,3 +3743,81 @@ class TestRefIntegrityAudit:
         out = q_ref_integrity_audit(str(tmp_path)).to_pandas().iloc[0]
         assert out.n_orders == 3 and out.n_orphan_orders == 1
         assert out.n_events == 4 and out.n_orphan_events == 2
+
+
+class TestMedianGapCustomers:
+    def test_local_order_statistic(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_median_gap_customers
+
+        base = pd.Timestamp("2024-01-01")
+        # cust 1 orders on days 0, 10, 11, 31 -> gaps [10, 1, 20]
+        #   median = rank ceil(3/2)=2nd sorted -> 10
+        # cust 2: single order -> no gaps -> absent
+        days = [(1, 0), (1, 10), (1, 11), (1, 31), (2, 0)]
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(range(5), pa.int64()),
+                "o_custkey": pa.array([d[0] for d in days], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 5),
+                "o_totalprice": pa.array([1.0] * 5),
+                "o_orderdate": pa.array(
+                    [base + pd.Timedelta(days=d[1]) for d in days], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["U"] * 5),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        out = q_median_gap_customers(str(tmp_path)).to_pandas().set_index("o_custkey")
+        assert out.loc[1, "n_gaps"] == 3 and out.loc[1, "median_gap_days"] == 10
+        assert 2 not in out.index
+
+
+class TestParetoCustomers:
+    def test_integer_threshold(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_pareto_customers
+
+        # revenues 50, 30, 15, 5 -> total 100; cum 50, 80, 95, 100.
+        # 80% boundary: cum=80 EXACTLY at k=2 (5*80 >= 4*100)
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(range(4), pa.int64()),
+                "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 4),
+                "o_totalprice": pa.array([50.0, 30.0, 15.0, 5.0]),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("2024-01-01")] * 4, pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["U"] * 4),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        out = q_pareto_customers(str(tmp_path)).to_pandas().iloc[0]
+        assert out.n_customers_80pct == 2
+        assert out.cents_covered == 8000 and out.cents_total == 10000
+
+
+class TestHhiLangSources:
+    def test_concentration(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_hhi_lang_sources
+
+        # en: one source only -> HHI 1.0; de: 2+2 across two -> 0.5
+        rows = [("en", "s1")] * 3 + [("de", "s1")] * 2 + [("de", "s2")] * 2
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(7), pa.int64()),
+                "text": pa.array(["x"] * 7),
+                "lang": pa.array([r[0] for r in rows]),
+                "source": pa.array([r[1] for r in rows]),
+                "n_chars": pa.array([1] * 7, pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_hhi_lang_sources(str(tmp_path)).to_pandas().set_index("lang")
+        assert out.loc["en", "hhi"] == 1.0 and out.loc["en", "n_sources"] == 1
+        assert out.loc["de", "hhi"] == 0.5 and out.loc["de", "n_docs"] == 4
