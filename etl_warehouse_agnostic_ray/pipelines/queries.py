@@ -5954,9 +5954,10 @@ def q_division_priority_customers(sf_dir: str):
     order under EVERY priority present in the table: the classic
     universal quantifier ('suppliers who supply ALL parts') no join
     type expresses directly. Map-side batch-distinct (customer,
-    priority) partials → ONE global distinct groupby → per-customer
-    distinct counts compared against the divisor's cardinality (a
-    by-product of the same bounded pair table). Pure integers."""
+    priority) partials → ONE global distinct groupby → a distributed
+    per-customer Count compared against the divisor's cardinality (a
+    tiny one-column unique scan); the pair table never lands on the
+    driver (review fix). Pure integers."""
     from ray.data.aggregate import Count
 
     rd = _rd()
@@ -5971,25 +5972,20 @@ def q_division_priority_customers(sf_dir: str):
             .aggregate([])
         )
 
-    pairs = pa.concat_tables(
+    n_divisor = len(ds.unique("o_orderpriority"))
+
+    def keep_full(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(b.column("n_priorities"), pa.scalar(n_divisor, pa.int64()))
+        )
+
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["o_custkey", "o_orderpriority"])
         .aggregate(Count(alias_name="_c"))
-        .iter_batches(batch_format="pyarrow")
-    )
-    n_divisor = len(
-        np.unique(pairs.column("o_orderpriority").to_numpy(zero_copy_only=False))
-    )
-    ck = pairs.column("o_custkey").to_numpy(zero_copy_only=False)
-    uc, ci = np.unique(ck, return_inverse=True)
-    n = np.zeros(len(uc), np.int64)
-    np.add.at(n, ci, 1)
-    keep = n == n_divisor
-    return pa.table(
-        {
-            "o_custkey": pa.array(uc[keep]),
-            "n_priorities": pa.array(n[keep]),
-        }
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_priorities"))
+        .map_batches(keep_full, batch_format="pyarrow")
     )
 
 
@@ -6331,22 +6327,28 @@ def q_hhi_lang_sources(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
         .iter_batches(batch_format="pyarrow")
     )
-    lang = out.column("lang").to_numpy(zero_copy_only=False)
-    n = out.column("n").to_numpy(zero_copy_only=False)
-    ul, li = np.unique(lang, return_inverse=True)
-    tot = np.zeros(len(ul), np.int64)
-    np.add.at(tot, li, n)
-    sq = np.zeros(len(ul), np.int64)
-    np.add.at(sq, li, n * n)
-    ns = np.zeros(len(ul), np.int64)
-    np.add.at(ns, li, 1)
-    hhi = sq.astype(np.float64) / (tot * tot).astype(np.float64)
+    # Python ints (arbitrary precision, the HUGEINT twin) over the tiny
+    # langs × sources aggregate: n² and ΣN² can pass 2^63 at extreme
+    # per-language cardinalities where int64 would wrap silently; the
+    # final float casts match SQL's HUGEINT → DOUBLE conversion exactly
+    lang = out.column("lang").to_pylist()
+    n = out.column("n").to_pylist()
+    tot: dict[str, int] = {}
+    sq: dict[str, int] = {}
+    ns: dict[str, int] = {}
+    for g, v in zip(lang, n):
+        tot[g] = tot.get(g, 0) + v
+        sq[g] = sq.get(g, 0) + v * v
+        ns[g] = ns.get(g, 0) + 1
+    ul = sorted(tot)
     return pa.table(
         {
             "lang": pa.array(ul, pa.string()),
-            "n_docs": pa.array(tot),
-            "n_sources": pa.array(ns),
-            "hhi": pa.array(hhi, pa.float64()),
+            "n_docs": pa.array([tot[g] for g in ul], pa.int64()),
+            "n_sources": pa.array([ns[g] for g in ul], pa.int64()),
+            "hhi": pa.array(
+                [float(sq[g]) / float(tot[g] * tot[g]) for g in ul], pa.float64()
+            ),
         }
     )
 
