@@ -5029,13 +5029,15 @@ def q_shingle_overlap_sources(sf_dir: str):
     source A's distinct shingle set appears in B (and vice versa, plus
     Jaccard). Exact full-document fingerprints miss near-mirrors; the
     shingle grain is what CCNet-style pipelines actually compare.
-    Same scale shape as the vocabulary overlap: per-batch distinct
-    (source, shingle) partials → one global distinct groupby → the
-    shared `_bitmask_intersections` mask exchange; the shingle
-    universe never lands on the driver. Containments are single
-    int/int divisions mirrored in the oracle."""
-    from ray.data.aggregate import Count
-
+    Scale shape (rebuilt after the sf0.1 sweep showed the two-exchange
+    vocabulary-overlap path costing 7 s here): per-batch distinct
+    (source-idx, shingle) partials hash-bucket by shingle, ONE groupby
+    co-locates every copy of a shingle, and the per-bucket kernel
+    dedupes, ORs the source bits per shingle, and reduces its masks to
+    one L×L partial intersection matrix task-side — the driver sums
+    256 tiny matrices; neither the shingle universe NOR a mask stream
+    ever reaches it. Containments are single int/int divisions
+    mirrored in the oracle."""
     from ..ops.texthash import shingle_hashes
 
     rd = _rd()
@@ -5050,26 +5052,63 @@ def q_shingle_overlap_sources(sf_dir: str):
             "run per-source-block"
         )
     srcs_np = np.array(srcs)
+    L = len(srcs)
+
+    def _dedupe(h: np.ndarray, si: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        order = np.lexsort((si, h))
+        hs, ss = h[order], si[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+        return hs[keep], ss[keep]
 
     def pair_partial(b: pa.Table) -> pa.Table:
         sh, seg, _starts = shingle_hashes(b.column("text"), 3)
         sv = b.column("source").to_numpy(zero_copy_only=False)[seg]
-        t = pa.table(
+        si = np.searchsorted(srcs_np, sv).astype(np.int64)
+        hs, ss = _dedupe(sh.view(np.int64), si)
+        return pa.table(
             {
-                "source": pa.array(sv, pa.string()),
-                "h": pa.array(sh.view(np.int64)),
+                "si": pa.array(ss),
+                "h": pa.array(hs),
+                "hb": pa.array(hs & np.int64(255)),
             }
         )
-        return t.group_by(["source", "h"]).aggregate([])
+
+    def bucket_matrix(g: pa.Table) -> pa.Table:
+        hs, ss = _dedupe(
+            g.column("h").to_numpy(zero_copy_only=False),
+            g.column("si").to_numpy(zero_copy_only=False),
+        )
+        bits = np.int64(1) << ss
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        gid = np.cumsum(first) - 1
+        masks = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, np.int64)
+        np.bitwise_or.at(masks, gid, bits)
+        H = np.stack([(masks >> i) & 1 for i in range(L)])
+        # explicit cell indices: Ray may re-block map_groups output, so
+        # positional alignment across the stream cannot be assumed
+        return pa.table(
+            {
+                "idx": pa.array(np.arange(L * L, dtype=np.int64)),
+                "cell": pa.array((H @ H.T).ravel()),
+            }
+        )
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
-    distinct = (
+    inter = np.zeros(L * L, np.int64)
+    for b in (
         ds.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["source", "h"])
-        .aggregate(Count(alias_name="_c"))
-    )
-    L = len(srcs)
-    inter = _bitmask_intersections(distinct, srcs_np, label_col="source")
+        .groupby("hb")
+        .map_groups(bucket_matrix, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        np.add.at(
+            inter,
+            b.column("idx").to_numpy(zero_copy_only=False),
+            b.column("cell").to_numpy(zero_copy_only=False),
+        )
+    inter = inter.reshape(L, L)
     rows = [
         (srcs[i], srcs[j], int(inter[i, i]), int(inter[j, j]), int(inter[i, j]))
         for i in range(L)
@@ -6361,6 +6400,202 @@ WITH c AS (
 SELECT lang, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_sources,
        CAST(sum(n * n) AS DOUBLE) / CAST(sum(n) * sum(n) AS DOUBLE) AS hhi
 FROM c GROUP BY lang
+"""
+
+
+def _basket_pairs(g: pa.Table) -> pa.Table:
+    """Market-basket pair kernel: distinct parts per order (lexsort +
+    unique mask), then ALL unordered within-order pairs via a loop
+    over SHIFT DISTANCES (d = 1 … max basket size − 1, ~7 for
+    lineitem) — never over rows or orders; each shift d pairs row i
+    with row i+d when both sit in the same order run. Ships a
+    within-task (part_a, part_b) count rollup."""
+    ok_ = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+    pk = g.column("l_partkey").to_numpy(zero_copy_only=False)
+    order = np.lexsort((pk, ok_))
+    o, p = ok_[order], pk[order]
+    keep = np.ones(len(o), dtype=bool)
+    keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+    o, p = o[keep], p[keep]
+    n = len(o)
+    pa_list, pb_list = [], []
+    d = 1
+    while True:
+        if d >= n:
+            break
+        same = o[d:] == o[:-d]
+        if not same.any():
+            break
+        pa_list.append(p[:-d][same])
+        pb_list.append(p[d:][same])
+        d += 1
+    if pa_list:
+        a = np.concatenate(pa_list)
+        b = np.concatenate(pb_list)
+    else:
+        a = b = np.zeros(0, np.int64)
+    t = pa.table(
+        {
+            "part_a": pa.array(a.astype(np.int64)),
+            "part_b": pa.array(b.astype(np.int64)),
+            "n": pa.array(np.ones(len(a), np.int64)),
+        }
+    )
+    return (
+        t.group_by(["part_a", "part_b"]).aggregate([("n", "sum")])
+        .rename_columns(["part_a", "part_b", "n"])
+    )
+
+
+def q_basket_pairs_parts(sf_dir: str):
+    """Market-basket support counting: the top-50 part pairs bought
+    together in one order (count desc, part keys asc tiebreak) — the
+    frequent-itemset / co-purchase primitive. Orders co-locate via the
+    coarse pk, each partition emits bounded (part_a, part_b) count
+    partials (baskets are small, so the shift-distance loop runs ~7
+    iterations regardless of data size), one grouped sum, then every
+    block of the aggregate prunes to ITS top-50 (each aggregated row
+    is already the complete global count, so block-local pruning is
+    exact) and the driver merges only blocks × 50 candidates. Pure
+    integer counts."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        sel = np.lexsort(
+            (
+                b.column("part_b").to_numpy(zero_copy_only=False),
+                b.column("part_a").to_numpy(zero_copy_only=False),
+                -b.column("n").to_numpy(zero_copy_only=False),
+            )
+        )[:50]
+        return b.take(pa.array(sel))
+
+    out = pa.concat_tables(
+        ds.map_batches(_coarse_pk("l_orderkey"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_basket_pairs, batch_format="pyarrow")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(block_topk, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    a = out.column("part_a").to_numpy(zero_copy_only=False)
+    b = out.column("part_b").to_numpy(zero_copy_only=False)
+    n = out.column("n").to_numpy(zero_copy_only=False)
+    sel = np.lexsort((b, a, -n))[:50]
+    return pa.table(
+        {
+            "part_a": pa.array(a[sel]),
+            "part_b": pa.array(b[sel]),
+            "n": pa.array(n[sel].astype(np.int64)),
+        }
+    )
+
+
+SQL_BASKET_PAIRS_PARTS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS n
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, n FROM p
+ORDER BY n DESC, part_a, part_b LIMIT 50
+"""
+
+
+def _day_pairs(g: pa.Table) -> pa.Table:
+    """Per-partition day-retention partial: distinct (user, day), then
+    per day d the users active on d (sized) and those ALSO active on
+    d+1 (consecutive-day mask) — two bounded per-day count rollups
+    shipped as one tagged table."""
+    uid = g.column("user_id").to_numpy(zero_copy_only=False)
+    us = (
+        g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        .view("int64")
+    )
+    day = us // np.int64(86_400_000_000)
+    order = np.lexsort((day, uid))
+    u, d = uid[order], day[order]
+    keep = np.ones(len(u), dtype=bool)
+    keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+    u, d = u[keep], d[keep]
+    ret = (u[1:] == u[:-1]) & (d[1:] - d[:-1] == 1) if len(u) > 1 else np.zeros(0, bool)
+    t = pa.table(
+        {
+            "day": pa.array(d.astype(np.int64)),
+            "n_users": pa.array(np.ones(len(d), np.int64)),
+            "n_retained": pa.array(
+                np.concatenate([ret, [False]]).astype(np.int64)
+            ),
+        }
+    )
+    return (
+        t.group_by("day").aggregate([("n_users", "sum"), ("n_retained", "sum")])
+        .rename_columns(["day", "n_users", "n_retained"])
+    )
+
+
+def q_day_retention_events(sf_dir: str):
+    """Next-day retention curve: for every day, how many distinct
+    active users return the NEXT day, and the retention rate — the
+    first health metric any event pipeline reports. Users co-locate
+    via the coarse pk so the consecutive-day membership test is a
+    shifted compare over each partition's distinct (user, day) rows;
+    per-day integer partials, one tiny grouped sum, one mirrored
+    division. The last observed day reports 0 retained (no next day),
+    matching the twin's LEFT-join-missing semantics."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = pa.concat_tables(
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_day_pairs, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_retained", alias_name="n_retained"),
+        )
+        .iter_batches(batch_format="pyarrow")
+    )
+    d = out.column("day").to_numpy(zero_copy_only=False)
+    nu = out.column("n_users").to_numpy(zero_copy_only=False)
+    nr = out.column("n_retained").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "day": pa.array(
+                (d * np.int64(86_400_000_000)).view("datetime64[us]")
+            ),
+            "n_users": pa.array(nu.astype(np.int64)),
+            "n_retained": pa.array(nr.astype(np.int64)),
+            "retention": pa.array(nr / nu, pa.float64()),
+        }
+    )
+
+
+SQL_DAY_RETENTION_EVENTS = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), r AS (
+  SELECT a.day, count(*)::BIGINT AS n_users,
+         sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_retained
+  FROM d a LEFT JOIN d b
+    ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+  GROUP BY a.day
+)
+SELECT day, n_users, n_retained,
+       CAST(n_retained AS DOUBLE) / n_users AS retention
+FROM r
 """
 
 
@@ -8207,6 +8442,8 @@ QUERIES = {
     "median_gap_customers": q_median_gap_customers,
     "pareto_customers": q_pareto_customers,
     "hhi_lang_sources": q_hhi_lang_sources,
+    "basket_pairs_parts": q_basket_pairs_parts,
+    "day_retention_events": q_day_retention_events,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -8404,6 +8641,8 @@ ORACLES = {
     "median_gap_customers": SQL_MEDIAN_GAP_CUSTOMERS,
     "pareto_customers": SQL_PARETO_CUSTOMERS,
     "hhi_lang_sources": SQL_HHI_LANG_SOURCES,
+    "basket_pairs_parts": SQL_BASKET_PAIRS_PARTS,
+    "day_retention_events": SQL_DAY_RETENTION_EVENTS,
 }
 
 

@@ -3821,3 +3821,67 @@ class TestHhiLangSources:
         out = q_hhi_lang_sources(str(tmp_path)).to_pandas().set_index("lang")
         assert out.loc["en", "hhi"] == 1.0 and out.loc["en", "n_sources"] == 1
         assert out.loc["de", "hhi"] == 0.5 and out.loc["de", "n_docs"] == 4
+
+
+class TestBasketPairsParts:
+    def test_pair_counts_and_order(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_basket_pairs_parts
+
+        # order 1: parts {10, 20, 30} (20 twice -> distinct), order 2: {10, 20}
+        # pairs: (10,20)x2, (10,30), (20,30)
+        rows = [(1, 10), (1, 20), (1, 20), (1, 30), (2, 20), (2, 10)]
+        t = pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([1] * 6, pa.int64()),
+                "l_linenumber": pa.array(list(range(1, 7)), pa.int32()),
+                "l_quantity": pa.array([1.0] * 6),
+                "l_extendedprice": pa.array([1.0] * 6),
+                "l_discount": pa.array([0.0] * 6),
+                "l_tax": pa.array([0.0] * 6),
+                "l_returnflag": pa.array(["N"] * 6),
+                "l_linestatus": pa.array(["O"] * 6),
+                "l_shipdate": pa.array(
+                    [pd.Timestamp("2024-01-01")] * 6, pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+        out = q_basket_pairs_parts(str(tmp_path)).to_pandas()
+        got = list(zip(out.part_a, out.part_b, out.n))
+        assert got == [(10, 20, 2), (10, 30, 1), (20, 30, 1)]
+
+
+class TestDayRetentionEvents:
+    def test_next_day_membership(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_day_retention_events
+
+        base = pd.Timestamp("2024-01-01")
+        # day 0: users {1, 2}; day 1: users {1}; day 2: users {1, 2}
+        # retention d0 = 1/2 (only user 1 returns), d1 = 1/1, d2 = 0/2
+        rows = [(1, 0), (2, 0), (1, 1), (1, 2), (2, 2), (1, 0)]  # dup (1, d0)
+        t = pa.table(
+            {
+                "event_id": pa.array(range(6), pa.int64()),
+                "ts": pa.array(
+                    [base + pd.Timedelta(days=d, hours=1) for _, d in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for u, _ in rows], pa.int64()),
+                "event_type": pa.array(["x"] * 6),
+                "value": pa.array([0.0] * 6),
+                "props": pa.array(["{}"] * 6),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_day_retention_events(str(tmp_path)).to_pandas()
+        out["day"] = out["day"].astype(str)
+        got = {r.day: (r.n_users, r.n_retained, r.retention) for r in out.itertuples()}
+        assert got["2024-01-01"] == (2, 1, 0.5)
+        assert got["2024-01-02"] == (1, 1, 1.0)
+        assert got["2024-01-03"] == (2, 0, 0.0)
