@@ -6599,6 +6599,150 @@ FROM r
 """
 
 
+def q_multi_distinct_nation(sf_dir: str):
+    """Multiple DISTINCT aggregates in one query — per nation, the
+    distinct customer count AND distinct market-segment count (the
+    shape SQL engines special-case because each DISTINCT needs its own
+    dedup). Here both ride ONE exchange: batch-distinct (nation,
+    custkey, segment) triples dedupe globally, then per-nation counts
+    of distinct values in each column derive from two within-kernel
+    unique passes per coarse partition. Pure integers."""
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_custkey", "c_mktsegment"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.select(["c_nationkey", "c_custkey", "c_mktsegment"])
+            .group_by(["c_nationkey", "c_custkey", "c_mktsegment"])
+            .aggregate([])
+        )
+
+    def per_nation(g: pa.Table) -> pa.Table:
+        nk = g.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = g.column("c_custkey").to_numpy(zero_copy_only=False)
+        seg = g.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        un, ni = np.unique(nk, return_inverse=True)
+        n_cust = np.zeros(len(un), np.int64)
+        ok1 = np.lexsort((ck, nk))
+        first = np.ones(len(ok1), dtype=bool)
+        first[1:] = (nk[ok1][1:] != nk[ok1][:-1]) | (ck[ok1][1:] != ck[ok1][:-1])
+        np.add.at(n_cust, ni[ok1[first]], 1)
+        n_seg = np.zeros(len(un), np.int64)
+        ok2 = np.lexsort((seg, nk))
+        first2 = np.ones(len(ok2), dtype=bool)
+        first2[1:] = (nk[ok2][1:] != nk[ok2][:-1]) | (seg[ok2][1:] != seg[ok2][:-1])
+        np.add.at(n_seg, ni[ok2[first2]], 1)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(un),
+                "n_customers": pa.array(n_cust),
+                "n_segments": pa.array(n_seg),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_custkey", "c_mktsegment"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(_coarse_pk("c_nationkey"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(per_nation, batch_format="pyarrow")
+    )
+
+
+SQL_MULTI_DISTINCT_NATION = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       count(DISTINCT c_custkey)::BIGINT AS n_customers,
+       count(DISTINCT c_mktsegment)::BIGINT AS n_segments
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def _major_suppliers(g: pa.Table) -> pa.Table:
+    """Nested-aggregate-threshold kernel per pk partition: per-part
+    totals by unique+scatter, then the EXACT integer dominance test
+    8·q_ps > q_p — 'this supplier shipped more than an eighth of the
+    part's volume' (well above a fair share at TPC-H's supplier
+    fan-out)."""
+    pk = g.column("l_partkey").to_numpy(zero_copy_only=False)
+    sk = g.column("l_suppkey").to_numpy(zero_copy_only=False)
+    q = g.column("q").to_numpy(zero_copy_only=False)
+    up, pi = np.unique(pk, return_inverse=True)
+    tot = np.zeros(len(up), np.int64)
+    np.add.at(tot, pi, q)
+    keep = 8 * q > tot[pi]
+    return pa.table(
+        {
+            "l_partkey": pa.array(pk[keep]),
+            "l_suppkey": pa.array(sk[keep]),
+            "qty_units": pa.array(q[keep]),
+            "part_total_units": pa.array(tot[pi][keep]),
+        }
+    )
+
+
+def q_major_suppliers_part(sf_dir: str):
+    """Nested aggregate threshold (the TPC-H Q20 shape): suppliers who
+    shipped more than an EIGHTH of a part's total quantity — an aggregate
+    compared against a coarser aggregate of the same fact table.
+    Map-side (part, supplier) integer-unit partials, one grouped sum,
+    then the part totals and the dominance test run inside each part's
+    coarse partition; the comparison is lifted to exact integers
+    (8·q_ps > q_p), so no float op exists anywhere."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        units = np.floor(
+            b.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "q": pa.array(units),
+            }
+        )
+        return (
+            t.group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+            .rename_columns(["l_partkey", "l_suppkey", "q"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Sum("q", alias_name="q"))
+        .map_batches(_coarse_pk("l_partkey"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_major_suppliers, batch_format="pyarrow")
+    )
+
+
+SQL_MAJOR_SUPPLIERS_PART = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), p AS (
+  SELECT l_partkey, sum(q)::BIGINT AS tot FROM ps GROUP BY l_partkey
+)
+SELECT ps.l_partkey, ps.l_suppkey, ps.q AS qty_units,
+       p.tot AS part_total_units
+FROM ps JOIN p USING (l_partkey)
+WHERE 8 * ps.q > p.tot
+"""
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -8444,6 +8588,8 @@ QUERIES = {
     "hhi_lang_sources": q_hhi_lang_sources,
     "basket_pairs_parts": q_basket_pairs_parts,
     "day_retention_events": q_day_retention_events,
+    "multi_distinct_nation": q_multi_distinct_nation,
+    "major_suppliers_part": q_major_suppliers_part,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -8643,6 +8789,8 @@ ORACLES = {
     "hhi_lang_sources": SQL_HHI_LANG_SOURCES,
     "basket_pairs_parts": SQL_BASKET_PAIRS_PARTS,
     "day_retention_events": SQL_DAY_RETENTION_EVENTS,
+    "multi_distinct_nation": SQL_MULTI_DISTINCT_NATION,
+    "major_suppliers_part": SQL_MAJOR_SUPPLIERS_PART,
 }
 
 

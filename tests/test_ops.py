@@ -3885,3 +3885,58 @@ class TestDayRetentionEvents:
         assert got["2024-01-01"] == (2, 1, 0.5)
         assert got["2024-01-02"] == (1, 1, 1.0)
         assert got["2024-01-03"] == (2, 0, 0.0)
+
+
+class TestMultiDistinctNation:
+    def test_two_distincts_one_pass(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_multi_distinct_nation
+
+        rows = [(0, 1, "A"), (0, 1, "A"), (0, 2, "B"), (0, 3, "A"), (1, 9, "C")]
+        t = pa.table(
+            {
+                "c_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "c_name": pa.array(["x"] * 5),
+                "c_nationkey": pa.array([r[0] for r in rows], pa.int32()),
+                "c_acctbal": pa.array([0.0] * 5),
+                "c_mktsegment": pa.array([r[2] for r in rows]),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "customer.parquet"))
+        out = q_multi_distinct_nation(str(tmp_path)).to_pandas().set_index("c_nationkey")
+        assert out.loc[0, "n_customers"] == 3 and out.loc[0, "n_segments"] == 2
+        assert out.loc[1, "n_customers"] == 1 and out.loc[1, "n_segments"] == 1
+
+
+class TestMajorSuppliersPart:
+    def test_integer_dominance(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_major_suppliers_part
+
+        # part 1 total 16: supp 7 ships 3 (8*3=24 > 16 -> major),
+        # supp 8 ships 2 (16 !> 16 -> exactly 1/8, excluded), supp 9 ships 11
+        rows = [(1, 7, 3.0), (1, 8, 2.0), (1, 9, 11.0)]
+        t = pa.table(
+            {
+                "l_orderkey": pa.array(range(3), pa.int64()),
+                "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_linenumber": pa.array([1] * 3, pa.int32()),
+                "l_quantity": pa.array([r[2] for r in rows]),
+                "l_extendedprice": pa.array([1.0] * 3),
+                "l_discount": pa.array([0.0] * 3),
+                "l_tax": pa.array([0.0] * 3),
+                "l_returnflag": pa.array(["N"] * 3),
+                "l_linestatus": pa.array(["O"] * 3),
+                "l_shipdate": pa.array(
+                    [pd.Timestamp("2024-01-01")] * 3, pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+        out = q_major_suppliers_part(str(tmp_path)).to_pandas()
+        got = set(zip(out.l_partkey, out.l_suppkey))
+        assert got == {(1, 7), (1, 9)}
+        assert (out.part_total_units == 16).all()
