@@ -6743,6 +6743,285 @@ WHERE 8 * ps.q > p.tot
 """
 
 
+def q_stopword_rate_langs(sf_dir: str):
+    """Function-word (stopword) rate per language bucket: the fraction
+    of normalized tokens that are the language's OWN function words —
+    Gopher's required-stopword idea lifted from per-doc filter to
+    per-bucket audit (a language bucket with a collapsing stopword
+    rate is full of boilerplate, code, or mislabeled text). Reuses the
+    lang-id machinery end to end: the same normalization, the same
+    hashed profile membership (one sorted ``np.isin`` per language per
+    batch), and an oracle GENERATED from the same ``_LANG_PROFILES``
+    data, so growing a profile keeps both sides in lockstep.
+    Profile-less languages (e.g. zh here) report honestly with rate
+    0. Integer counts, one mirrored division."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.text import _LANG_PROFILES, _stopword_hashes
+    from ..ops.texthash import poly_hash_array, tokenize_ws
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(pc.cast(b.column("text"), pa.large_string()))
+        s = pc.replace_substring_regex(s, r"[^\pL\pN\s]", "")
+        tokens, offsets = tokenize_ws(s)
+        th = poly_hash_array(tokens)
+        lv = b.column("lang").to_numpy(zero_copy_only=False)
+        n_tok_row = np.diff(offsets)
+        sw_row = np.zeros(len(lv), np.int64)
+        cs = np.zeros(len(th) + 1, dtype=np.int64)
+        for lg in np.unique(lv):
+            if lg not in _LANG_PROFILES:
+                continue
+            hits = np.isin(th, _stopword_hashes(lg))
+            np.cumsum(hits, out=cs[1:])
+            row_hits = cs[offsets[1:]] - cs[offsets[:-1]]
+            m = lv == lg
+            sw_row[m] = row_hits[m]
+        t = pa.table(
+            {
+                "lang": b.column("lang"),
+                "n_tokens": pa.array(n_tok_row.astype(np.int64)),
+                "n_stopwords": pa.array(sw_row),
+            }
+        )
+        return (
+            t.group_by("lang").aggregate([("n_tokens", "sum"), ("n_stopwords", "sum")])
+            .rename_columns(["lang", "n_tokens", "n_stopwords"])
+        )
+
+    out = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_stopwords", alias_name="n_stopwords"),
+        )
+        .iter_batches(batch_format="pyarrow")
+    )
+    nt = out.column("n_tokens").to_numpy(zero_copy_only=False)
+    sw = out.column("n_stopwords").to_numpy(zero_copy_only=False)
+    rate = np.where(nt > 0, sw / np.maximum(nt, 1), 0.0)
+    return out.append_column("stopword_rate", pa.array(rate, pa.float64()))
+
+
+def _stopword_rate_sql() -> str:
+    from ..ops.text import _LANG_PROFILES
+
+    arms = "\n         ".join(
+        "WHEN lang = '{lg}' AND tok IN ({ws}) THEN 1".format(
+            lg=lg, ws=", ".join("'" + w + "'" for w in ws)
+        )
+        for lg, ws in _LANG_PROFILES.items()
+    )
+    return f"""
+WITH n AS (
+  SELECT lang, regexp_replace(lower(text), '[^\\pL\\pN\\s]', '', 'g') AS norm
+  FROM documents WHERE text IS NOT NULL
+), toks AS (
+  SELECT lang, unnest(regexp_split_to_array(norm, '\\s+')) AS tok FROM n
+), t AS (SELECT lang, tok FROM toks WHERE tok <> ''),
+a AS (
+  SELECT lang, count(*)::BIGINT AS n_tokens,
+         sum(CASE {arms} ELSE 0 END)::BIGINT AS n_stopwords
+  FROM t GROUP BY lang
+)
+SELECT lang, n_tokens, n_stopwords,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END
+         AS stopword_rate
+FROM a
+"""
+
+
+SQL_STOPWORD_RATE_LANGS = _stopword_rate_sql()
+
+
+def _rare_bucket(g: pa.Table) -> pa.Table:
+    """Per-hash-bucket rare-token partial: the bucket owns every
+    (source, n) row of its hashes, so global token counts n_t are
+    exact here; a token is RARE when n_t ≤ 2 (hapax / dis legomena).
+    Emits per-source integer partials: occurrences and distinct types,
+    total and rare."""
+    src = g.column("source").to_numpy(zero_copy_only=False)
+    h = g.column("h").to_numpy(zero_copy_only=False)
+    n = g.column("n").to_numpy(zero_copy_only=False)
+    _, hi = np.unique(h, return_inverse=True)
+    nt = np.zeros(hi.max() + 1 if len(hi) else 0, np.int64)
+    np.add.at(nt, hi, n)
+    rare = nt[hi] <= 2
+    us_, si = np.unique(src, return_inverse=True)
+    cols = {}
+    for name, vals in (
+        ("n_occ", n),
+        ("rare_occ", np.where(rare, n, 0)),
+        ("n_types", np.ones(len(n), np.int64)),
+        ("rare_types", rare.astype(np.int64)),
+    ):
+        acc = np.zeros(len(us_), np.int64)
+        np.add.at(acc, si, vals)
+        cols[name] = acc
+    return pa.table(
+        {"source": pa.array(us_, pa.string())}
+        | {k: pa.array(v) for k, v in cols.items()}
+    )
+
+
+def q_rare_token_rate_sources(sf_dir: str):
+    """Rare-token (hapax + dis-legomena) rate per source: what share
+    of a source's token occurrences — and of its distinct vocabulary —
+    comes from tokens seen ≤ 2 times in the WHOLE corpus. High rates
+    flag OCR noise, codebases, and spam; collapsed rates flag
+    templates. Same bucket decomposition as the KL drift op: global
+    (source, hash) counts shuffle once by hash bucket, each bucket
+    resolves its tokens' global counts exactly and ships per-source
+    integer partials; two mirrored divisions at the end."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.texthash import token_hashes
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        th, offs = token_hashes(b.column("text"), lower=True)
+        lens = np.diff(offs)
+        sv = np.repeat(b.column("source").to_numpy(zero_copy_only=False), lens)
+        t = pa.table(
+            {
+                "source": pa.array(sv, pa.string()),
+                "h": pa.array(th.view(np.int64)),
+                "n": pa.array(np.ones(len(th), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["source", "h"]).aggregate([("n", "sum")])
+            .rename_columns(["source", "h", "n"])
+        )
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "hb", pc.bit_wise_and(b.column("h"), pa.scalar(255, pa.int64()))
+        )
+
+    out = pa.concat_tables(
+        ds.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["source", "h"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(_rare_bucket, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_occ", alias_name="n_occ"),
+            Sum("rare_occ", alias_name="rare_occ"),
+            Sum("n_types", alias_name="n_types"),
+            Sum("rare_types", alias_name="rare_types"),
+        )
+        .iter_batches(batch_format="pyarrow")
+    )
+    no = out.column("n_occ").to_numpy(zero_copy_only=False)
+    ro = out.column("rare_occ").to_numpy(zero_copy_only=False)
+    ny = out.column("n_types").to_numpy(zero_copy_only=False)
+    ry = out.column("rare_types").to_numpy(zero_copy_only=False)
+    return (
+        out.append_column("rate_occ", pa.array(ro / no, pa.float64()))
+        .append_column("rate_types", pa.array(ry / ny, pa.float64()))
+    )
+
+
+SQL_RARE_TOKEN_RATE_SOURCES = """
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT source, {poly} AS h FROM toks WHERE tok <> ''
+), c AS (
+  SELECT source, h, count(*)::BIGINT AS n FROM t GROUP BY source, h
+), g AS (SELECT h, sum(n)::BIGINT AS nt FROM c GROUP BY h),
+a AS (
+  SELECT c.source,
+         sum(c.n)::BIGINT AS n_occ,
+         sum(CASE WHEN g.nt <= 2 THEN c.n ELSE 0 END)::BIGINT AS rare_occ,
+         count(*)::BIGINT AS n_types,
+         sum(CASE WHEN g.nt <= 2 THEN 1 ELSE 0 END)::BIGINT AS rare_types
+  FROM c JOIN g USING (h) GROUP BY c.source
+)
+SELECT source, n_occ, rare_occ, n_types, rare_types,
+       CAST(rare_occ AS DOUBLE) / n_occ AS rate_occ,
+       CAST(rare_types AS DOUBLE) / n_types AS rate_types
+FROM a
+"""
+SQL_RARE_TOKEN_RATE_SOURCES = SQL_RARE_TOKEN_RATE_SOURCES.format(
+    poly=hash_sql.poly64_expr("tok")
+)
+
+
+def q_dupcluster_size_hist(sf_dir: str):
+    """Duplicate-cluster size histogram: for each exact-duplicate
+    cluster size k (over normalized-text fingerprints), how many
+    clusters and how many documents — the one-table summary of 'how
+    duplicated is this corpus' that sits atop every dedup report.
+    Per-batch fingerprint partials → one (fingerprint) count groupby →
+    a SECOND tiny map-side histogram partial per block → one bounded
+    (size → counts) groupby. Pure integers."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.text import doc_fingerprint
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def fp_partial(b: pa.Table) -> pa.Table:
+        t = doc_fingerprint(b, "text").select(["fingerprint"])
+        t = t.append_column("n", pa.array(np.ones(len(t), np.int64)))
+        return (
+            t.group_by("fingerprint").aggregate([("n", "sum")])
+            .rename_columns(["fingerprint", "n"])
+        )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        k = b.column("n").to_numpy(zero_copy_only=False)
+        uk, ki = np.unique(k, return_inverse=True)
+        nc = np.zeros(len(uk), np.int64)
+        np.add.at(nc, ki, 1)
+        nd = np.zeros(len(uk), np.int64)
+        np.add.at(nd, ki, k)
+        return pa.table(
+            {
+                "cluster_size": pa.array(uk.astype(np.int64)),
+                "n_clusters": pa.array(nc),
+                "n_docs": pa.array(nd),
+            }
+        )
+
+    return (
+        ds.map_batches(fp_partial, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(
+            Sum("n_clusters", alias_name="n_clusters"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+
+SQL_DUPCLUSTER_SIZE_HIST = """
+WITH f AS ({fp}),
+c AS (SELECT fingerprint, count(*)::BIGINT AS k FROM f GROUP BY fingerprint)
+SELECT k AS cluster_size, count(*)::BIGINT AS n_clusters,
+       sum(k)::BIGINT AS n_docs
+FROM c GROUP BY k
+"""
+SQL_DUPCLUSTER_SIZE_HIST = SQL_DUPCLUSTER_SIZE_HIST.format(
+    fp=hash_sql.fingerprint_sql("documents")
+)
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -8590,6 +8869,9 @@ QUERIES = {
     "day_retention_events": q_day_retention_events,
     "multi_distinct_nation": q_multi_distinct_nation,
     "major_suppliers_part": q_major_suppliers_part,
+    "stopword_rate_langs": q_stopword_rate_langs,
+    "rare_token_rate_sources": q_rare_token_rate_sources,
+    "dupcluster_size_hist": q_dupcluster_size_hist,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -8791,6 +9073,9 @@ ORACLES = {
     "day_retention_events": SQL_DAY_RETENTION_EVENTS,
     "multi_distinct_nation": SQL_MULTI_DISTINCT_NATION,
     "major_suppliers_part": SQL_MAJOR_SUPPLIERS_PART,
+    "stopword_rate_langs": SQL_STOPWORD_RATE_LANGS,
+    "rare_token_rate_sources": SQL_RARE_TOKEN_RATE_SOURCES,
+    "dupcluster_size_hist": SQL_DUPCLUSTER_SIZE_HIST,
 }
 
 

@@ -3940,3 +3940,80 @@ class TestMajorSuppliersPart:
         got = set(zip(out.l_partkey, out.l_suppkey))
         assert got == {(1, 7), (1, 9)}
         assert (out.part_total_units == 16).all()
+
+
+class TestStopwordRateLangs:
+    def test_profile_membership_and_unknown_lang(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_stopword_rate_langs
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                # en: "the cat and dog" -> 4 tokens, 2 stopwords (the, and)
+                # (punctuation stripped first); zh: no profile -> rate 0
+                "text": pa.array(["The cat, and dog!", "ist gut", "某某 文字"]),
+                "lang": pa.array(["en", "de", "zh"]),
+                "source": pa.array(["s"] * 3),
+                "n_chars": pa.array([17, 7, 5], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_stopword_rate_langs(str(tmp_path)).to_pandas().set_index("lang")
+        assert out.loc["en", "n_tokens"] == 4 and out.loc["en", "n_stopwords"] == 2
+        assert out.loc["en", "stopword_rate"] == 0.5
+        assert out.loc["de", "n_stopwords"] == 1  # "ist"
+        assert out.loc["zh", "n_stopwords"] == 0
+        assert out.loc["zh", "stopword_rate"] == 0.0
+
+
+class TestRareTokenRateSources:
+    def test_hapax_rates(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_rare_token_rate_sources,
+        )
+
+        # corpus counts: 'a' x4 (common), 'b' x2 (rare), 'z' x1 (rare)
+        # s1: tokens a a a b -> rare occ 1/4, types: {a, b} -> 1/2 rare
+        # s2: tokens a b z  -> rare occ 2/3, types {a, b, z} -> 2/3 rare
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(2), pa.int64()),
+                "text": pa.array(["a A a b", "a b z"]),
+                "lang": pa.array(["en"] * 2),
+                "source": pa.array(["s1", "s2"]),
+                "n_chars": pa.array([7, 5], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_rare_token_rate_sources(str(tmp_path)).to_pandas().set_index("source")
+        assert out.loc["s1", "n_occ"] == 4 and out.loc["s1", "rare_occ"] == 1
+        assert out.loc["s1", "rate_types"] == 0.5
+        assert out.loc["s2", "rare_occ"] == 2 and out.loc["s2", "rate_occ"] == 2 / 3
+
+
+class TestDupclusterSizeHist:
+    def test_multi_size_clusters(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_dupcluster_size_hist
+
+        # cluster of 3 ("x y" normalized-equal), cluster of 2, two singletons
+        texts = ["x y", "X  y", "x Y", "qq", "qq", "solo1", "solo2"]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(7), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 7),
+                "source": pa.array(["s"] * 7),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_dupcluster_size_hist(str(tmp_path)).to_pandas().set_index("cluster_size")
+        assert out.loc[3, "n_clusters"] == 1 and out.loc[3, "n_docs"] == 3
+        assert out.loc[2, "n_clusters"] == 1 and out.loc[2, "n_docs"] == 2
+        assert out.loc[1, "n_clusters"] == 2 and out.loc[1, "n_docs"] == 2
