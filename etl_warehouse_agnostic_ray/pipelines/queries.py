@@ -7022,6 +7022,255 @@ SQL_DUPCLUSTER_SIZE_HIST = SQL_DUPCLUSTER_SIZE_HIST.format(
 )
 
 
+def q_rfm_segments_customers(sf_dir: str):
+    """RFM segmentation (Recency / Frequency / Monetary) — the classic
+    composite: per-customer last-order day, order count, and lifetime
+    cents reduce in ONE grouped aggregate; each dimension's exact
+    quartile BOUNDS come from the distributed shared-histogram
+    quantile op over that bounded aggregate (no global sort, no NTILE
+    rank pass — value-based binning 1 + Σ(v > qᵢ), which the oracle
+    replays verbatim with quantile_disc bounds); one final tiny rollup
+    counts customers per (r, f, m) cell. Integers throughout — the
+    float quartile bounds are exact column elements."""
+    from ray.data.aggregate import Count as RCount
+    from ray.data.aggregate import Max, Sum
+
+    from ..ops.quantiles import quantiles_exact
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b.column("o_orderdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").view("int64")
+        )
+        cents = np.round(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "last_day": pa.array(day),
+                "f": pa.array(np.ones(len(b), np.int64)),
+                "m": pa.array(cents),
+            }
+        )
+        return (
+            t.group_by("o_custkey")
+            .aggregate([("last_day", "max"), ("f", "sum"), ("m", "sum")])
+            .rename_columns(["o_custkey", "last_day", "f", "m"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("last_day", alias_name="last_day"),
+            Sum("f", alias_name="f"),
+            Sum("m", alias_name="m"),
+        )
+        .materialize()
+    )
+    bounds = {
+        c: quantiles_exact(agg, c, qs=(0.25, 0.5, 0.75), n_bins=512)
+        .column("value")
+        .to_pylist()
+        for c in ("last_day", "f", "m")
+    }
+
+    def code(v: np.ndarray, qs: list[float]) -> np.ndarray:
+        c = np.ones(len(v), np.int64)
+        for q in qs:
+            c += (v > q).astype(np.int64)
+        return c
+
+    def binify(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "r_code": pa.array(
+                    code(
+                        b.column("last_day").to_numpy(zero_copy_only=False),
+                        bounds["last_day"],
+                    )
+                ),
+                "f_code": pa.array(
+                    code(b.column("f").to_numpy(zero_copy_only=False), bounds["f"])
+                ),
+                "m_code": pa.array(
+                    code(b.column("m").to_numpy(zero_copy_only=False), bounds["m"])
+                ),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["r_code", "f_code", "m_code"]).aggregate([("n", "sum")])
+            .rename_columns(["r_code", "f_code", "m_code", "n_customers"])
+        )
+
+    return (
+        agg.map_batches(binify, batch_format="pyarrow")
+        .groupby(["r_code", "f_code", "m_code"])
+        .aggregate(RCount(alias_name="_b"), Sum("n_customers", alias_name="n_customers"))
+        .drop_columns(["_b"])
+    )
+
+
+SQL_RFM_SEGMENTS_CUSTOMERS = """
+WITH a AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_day,
+         count(*)::BIGINT AS f,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS m
+  FROM orders GROUP BY o_custkey
+), q AS (
+  SELECT quantile_disc(last_day, [0.25, 0.5, 0.75]) AS ql,
+         quantile_disc(f, [0.25, 0.5, 0.75]) AS qf,
+         quantile_disc(m, [0.25, 0.5, 0.75]) AS qm
+  FROM a
+), c AS (
+  SELECT (1 + (a.last_day > q.ql[1])::INT + (a.last_day > q.ql[2])::INT
+            + (a.last_day > q.ql[3])::INT)::BIGINT AS r_code,
+         (1 + (a.f > q.qf[1])::INT + (a.f > q.qf[2])::INT
+            + (a.f > q.qf[3])::INT)::BIGINT AS f_code,
+         (1 + (a.m > q.qm[1])::INT + (a.m > q.qm[2])::INT
+            + (a.m > q.qm[3])::INT)::BIGINT AS m_code
+  FROM a CROSS JOIN q
+)
+SELECT r_code, f_code, m_code, count(*)::BIGINT AS n_customers
+FROM c GROUP BY r_code, f_code, m_code
+"""
+
+
+def q_anomaly_days_events(sf_dir: str):
+    """Aggregate-over-aggregate anomaly screen: daily event counts,
+    their median, their MAD (median absolute deviation), and a flag
+    for days where |n − med| > 3·MAD — the robust volume-anomaly
+    monitor. The daily-count table is bounded (one row per day), so
+    both order statistics and the flags run driver-side over the SAME
+    shared `_daily_type_counts`-style integer aggregate; everything is
+    integer arithmetic (day counts, integer median/MAD of integers,
+    an integer threshold compare — no float op at all)."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = (
+            b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            .view("int64")
+        )
+        t = pa.table(
+            {
+                "day": pa.array((us - us % day_us).view("datetime64[us]")),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by("day").aggregate([("n", "sum")]).rename_columns(["day", "n"])
+        )
+
+    out = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    d = out.column("day").to_numpy(zero_copy_only=False)
+    n = out.column("n").to_numpy(zero_copy_only=False)
+    k = len(n)
+    sn = np.sort(n)
+    med = int(sn[max(1, math.ceil(0.5 * k)) - 1])
+    dev = np.abs(n - med)
+    sd = np.sort(dev)
+    mad = int(sd[max(1, math.ceil(0.5 * k)) - 1])
+    flag = dev > 3 * mad
+    return pa.table(
+        {
+            "day": pa.array(d),
+            "n": pa.array(n.astype(np.int64)),
+            "med": pa.array(np.full(k, med, np.int64)),
+            "mad": pa.array(np.full(k, mad, np.int64)),
+            "is_anomaly": pa.array(flag),
+        }
+    )
+
+
+SQL_ANOMALY_DAYS_EVENTS = """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY day
+), m AS (SELECT quantile_disc(n, 0.5)::BIGINT AS med FROM c),
+d AS (SELECT c.day, c.n, m.med, abs(c.n - m.med)::BIGINT AS dev
+      FROM c CROSS JOIN m),
+md AS (SELECT quantile_disc(dev, 0.5)::BIGINT AS mad FROM d)
+SELECT d.day, d.n, d.med, md.mad, d.dev > 3 * md.mad AS is_anomaly
+FROM d CROSS JOIN md
+"""
+
+
+def q_weekday_hour_heatmap_events(sf_dir: str):
+    """Traffic heatmap rollup: event counts by (ISO weekday, hour of
+    day) with each cell's share of the week — the seasonality view
+    every ops dashboard opens with. Map-side integer partials over the
+    7 × 24 bounded grid, one tiny grouped sum, one mirrored division.
+    Weekday follows ISO (Mon = 1), matching DuckDB's isodow."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    day_us = np.int64(86_400_000_000)
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = (
+            b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            .view("int64")
+        )
+        day = us // day_us
+        # 1970-01-01 was a Thursday (isodow 4)
+        dow = (day + 3) % 7 + 1
+        hour = (us % day_us) // hour_us
+        t = pa.table(
+            {
+                "dow": pa.array(dow.astype(np.int64)),
+                "hour": pa.array(hour.astype(np.int64)),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["dow", "hour"]).aggregate([("n", "sum")])
+            .rename_columns(["dow", "hour", "n"])
+        )
+
+    out = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    n = out.column("n").to_numpy(zero_copy_only=False)
+    total = n.sum()
+    return out.append_column("share", pa.array(n / total, pa.float64()))
+
+
+SQL_WEEKDAY_HOUR_HEATMAP_EVENTS = """
+WITH c AS (
+  SELECT isodow(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hour,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY dow, hour
+)
+SELECT dow, hour, n,
+       CAST(n AS DOUBLE) / (SELECT sum(n) FROM c) AS share
+FROM c
+"""
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -8872,6 +9121,9 @@ QUERIES = {
     "stopword_rate_langs": q_stopword_rate_langs,
     "rare_token_rate_sources": q_rare_token_rate_sources,
     "dupcluster_size_hist": q_dupcluster_size_hist,
+    "rfm_segments_customers": q_rfm_segments_customers,
+    "anomaly_days_events": q_anomaly_days_events,
+    "weekday_hour_heatmap_events": q_weekday_hour_heatmap_events,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -9076,6 +9328,9 @@ ORACLES = {
     "stopword_rate_langs": SQL_STOPWORD_RATE_LANGS,
     "rare_token_rate_sources": SQL_RARE_TOKEN_RATE_SOURCES,
     "dupcluster_size_hist": SQL_DUPCLUSTER_SIZE_HIST,
+    "rfm_segments_customers": SQL_RFM_SEGMENTS_CUSTOMERS,
+    "anomaly_days_events": SQL_ANOMALY_DAYS_EVENTS,
+    "weekday_hour_heatmap_events": SQL_WEEKDAY_HOUR_HEATMAP_EVENTS,
 }
 
 

@@ -4017,3 +4017,100 @@ class TestDupclusterSizeHist:
         assert out.loc[3, "n_clusters"] == 1 and out.loc[3, "n_docs"] == 3
         assert out.loc[2, "n_clusters"] == 1 and out.loc[2, "n_docs"] == 2
         assert out.loc[1, "n_clusters"] == 2 and out.loc[1, "n_docs"] == 2
+
+
+class TestRfmSegments:
+    def test_quartile_binning(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_rfm_segments_customers,
+        )
+
+        base = pd.Timestamp("2024-01-01")
+        # 4 customers, one order each on days 0..3, prices 10..40:
+        # every dimension splits into exactly the 4 quartile codes
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(range(4), pa.int64()),
+                "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 4),
+                "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0]),
+                "o_orderdate": pa.array(
+                    [base + pd.Timedelta(days=d) for d in range(4)], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["U"] * 4),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        out = q_rfm_segments_customers(str(tmp_path)).to_pandas()
+        got = {(r.r_code, r.f_code, r.m_code): r.n_customers for r in out.itertuples()}
+        # f is constant 1 for all -> f_code 1; r and m track the same order
+        assert got == {(1, 1, 1): 1, (2, 1, 2): 1, (3, 1, 3): 1, (4, 1, 4): 1}
+
+
+class TestAnomalyDays:
+    def test_mad_flag(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_anomaly_days_events
+
+        base = pd.Timestamp("2024-01-01")
+        # daily counts: 10, 10, 11, 9, 100 -> med 10, dev [0,0,1,1,90],
+        # mad 1 -> only the 100-day flags (90 > 3)
+        counts = [10, 10, 11, 9, 100]
+        rows = []
+        eid = 0
+        for d, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, base + pd.Timedelta(days=d, minutes=eid % 59)))
+                eid += 1
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["x"] * len(rows)),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_anomaly_days_events(str(tmp_path)).to_pandas()
+        out["day"] = out["day"].astype(str)
+        flags = dict(zip(out.day, out.is_anomaly))
+        assert flags["2024-01-05"] and sum(flags.values()) == 1
+        assert (out.med == 10).all() and (out.mad == 1).all()
+
+
+class TestWeekdayHourHeatmap:
+    def test_isodow_and_share(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_weekday_hour_heatmap_events,
+        )
+
+        # 2024-01-01 is a Monday (isodow 1); 2024-01-07 a Sunday (7)
+        rows = [
+            pd.Timestamp("2024-01-01 09:30"),
+            pd.Timestamp("2024-01-01 09:59"),
+            pd.Timestamp("2024-01-07 23:01"),
+            pd.Timestamp("1970-01-01 00:30"),  # epoch day: Thursday (4)
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(4), pa.int64()),
+                "ts": pa.array(rows, pa.timestamp("us")),
+                "user_id": pa.array([1] * 4, pa.int64()),
+                "event_type": pa.array(["x"] * 4),
+                "value": pa.array([0.0] * 4),
+                "props": pa.array(["{}"] * 4),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_weekday_hour_heatmap_events(str(tmp_path)).to_pandas()
+        got = {(r.dow, r.hour): (r.n, r.share) for r in out.itertuples()}
+        assert got[(1, 9)] == (2, 0.5)
+        assert got[(7, 23)] == (1, 0.25)
+        assert got[(4, 0)] == (1, 0.25)
