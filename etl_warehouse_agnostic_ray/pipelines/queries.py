@@ -6453,35 +6453,54 @@ def q_basket_pairs_parts(sf_dir: str):
     frequent-itemset / co-purchase primitive. Orders co-locate via the
     coarse pk, each partition emits bounded (part_a, part_b) count
     partials (baskets are small, so the shift-distance loop runs ~7
-    iterations regardless of data size), one grouped sum, then every
-    block of the aggregate prunes to ITS top-50 (each aggregated row
-    is already the complete global count, so block-local pruning is
-    exact) and the driver merges only blocks × 50 candidates. Pure
-    integer counts."""
-    from ray.data.aggregate import Sum
-
+    iterations regardless of data size). Pairs rarely repeat across
+    partitions, so a full sort-based pair groupby would shuffle the
+    whole pair table for almost no reduction (measured 12 s of a 16-s
+    query at sf0.1); instead the packed pair key hash-buckets into 64
+    COARSE groups — each bucket owns every copy of its pairs, sums and
+    takes its exact local top-50 in one numpy kernel — and the driver
+    merges only 64 × 50 candidates (4.7 s). Pure integer counts."""
     rd = _rd()
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
 
-    def block_topk(b: pa.Table) -> pa.Table:
-        sel = np.lexsort(
-            (
-                b.column("part_b").to_numpy(zero_copy_only=False),
-                b.column("part_a").to_numpy(zero_copy_only=False),
-                -b.column("n").to_numpy(zero_copy_only=False),
-            )
-        )[:50]
-        return b.take(pa.array(sel))
+    def bucketed(b: pa.Table) -> pa.Table:
+        a = b.column("part_a").to_numpy(zero_copy_only=False)
+        bb = b.column("part_b").to_numpy(zero_copy_only=False)
+        pair = (a << np.int64(32)) | bb
+        hb = (
+            (pair.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(58)
+        ).astype(np.int64)
+        return pa.table(
+            {"pair": pa.array(pair), "n": b.column("n"), "hb": pa.array(hb)}
+        )
+
+    def bucket_top(g: pa.Table) -> pa.Table:
+        p = g.column("pair").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        up, pi = np.unique(p, return_inverse=True)
+        tot = np.zeros(len(up), np.int64)
+        np.add.at(tot, pi, n)
+        a = up >> np.int64(32)
+        bb = up & np.int64(0xFFFFFFFF)
+        sel = np.lexsort((bb, a, -tot))[:50]
+        return pa.table(
+            {
+                "part_a": pa.array(a[sel]),
+                "part_b": pa.array(bb[sel]),
+                "n": pa.array(tot[sel]),
+            }
+        )
 
     out = pa.concat_tables(
         ds.map_batches(_coarse_pk("l_orderkey"), batch_format="pyarrow")
         .groupby("pk")
         .map_groups(_basket_pairs, batch_format="pyarrow")
-        .groupby(["part_a", "part_b"])
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(block_topk, batch_format="pyarrow")
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(bucket_top, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
     )
     a = out.column("part_a").to_numpy(zero_copy_only=False)
@@ -7031,11 +7050,14 @@ def q_rfm_segments_customers(sf_dir: str):
     rank pass — value-based binning 1 + Σ(v > qᵢ), which the oracle
     replays verbatim with quantile_disc bounds); one final tiny rollup
     counts customers per (r, f, m) cell. Integers throughout — the
-    float quartile bounds are exact column elements."""
+    float quartile bounds are exact column elements. All THREE
+    dimensions' bounds resolve through ONE melted grouped-quantile
+    pass (three sequential single-column passes measured 15 s of Ray
+    job overhead at sf0.1; the shared histogram does it in one)."""
     from ray.data.aggregate import Count as RCount
     from ray.data.aggregate import Max, Sum
 
-    from ..ops.quantiles import quantiles_exact
+    from ..ops.quantiles import grouped_quantiles
 
     rd = _rd()
     ds = rd.read_parquet(
@@ -7075,12 +7097,31 @@ def q_rfm_segments_customers(sf_dir: str):
         )
         .materialize()
     )
-    bounds = {
-        c: quantiles_exact(agg, c, qs=(0.25, 0.5, 0.75), n_bins=512)
-        .column("value")
-        .to_pylist()
-        for c in ("last_day", "f", "m")
-    }
+    def melt(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            pa.table(
+                {
+                    "dim": pa.array([dim] * len(b), pa.string()),
+                    "v": pc.cast(b.column(dim), pa.float64()),
+                }
+            )
+            for dim in ("last_day", "f", "m")
+        )
+
+    qt = grouped_quantiles(
+        agg.map_batches(melt, batch_format="pyarrow"),
+        "v",
+        "dim",
+        qs=(0.25, 0.5, 0.75),
+        n_bins=512,
+    )
+    bounds: dict[str, list[float]] = {d: [0.0, 0.0, 0.0] for d in ("last_day", "f", "m")}
+    for dim, q, v in zip(
+        qt.column("dim").to_pylist(),
+        qt.column("q").to_pylist(),
+        qt.column("value").to_pylist(),
+    ):
+        bounds[dim][{0.25: 0, 0.5: 1, 0.75: 2}[q]] = v
 
     def code(v: np.ndarray, qs: list[float]) -> np.ndarray:
         c = np.ones(len(v), np.int64)
