@@ -7312,6 +7312,188 @@ FROM c
 """
 
 
+def q_daily_p95_events(sf_dir: str):
+    """Daily p50/p95 trend of event values — 'is the metric's tail
+    drifting day over day', the standard latency/size trend panel.
+    Days are a BOUNDED group universe, so the shared-histogram grouped
+    quantile op applies directly (constant passes regardless of day
+    count, exact order statistics); day stays integer µs until the
+    final column."""
+    from ..ops.quantiles import grouped_quantiles
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    day_us = np.int64(86_400_000_000)
+
+    def to_day(b: pa.Table) -> pa.Table:
+        us = (
+            b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            .view("int64")
+        )
+        return pa.table(
+            {
+                "day": pa.array(us - us % day_us),
+                "value": b.column("value"),
+            }
+        )
+
+    qt = grouped_quantiles(
+        ds.map_batches(to_day, batch_format="pyarrow"),
+        "value",
+        "day",
+        qs=(0.5, 0.95),
+        n_bins=256,
+    )
+    d = np.asarray(qt.column("day").to_pylist(), dtype=np.int64)
+    return pa.table(
+        {
+            "day": pa.array(d.view("datetime64[us]")),
+            "q": qt.column("q"),
+            "value": qt.column("value"),
+        }
+    )
+
+
+SQL_DAILY_P95_EVENTS = """
+SELECT date_trunc('day', ts) AS day,
+       unnest([0.5, 0.95])::DOUBLE AS q,
+       unnest(quantile_disc(value, [0.5, 0.95]))::DOUBLE AS value
+FROM events WHERE value IS NOT NULL
+GROUP BY day
+"""
+
+
+def q_autocorr_daily_events(sf_dir: str):
+    """Lag-1 autocorrelation of the daily event-count series — the
+    one-number time-series diagnostic ('is today's volume predictive
+    of tomorrow's'). The daily counts are a bounded integer aggregate;
+    the lag-1 Pearson runs over consecutive-day pairs (gaps excluded)
+    in exact integer moments, with the one float expression replayed
+    verbatim by the oracle — the regression-slope contract applied to
+    a self-join of the series."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = (
+            b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            .view("int64")
+        )
+        t = pa.table(
+            {
+                "day": pa.array((us - us % day_us) // day_us),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        return t.group_by("day").aggregate([("n", "sum")]).rename_columns(["day", "n"])
+
+    out = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    d = out.column("day").to_numpy(zero_copy_only=False)
+    n = out.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    adj = d[1:] - d[:-1] == 1
+    x, y = n[:-1][adj], n[1:][adj]
+    k = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = int((x * x).sum())
+    syy = int((y * y).sum())
+    sxy = int((x * y).sum())
+    num = float(k * sxy - sx * sy)
+    den = math.sqrt(float(k * sxx - sx * sx)) * math.sqrt(float(k * syy - sy * sy))
+    return pa.table(
+        {
+            "n_pairs": pa.array([k], pa.int64()),
+            "autocorr_lag1": pa.array(
+                [num / den if den != 0.0 else None], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_AUTOCORR_DAILY_EVENTS = """
+WITH c AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY day
+), p AS (
+  SELECT a.n AS x, b.n AS y
+  FROM c a JOIN c b ON b.day = a.day + 1
+), m AS (
+  SELECT count(*)::BIGINT AS k, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+         sum(x * y)::BIGINT AS sxy
+  FROM p
+)
+SELECT k AS n_pairs,
+       CASE WHEN (k * sxx - sx * sx) > 0 AND (k * syy - sy * sy) > 0 THEN
+         CAST(k * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(k * syy - sy * sy AS DOUBLE)))
+       END AS autocorr_lag1
+FROM m
+"""
+
+
+def q_transition_probs_events(sf_dir: str):
+    """Row-stochastic Markov transition probabilities: the transition
+    counts (the shared `_transition_partial` lexsort machinery) plus
+    each row's share of its PREV-type total — P(cur | prev). Counts
+    stay integers through both groupbys; the one division per row is
+    computed over the bounded types × types aggregate on the driver
+    and mirrored in the oracle."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    out = pa.concat_tables(
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_transition_partial, batch_format="pyarrow")
+        .groupby(["prev_type", "cur_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    prev = out.column("prev_type").to_numpy(zero_copy_only=False)
+    n = out.column("n").to_numpy(zero_copy_only=False)
+    up, pi = np.unique(prev, return_inverse=True)
+    tot = np.zeros(len(up), np.int64)
+    np.add.at(tot, pi, n)
+    return (
+        out.append_column("prev_total", pa.array(tot[pi]))
+        .append_column("prob", pa.array(n / tot[pi], pa.float64()))
+    )
+
+
+SQL_TRANSITION_PROBS_EVENTS = """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), c AS (
+  SELECT prev_type, event_type AS cur_type, count(*)::BIGINT AS n
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, cur_type
+)
+SELECT prev_type, cur_type, n,
+       sum(n) OVER (PARTITION BY prev_type)::BIGINT AS prev_total,
+       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS prob
+FROM c
+"""
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -9165,6 +9347,9 @@ QUERIES = {
     "rfm_segments_customers": q_rfm_segments_customers,
     "anomaly_days_events": q_anomaly_days_events,
     "weekday_hour_heatmap_events": q_weekday_hour_heatmap_events,
+    "daily_p95_events": q_daily_p95_events,
+    "autocorr_daily_events": q_autocorr_daily_events,
+    "transition_probs_events": q_transition_probs_events,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -9372,6 +9557,9 @@ ORACLES = {
     "rfm_segments_customers": SQL_RFM_SEGMENTS_CUSTOMERS,
     "anomaly_days_events": SQL_ANOMALY_DAYS_EVENTS,
     "weekday_hour_heatmap_events": SQL_WEEKDAY_HOUR_HEATMAP_EVENTS,
+    "daily_p95_events": SQL_DAILY_P95_EVENTS,
+    "autocorr_daily_events": SQL_AUTOCORR_DAILY_EVENTS,
+    "transition_probs_events": SQL_TRANSITION_PROBS_EVENTS,
 }
 
 

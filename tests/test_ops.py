@@ -4114,3 +4114,95 @@ class TestWeekdayHourHeatmap:
         assert got[(1, 9)] == (2, 0.5)
         assert got[(7, 23)] == (1, 0.25)
         assert got[(4, 0)] == (1, 0.25)
+
+
+class TestDailyP95Events:
+    def test_per_day_order_statistics(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_daily_p95_events
+
+        base = pd.Timestamp("2024-01-01")
+        # day 0: 1..20 -> p50 = rank ceil(.5*20)=10 -> 10.0;
+        #               p95 = rank ceil(19)=19 -> 19.0
+        rows = [(base + pd.Timedelta(minutes=i), float(i + 1)) for i in range(20)]
+        rows += [(base + pd.Timedelta(days=1), 7.0)]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["x"] * len(rows)),
+                "value": pa.array([r[1] for r in rows]),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_daily_p95_events(str(tmp_path)).to_pandas()
+        out["day"] = out["day"].astype(str)
+        got = {(r.day, r.q): r.value for r in out.itertuples()}
+        assert got[("2024-01-01", 0.5)] == 10.0
+        assert got[("2024-01-01", 0.95)] == 19.0
+        assert got[("2024-01-02", 0.95)] == 7.0
+
+
+class TestAutocorrDaily:
+    def test_gap_exclusion_and_value(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_autocorr_daily_events
+
+        base = pd.Timestamp("2024-01-01")
+        # counts: d0=1, d1=2, d2=3, then a GAP, d4=10 ->
+        # pairs (1,2), (2,3) only; r over [(1,2),(2,3)] = 1.0
+        day_counts = {0: 1, 1: 2, 2: 3, 4: 10}
+        rows = []
+        eid = 0
+        for d, c in day_counts.items():
+            for _ in range(c):
+                rows.append((eid, base + pd.Timedelta(days=d, minutes=eid)))
+                eid += 1
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["x"] * len(rows)),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_autocorr_daily_events(str(tmp_path)).to_pandas().iloc[0]
+        assert out.n_pairs == 2
+        assert out.autocorr_lag1 == 1.0
+
+
+class TestTransitionProbs:
+    def test_row_stochastic(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_transition_probs_events,
+        )
+
+        ts0 = pd.Timestamp("2024-01-01")
+        sec = pd.Timedelta(seconds=1)
+        # user 1: A->B, A->B via (A B A B): transitions A->B x2, B->A x1
+        seq = ["A", "B", "A", "B"]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(4), pa.int64()),
+                "ts": pa.array([ts0 + i * sec for i in range(4)], pa.timestamp("us")),
+                "user_id": pa.array([1] * 4, pa.int64()),
+                "event_type": pa.array(seq),
+                "value": pa.array([0.0] * 4),
+                "props": pa.array(["{}"] * 4),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_transition_probs_events(str(tmp_path)).to_pandas()
+        got = {(r.prev_type, r.cur_type): (r.n, r.prev_total, r.prob)
+               for r in out.itertuples()}
+        assert got[("A", "B")] == (2, 2, 1.0)
+        assert got[("B", "A")] == (1, 1, 1.0)
