@@ -5085,13 +5085,18 @@ def q_shingle_overlap_sources(sf_dir: str):
         gid = np.cumsum(first) - 1
         masks = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, np.int64)
         np.bitwise_or.at(masks, gid, bits)
-        H = np.stack([(masks >> i) & 1 for i in range(L)])
+        # compress to UNIQUE masks first: the bit matrix then scales
+        # with distinct source COMBINATIONS (≤ a few thousand), not
+        # with the bucket's shingle count (review fix — the L×M stack
+        # grew linearly with corpus size)
+        um, cnt = np.unique(masks, return_counts=True)
+        Hu = np.stack([(um >> i) & 1 for i in range(L)])
         # explicit cell indices: Ray may re-block map_groups output, so
         # positional alignment across the stream cannot be assumed
         return pa.table(
             {
                 "idx": pa.array(np.arange(L * L, dtype=np.int64)),
-                "cell": pa.array((H @ H.T).ravel()),
+                "cell": pa.array(((Hu * cnt) @ Hu.T).ravel()),
             }
         )
 
@@ -5257,6 +5262,24 @@ def _daily_type_counts(sf_dir: str) -> pa.Table:
         .aggregate(Sum("n", alias_name="n"))
         .iter_batches(batch_format="pyarrow")
     )
+
+
+def _daily_counts(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Per-day total event counts (day-sorted µs timestamps + int64
+    counts) derived from the shared `_daily_type_counts` aggregate —
+    the type dimension sums away driver-side (the day × type table is
+    bounded), so every daily-series query truncates days in exactly
+    ONE place (review fix: three inline copies collapsed here)."""
+    t = _daily_type_counts(sf_dir)
+    d = (
+        t.column("day").to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]").view("int64")
+    )
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    ud, di = np.unique(d, return_inverse=True)
+    tot = np.zeros(len(ud), np.int64)
+    np.add.at(tot, di, n)
+    return ud, tot
 
 
 def q_event_share_by_day(sf_dir: str):
@@ -6820,10 +6843,13 @@ def q_stopword_rate_langs(sf_dir: str):
         )
         .iter_batches(batch_format="pyarrow")
     )
+    # a lang whose docs ALL normalize to zero tokens never reaches the
+    # oracle's GROUP BY (its toks CTE unnests nothing) — drop it here
+    # too so the row sets agree (review fix)
+    out = out.filter(pc.greater(out.column("n_tokens"), 0))
     nt = out.column("n_tokens").to_numpy(zero_copy_only=False)
     sw = out.column("n_stopwords").to_numpy(zero_copy_only=False)
-    rate = np.where(nt > 0, sw / np.maximum(nt, 1), 0.0)
-    return out.append_column("stopword_rate", pa.array(rate, pa.float64()))
+    return out.append_column("stopword_rate", pa.array(sw / nt, pa.float64()))
 
 
 def _stopword_rate_sql() -> str:
@@ -6860,13 +6886,25 @@ SQL_STOPWORD_RATE_LANGS = _stopword_rate_sql()
 
 def _rare_bucket(g: pa.Table) -> pa.Table:
     """Per-hash-bucket rare-token partial: the bucket owns every
-    (source, n) row of its hashes, so global token counts n_t are
-    exact here; a token is RARE when n_t ≤ 2 (hapax / dis legomena).
-    Emits per-source integer partials: occurrences and distinct types,
-    total and rare."""
-    src = g.column("source").to_numpy(zero_copy_only=False)
-    h = g.column("h").to_numpy(zero_copy_only=False)
-    n = g.column("n").to_numpy(zero_copy_only=False)
+    (source, n) partial row of its hashes, so it FIRST combines the
+    per-batch partials into exact (source, h) counts in-kernel (one
+    lexsort + run reduce — this absorbed what used to be a full
+    (source, h) sort-shuffle of the dominant table, the same redundant
+    exchange the shingle-overlap rebuild removed), then global token
+    counts n_t are exact here; a token is RARE when n_t ≤ 2 (hapax /
+    dis legomena). Emits per-source integer partials: occurrences and
+    distinct types, total and rare."""
+    src0 = g.column("source").to_numpy(zero_copy_only=False)
+    h0 = g.column("h").to_numpy(zero_copy_only=False)
+    n0 = g.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((src0, h0))
+    hs, ss, ns = h0[order], src0[order], n0[order]
+    first = np.ones(len(hs), dtype=bool)
+    first[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+    gid = np.cumsum(first) - 1
+    n = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, np.int64)
+    np.add.at(n, gid, ns)
+    h, src = hs[first], ss[first]
     _, hi = np.unique(h, return_inverse=True)
     nt = np.zeros(hi.max() + 1 if len(hi) else 0, np.int64)
     np.add.at(nt, hi, n)
@@ -6893,10 +6931,13 @@ def q_rare_token_rate_sources(sf_dir: str):
     of a source's token occurrences — and of its distinct vocabulary —
     comes from tokens seen ≤ 2 times in the WHOLE corpus. High rates
     flag OCR noise, codebases, and spam; collapsed rates flag
-    templates. Same bucket decomposition as the KL drift op: global
-    (source, hash) counts shuffle once by hash bucket, each bucket
-    resolves its tokens' global counts exactly and ships per-source
-    integer partials; two mirrored divisions at the end."""
+    templates. Same bucket decomposition as the KL drift op, but in
+    ONE exchange: per-batch (source, hash) count partials shuffle
+    straight to hash buckets, and each bucket both combines the
+    partials AND resolves its tokens' exact global counts in-kernel,
+    shipping tiny per-source integer partials; two mirrored divisions
+    at the end (review fix: the former up-front global (source, h)
+    groupby re-shuffled the dominant table for nothing)."""
     from ray.data.aggregate import Sum
 
     from ..ops.texthash import token_hashes
@@ -6915,21 +6956,16 @@ def q_rare_token_rate_sources(sf_dir: str):
                 "n": pa.array(np.ones(len(th), np.int64)),
             }
         )
-        return (
+        t = (
             t.group_by(["source", "h"]).aggregate([("n", "sum")])
             .rename_columns(["source", "h", "n"])
         )
-
-    def bucketed(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "hb", pc.bit_wise_and(b.column("h"), pa.scalar(255, pa.int64()))
+        return t.append_column(
+            "hb", pc.bit_wise_and(t.column("h"), pa.scalar(255, pa.int64()))
         )
 
     out = pa.concat_tables(
         ds.map_batches(pair_counts, batch_format="pyarrow")
-        .groupby(["source", "h"])
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(bucketed, batch_format="pyarrow")
         .groupby("hb")
         .map_groups(_rare_bucket, batch_format="pyarrow")
         .groupby("source")
@@ -7054,7 +7090,6 @@ def q_rfm_segments_customers(sf_dir: str):
     dimensions' bounds resolve through ONE melted grouped-quantile
     pass (three sequential single-column passes measured 15 s of Ray
     job overhead at sf0.1; the shared histogram does it in one)."""
-    from ray.data.aggregate import Count as RCount
     from ray.data.aggregate import Max, Sum
 
     from ..ops.quantiles import grouped_quantiles
@@ -7155,8 +7190,7 @@ def q_rfm_segments_customers(sf_dir: str):
     return (
         agg.map_batches(binify, batch_format="pyarrow")
         .groupby(["r_code", "f_code", "m_code"])
-        .aggregate(RCount(alias_name="_b"), Sum("n_customers", alias_name="n_customers"))
-        .drop_columns(["_b"])
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
     )
 
 
@@ -7191,39 +7225,12 @@ def q_anomaly_days_events(sf_dir: str):
     their median, their MAD (median absolute deviation), and a flag
     for days where |n − med| > 3·MAD — the robust volume-anomaly
     monitor. The daily-count table is bounded (one row per day), so
-    both order statistics and the flags run driver-side over the SAME
-    shared `_daily_type_counts`-style integer aggregate; everything is
-    integer arithmetic (day counts, integer median/MAD of integers,
-    an integer threshold compare — no float op at all)."""
-    from ray.data.aggregate import Sum
-
-    rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
-    day_us = np.int64(86_400_000_000)
-
-    def partial(b: pa.Table) -> pa.Table:
-        us = (
-            b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
-            .view("int64")
-        )
-        t = pa.table(
-            {
-                "day": pa.array((us - us % day_us).view("datetime64[us]")),
-                "n": pa.array(np.ones(len(b), np.int64)),
-            }
-        )
-        return (
-            t.group_by("day").aggregate([("n", "sum")]).rename_columns(["day", "n"])
-        )
-
-    out = pa.concat_tables(
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("day")
-        .aggregate(Sum("n", alias_name="n"))
-        .iter_batches(batch_format="pyarrow")
-    )
-    d = out.column("day").to_numpy(zero_copy_only=False)
-    n = out.column("n").to_numpy(zero_copy_only=False)
+    both order statistics and the flags run driver-side over the
+    shared `_daily_counts` integer aggregate; everything is integer
+    arithmetic (day counts, integer median/MAD of integers, an
+    integer threshold compare — no float op at all)."""
+    ud, n = _daily_counts(sf_dir)
+    d = ud.view("datetime64[us]")
     k = len(n)
     sn = np.sort(n)
     med = int(sn[max(1, math.ceil(0.5 * k)) - 1])
@@ -7371,35 +7378,8 @@ def q_autocorr_daily_events(sf_dir: str):
     in exact integer moments, with the one float expression replayed
     verbatim by the oracle — the regression-slope contract applied to
     a self-join of the series."""
-    from ray.data.aggregate import Sum
-
-    rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
-    day_us = np.int64(86_400_000_000)
-
-    def partial(b: pa.Table) -> pa.Table:
-        us = (
-            b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
-            .view("int64")
-        )
-        t = pa.table(
-            {
-                "day": pa.array((us - us % day_us) // day_us),
-                "n": pa.array(np.ones(len(b), np.int64)),
-            }
-        )
-        return t.group_by("day").aggregate([("n", "sum")]).rename_columns(["day", "n"])
-
-    out = pa.concat_tables(
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("day")
-        .aggregate(Sum("n", alias_name="n"))
-        .iter_batches(batch_format="pyarrow")
-    )
-    d = out.column("day").to_numpy(zero_copy_only=False)
-    n = out.column("n").to_numpy(zero_copy_only=False)
-    order = np.argsort(d)
-    d, n = d[order], n[order]
+    ud, n = _daily_counts(sf_dir)  # day-sorted (np.unique) already
+    d = ud // np.int64(86_400_000_000)
     adj = d[1:] - d[:-1] == 1
     x, y = n[:-1][adj], n[1:][adj]
     k = len(x)
@@ -7450,20 +7430,10 @@ def q_transition_probs_events(sf_dir: str):
     stay integers through both groupbys; the one division per row is
     computed over the bounded types × types aggregate on the driver
     and mirrored in the oracle."""
-    from ray.data.aggregate import Sum
-
-    rd = _rd()
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["user_id", "event_id", "ts", "event_type"],
-    )
+    # the count pipeline IS q_transition_matrix_events — reuse it
+    # (review fix: the ~20 duplicated pipeline lines are gone)
     out = pa.concat_tables(
-        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
-        .groupby("pk")
-        .map_groups(_transition_partial, batch_format="pyarrow")
-        .groupby(["prev_type", "cur_type"])
-        .aggregate(Sum("n", alias_name="n"))
-        .iter_batches(batch_format="pyarrow")
+        q_transition_matrix_events(sf_dir).iter_batches(batch_format="pyarrow")
     )
     prev = out.column("prev_type").to_numpy(zero_copy_only=False)
     n = out.column("n").to_numpy(zero_copy_only=False)
