@@ -7473,6 +7473,186 @@ FROM c
 """
 
 
+def _coverage_bucket(g: pa.Table) -> pa.Table:
+    """Per-hash-bucket coverage partial: combine the per-batch token
+    count partials (the bucket owns every copy of its hashes), then
+    emit the bucket's top-1000 counts plus one total-mass marker row
+    (count = bucket total, is_total = true). Any global top-1000 token
+    is in its bucket's top-1000, so the driver's merge is exact."""
+    h0 = g.column("h").to_numpy(zero_copy_only=False)
+    n0 = g.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((h0,))
+    hs, ns = h0[order], n0[order]
+    first = np.ones(len(hs), dtype=bool)
+    first[1:] = hs[1:] != hs[:-1]
+    gid = np.cumsum(first) - 1
+    n = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, np.int64)
+    np.add.at(n, gid, ns)
+    top = np.sort(n)[::-1][:1000]
+    return pa.table(
+        {
+            "cnt": pa.array(np.concatenate([top, [n.sum()]]).astype(np.int64)),
+            "is_total": pa.array(
+                np.concatenate([np.zeros(len(top), bool), [True]])
+            ),
+        }
+    )
+
+
+def q_coverage_curve_docs(sf_dir: str):
+    """Zipf coverage curve: what share of ALL token occurrences the
+    top-10 / top-100 / top-1000 corpus vocabulary covers — the
+    head-heaviness audit behind tokenizer-vocab and stopword budgeting
+    decisions. Per-batch (hash, n) partials shuffle ONCE by hash
+    bucket; each bucket combines its partials and ships its top-1000
+    counts + a total-mass marker (exact: a global top-k element is in
+    its bucket's top-k, and count-tied tokens contribute identical
+    mass, so the curve is tie-order-free). Integer masses, mirrored
+    divisions."""
+    from ..ops.texthash import token_hashes
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        th, _offs = token_hashes(b.column("text"), lower=True)
+        h = th.view(np.int64)
+        uh, hi = np.unique(h, return_inverse=True)
+        n = np.zeros(len(uh), np.int64)
+        np.add.at(n, hi, 1)
+        return pa.table(
+            {
+                "h": pa.array(uh),
+                "n": pa.array(n),
+                "hb": pa.array(uh & np.int64(255)),
+            }
+        )
+
+    cnt_all: list[np.ndarray] = []
+    total = 0
+    for b in (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(_coverage_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        c = b.column("cnt").to_numpy(zero_copy_only=False)
+        m = b.column("is_total").to_numpy(zero_copy_only=False)
+        total += int(c[m].sum())
+        cnt_all.append(c[~m])
+    merged = np.sort(np.concatenate(cnt_all))[::-1] if cnt_all else np.zeros(0)
+    ks = (10, 100, 1000)
+    mass = [int(merged[: min(k, len(merged))].sum()) for k in ks]
+    return pa.table(
+        {
+            "k": pa.array(list(ks), pa.int64()),
+            "top_k_mass": pa.array(mass, pa.int64()),
+            "total_mass": pa.array([total] * len(ks), pa.int64()),
+            "coverage": pa.array(
+                [m / total if total else 0.0 for m in mass], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_COVERAGE_CURVE_DOCS = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), t AS (SELECT {poly} AS h FROM toks WHERE tok <> ''),
+c AS (SELECT h, count(*)::BIGINT AS n FROM t GROUP BY h),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, h) AS rn FROM c),
+tot AS (SELECT sum(n)::BIGINT AS total FROM c)
+SELECT k, (SELECT sum(n) FROM r WHERE rn <= k)::BIGINT AS top_k_mass,
+       tot.total AS total_mass,
+       CAST((SELECT sum(n) FROM r WHERE rn <= k) AS DOUBLE) / tot.total
+         AS coverage
+FROM (SELECT unnest([10, 100, 1000])::BIGINT AS k) CROSS JOIN tot
+"""
+SQL_COVERAGE_CURVE_DOCS = SQL_COVERAGE_CURVE_DOCS.format(
+    poly=hash_sql.poly64_expr("tok")
+)
+
+
+def q_null_profile_tables(sf_dir: str):
+    """Column null-profile (the first data-profiling query every
+    warehouse runs): per (table, column), row count and null count
+    over the documents and events tables. Per-batch vectorized null
+    tallies collapse each block to one row per column before the tiny
+    grouped sum; integer counts plus one mirrored rate division."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    out_parts: list[pa.Table] = []
+    for tbl in ("documents", "events"):
+        ds = rd.read_parquet(f"{sf_dir}/{tbl}.parquet")
+        cols = ds.schema().names
+
+        def prof(b: pa.Table, tbl: str = tbl, cols: tuple = tuple(cols)) -> pa.Table:
+            return pa.table(
+                {
+                    "tbl": pa.array([tbl] * len(cols), pa.string()),
+                    "col": pa.array(list(cols), pa.string()),
+                    "n_rows": pa.array(
+                        np.full(len(cols), len(b), np.int64)
+                    ),
+                    "n_nulls": pa.array(
+                        np.array(
+                            [b.column(c).null_count for c in cols], np.int64
+                        )
+                    ),
+                }
+            )
+
+        out_parts.append(
+            pa.concat_tables(
+                ds.map_batches(prof, batch_format="pyarrow")
+                .groupby(["tbl", "col"])
+                .aggregate(
+                    Sum("n_rows", alias_name="n_rows"),
+                    Sum("n_nulls", alias_name="n_nulls"),
+                )
+                .iter_batches(batch_format="pyarrow")
+            )
+        )
+    out = pa.concat_tables(out_parts)
+    nr = out.column("n_rows").to_numpy(zero_copy_only=False)
+    nn = out.column("n_nulls").to_numpy(zero_copy_only=False)
+    return out.append_column("null_rate", pa.array(nn / nr, pa.float64()))
+
+
+SQL_NULL_PROFILE_TABLES = """
+WITH p AS (
+  SELECT 'documents' AS tbl, c.col,
+         (SELECT count(*) FROM documents)::BIGINT AS n_rows,
+         CASE c.col
+           WHEN 'doc_id' THEN (SELECT count(*) - count(doc_id) FROM documents)
+           WHEN 'text' THEN (SELECT count(*) - count(text) FROM documents)
+           WHEN 'lang' THEN (SELECT count(*) - count(lang) FROM documents)
+           WHEN 'source' THEN (SELECT count(*) - count(source) FROM documents)
+           WHEN 'n_chars' THEN (SELECT count(*) - count(n_chars) FROM documents)
+         END::BIGINT AS n_nulls
+  FROM (SELECT unnest(['doc_id', 'text', 'lang', 'source', 'n_chars']) AS col) c
+  UNION ALL
+  SELECT 'events' AS tbl, c.col,
+         (SELECT count(*) FROM events)::BIGINT AS n_rows,
+         CASE c.col
+           WHEN 'event_id' THEN (SELECT count(*) - count(event_id) FROM events)
+           WHEN 'ts' THEN (SELECT count(*) - count(ts) FROM events)
+           WHEN 'user_id' THEN (SELECT count(*) - count(user_id) FROM events)
+           WHEN 'event_type' THEN (SELECT count(*) - count(event_type) FROM events)
+           WHEN 'value' THEN (SELECT count(*) - count(value) FROM events)
+           WHEN 'props' THEN (SELECT count(*) - count(props) FROM events)
+         END::BIGINT AS n_nulls
+  FROM (SELECT unnest(['event_id', 'ts', 'user_id', 'event_type', 'value',
+                       'props']) AS col) c
+)
+SELECT tbl, col, n_rows, n_nulls,
+       CAST(n_nulls AS DOUBLE) / n_rows AS null_rate
+FROM p
+"""
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -9329,6 +9509,8 @@ QUERIES = {
     "daily_p95_events": q_daily_p95_events,
     "autocorr_daily_events": q_autocorr_daily_events,
     "transition_probs_events": q_transition_probs_events,
+    "coverage_curve_docs": q_coverage_curve_docs,
+    "null_profile_tables": q_null_profile_tables,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -9539,6 +9721,8 @@ ORACLES = {
     "daily_p95_events": SQL_DAILY_P95_EVENTS,
     "autocorr_daily_events": SQL_AUTOCORR_DAILY_EVENTS,
     "transition_probs_events": SQL_TRANSITION_PROBS_EVENTS,
+    "coverage_curve_docs": SQL_COVERAGE_CURVE_DOCS,
+    "null_profile_tables": SQL_NULL_PROFILE_TABLES,
 }
 
 

@@ -4206,3 +4206,67 @@ class TestTransitionProbs:
                for r in out.itertuples()}
         assert got[("A", "B")] == (2, 2, 1.0)
         assert got[("B", "A")] == (1, 1, 1.0)
+
+
+class TestCoverageCurve:
+    def test_head_mass(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_coverage_curve_docs
+
+        # counts: 'a' x5, 'b' x3, then 8 singletons -> total 16
+        # top-10 mass = 5 + 3 + 8 singletons' first 8 = 16
+        text1 = "a a a a a b b b"
+        text2 = "c d e f g h i j"
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([text1, text2]),
+                "lang": pa.array(["en"] * 2),
+                "source": pa.array(["s"] * 2),
+                "n_chars": pa.array([15, 15], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_coverage_curve_docs(str(tmp_path)).to_pandas().set_index("k")
+        assert (out["total_mass"] == 16).all()
+        assert out.loc[10, "top_k_mass"] == 16  # 10 distinct tokens exist
+        assert out.loc[100, "coverage"] == 1.0
+
+
+class TestNullProfile:
+    def test_null_counts(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_null_profile_tables
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(["x", None, None]),
+                    "lang": pa.array(["en", "en", None]),
+                    "source": pa.array(["s"] * 3),
+                    "n_chars": pa.array([1, 0, 0], pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([0], pa.int64()),
+                    "ts": pa.array([pd.Timestamp("2024-01-01")], pa.timestamp("us")),
+                    "user_id": pa.array([1], pa.int64()),
+                    "event_type": pa.array(["x"]),
+                    "value": pa.array([None], pa.float64()),
+                    "props": pa.array(["{}"]),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        out = q_null_profile_tables(str(tmp_path)).to_pandas().set_index(["tbl", "col"])
+        assert out.loc[("documents", "text"), "n_nulls"] == 2
+        assert out.loc[("documents", "lang"), "null_rate"] == 1 / 3
+        assert out.loc[("events", "value"), "n_nulls"] == 1
+        assert out.loc[("events", "props"), "n_nulls"] == 0
