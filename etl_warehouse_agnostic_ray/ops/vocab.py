@@ -22,6 +22,7 @@ Ray-Data shape (100-TB discipline):
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import pandas as pd
@@ -172,5 +173,123 @@ def bigram_topk(
         {
             "bigram": pa.array(toks[top], pa.string()),
             "cnt": pa.array(cnts[top], pa.int64()),
+        }
+    )
+
+
+def _bucket_minsup(g: pd.DataFrame, min_count: int) -> pd.DataFrame:
+    """Reduce one bigram bucket to EXACT counts (a pair lives wholly
+    in its bucket) and keep only pairs at or above the support floor —
+    the pruning that makes the PMI candidate set driver-sized."""
+    toks = g["tok"].to_numpy()
+    cnts = g["cnt"].to_numpy()
+    order = np.argsort(toks, kind="stable")
+    t_s, c_s = toks[order], cnts[order]
+    first = np.ones(len(t_s), dtype=bool)
+    first[1:] = t_s[1:] != t_s[:-1]
+    starts = np.flatnonzero(first)
+    totals = np.add.reduceat(c_s, starts)
+    uniq = t_s[starts]
+    keep = totals >= min_count
+    return pd.DataFrame({"tok": uniq[keep], "cnt": totals[keep]})
+
+
+def pmi_bigrams(
+    ds,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """Top-k collocations by pointwise mutual information —
+    PMI(a, b) = ln(n_ab·N / (n_a·n_b)) over adjacent lowered tokens,
+    support floor ``min_count`` (PMI is noise below it). Two bounded
+    passes: (1) exact bigram counts via the shared bucket reduce,
+    pruned to the support floor (the candidate set is driver-sized by
+    construction); (2) unigram counts for ONLY the candidate tokens —
+    the needed-token set rides each task's closure and every bucket
+    also ships its total token mass, so N and every n_a arrive in one
+    exchange. The PMI float expression (one double product, one
+    division of exact-integer doubles < 2^53, libm ln) is replayed
+    verbatim by the SQL twin; ties order by bigram asc."""
+    part = functools.partial(
+        _bigram_partials, text_col=text_col, num_buckets=num_buckets
+    )
+    red = functools.partial(_bucket_minsup, min_count=min_count)
+    cand = pa.concat_tables(
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(red, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")
+    )
+    empty = pa.table(
+        {
+            "bigram": pa.array([], pa.string()),
+            "n_ab": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        }
+    )
+    if cand.num_rows == 0:
+        return empty
+    bigrams = np.asarray(cand.column("tok"))
+    n_ab = cand.column("cnt").to_numpy()
+    toks_a = np.asarray([s.split(" ", 1)[0] for s in bigrams], dtype=object)
+    toks_b = np.asarray([s.split(" ", 1)[1] for s in bigrams], dtype=object)
+    needed = np.unique(np.concatenate([toks_a, toks_b]))
+
+    tok_part = functools.partial(
+        _token_partials, text_col=text_col, num_buckets=num_buckets
+    )
+
+    def uni_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        toks = g["tok"].to_numpy()
+        cnts = g["cnt"].to_numpy()
+        order = np.argsort(toks, kind="stable")
+        t_s, c_s = toks[order], cnts[order]
+        first = np.ones(len(t_s), dtype=bool)
+        first[1:] = t_s[1:] != t_s[:-1]
+        starts = np.flatnonzero(first)
+        totals = np.add.reduceat(c_s, starts)
+        uniq = t_s[starts]
+        keep = np.isin(uniq, needed)
+        return pd.DataFrame(
+            {
+                "tok": np.concatenate([uniq[keep], ["\x00total"]]),
+                "cnt": np.concatenate([totals[keep], [totals.sum()]]).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    uni = pa.concat_tables(
+        ds.map_batches(tok_part, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(uni_reduce, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")
+    )
+    ut = np.asarray(uni.column("tok"))
+    uc = uni.column("cnt").to_numpy()
+    total_mask = ut == "\x00total"
+    n_total = int(uc[total_mask].sum())
+    lut = dict(zip(ut[~total_mask].tolist(), uc[~total_mask].tolist()))
+    n_a = np.asarray([lut[t] for t in toks_a], dtype=np.int64)
+    n_b = np.asarray([lut[t] for t in toks_b], dtype=np.int64)
+    pmi = np.asarray(
+        [
+            math.log(float(ab) * float(n_total) / float(int(aa) * int(bb)))
+            for ab, aa, bb in zip(n_ab, n_a, n_b)
+        ],
+        dtype=np.float64,
+    )
+    top = np.lexsort((bigrams, -pmi))[:k]
+    return pa.table(
+        {
+            "bigram": pa.array(bigrams[top], pa.string()),
+            "n_ab": pa.array(n_ab[top].astype(np.int64)),
+            "n_a": pa.array(n_a[top]),
+            "n_b": pa.array(n_b[top]),
+            "pmi": pa.array(pmi[top], pa.float64()),
         }
     )

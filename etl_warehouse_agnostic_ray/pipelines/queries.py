@@ -7653,6 +7653,110 @@ FROM p
 """
 
 
+def q_pmi_bigrams_documents(sf_dir: str):
+    """Top-100 collocations by pointwise mutual information over
+    adjacent lowered tokens (support ≥ 5) — the statistical
+    collocation extractor (Church & Hanks) behind multi-word-entity
+    vocabularies. ops/vocab.pmi_bigrams: two bounded bucket exchanges
+    (exact bigram counts pruned at the support floor, then unigram
+    counts for only the candidate tokens + total mass), one libm ln
+    per candidate in the oracle's float op order."""
+    from ..ops.vocab import pmi_bigrams
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pmi_bigrams(ds, min_count=5, k=100)
+
+
+SQL_PMI_BIGRAMS_DOCUMENTS = """
+WITH a AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents WHERE text IS NOT NULL
+), uni AS (SELECT unnest(l) AS tok FROM a),
+uc AS (SELECT tok, count(*)::BIGINT AS n FROM uni GROUP BY tok),
+tot AS (SELECT sum(n)::BIGINT AS nn FROM uc),
+bg AS (
+  SELECT unnest(list_transform(
+           l, (x, i) -> CASE WHEN i < len(l) THEN x || ' ' || l[i + 1] END
+         )) AS bigram
+  FROM a
+), bc AS (
+  SELECT bigram, count(*)::BIGINT AS n_ab
+  FROM bg WHERE bigram IS NOT NULL
+  GROUP BY bigram HAVING count(*) >= 5
+)
+SELECT b.bigram, b.n_ab, ua.n AS n_a, ub.n AS n_b,
+       ln(CAST(b.n_ab AS DOUBLE) * tot.nn / (ua.n * ub.n)) AS pmi
+FROM bc b CROSS JOIN tot
+JOIN uc ua ON ua.tok = split_part(b.bigram, ' ', 1)
+JOIN uc ub ON ub.tok = split_part(b.bigram, ' ', 2)
+ORDER BY pmi DESC, b.bigram LIMIT 100
+"""
+
+
+def _conversion_delays(g: pa.Table) -> pa.Table:
+    """Per-user funnel-latency kernel: first signup µs, then the first
+    purchase AT OR AFTER it — two unique+scatter min passes over the
+    partition, no sort of the event stream."""
+    uid = g.column("user_id").to_numpy(zero_copy_only=False)
+    us = (
+        g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        .view("int64")
+    )
+    et = g.column("event_type").to_numpy(zero_copy_only=False)
+    uu, ui = np.unique(uid, return_inverse=True)
+    BIG = np.int64(2**62)
+    s_min = np.full(len(uu), BIG, np.int64)
+    m = et == "signup"
+    np.minimum.at(s_min, ui[m], us[m])
+    p_min = np.full(len(uu), BIG, np.int64)
+    m = (et == "purchase") & (us >= s_min[ui])
+    np.minimum.at(p_min, ui[m], us[m])
+    ok = (s_min < BIG) & (p_min < BIG)
+    return pa.table({"delay_us": pa.array((p_min - s_min)[ok])})
+
+
+def q_signup_to_purchase_delay(sf_dir: str):
+    """Funnel latency distribution: quantiles of each converting
+    user's time from FIRST signup to the first purchase at-or-after it
+    — 'how long does conversion take', the funnel's companion metric.
+    Coarse-pk user co-partition → per-user delays (two scatter-min
+    passes, no event-stream sort) → the exact distributed quantile op
+    over the one-row-per-converting-user derived dataset. Integer µs
+    order statistics, bitwise-equal to quantile_disc."""
+    from ..ops.quantiles import quantiles_exact
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    delays = (
+        ds.map_batches(_coarse_pk("user_id"), batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_conversion_delays, batch_format="pyarrow")
+    )
+    return quantiles_exact(delays, "delay_us", qs=(0.25, 0.5, 0.75, 0.9), n_bins=256)
+
+
+SQL_SIGNUP_TO_PURCHASE_DELAY = """
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+  GROUP BY e.user_id
+), d AS (
+  SELECT CAST(p.p_us - s.s_us AS BIGINT) AS delay FROM p JOIN s USING (user_id)
+)
+SELECT unnest([0.25, 0.5, 0.75, 0.9])::DOUBLE AS q,
+       unnest(quantile_disc(delay, [0.25, 0.5, 0.75, 0.9]))::DOUBLE AS value
+FROM d
+"""
+
+
 def q_full_outer_customer_activity(sf_dir: str):
     """Explicit FULL OUTER join: every key on EITHER side — customers
     with their event counts, event-only users with null customer
@@ -9511,6 +9615,8 @@ QUERIES = {
     "transition_probs_events": q_transition_probs_events,
     "coverage_curve_docs": q_coverage_curve_docs,
     "null_profile_tables": q_null_profile_tables,
+    "pmi_bigrams_documents": q_pmi_bigrams_documents,
+    "signup_to_purchase_delay": q_signup_to_purchase_delay,
     # ------ rotated-out tail: every entry below was
     # driver-green in CORRECTNESS_r04 (rows+schema+hash), kept
     # oracle-verified at sf0.001 by the full test_entry sweep
@@ -9723,6 +9829,8 @@ ORACLES = {
     "transition_probs_events": SQL_TRANSITION_PROBS_EVENTS,
     "coverage_curve_docs": SQL_COVERAGE_CURVE_DOCS,
     "null_profile_tables": SQL_NULL_PROFILE_TABLES,
+    "pmi_bigrams_documents": SQL_PMI_BIGRAMS_DOCUMENTS,
+    "signup_to_purchase_delay": SQL_SIGNUP_TO_PURCHASE_DELAY,
 }
 
 

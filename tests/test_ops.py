@@ -4270,3 +4270,71 @@ class TestNullProfile:
         assert out.loc[("documents", "lang"), "null_rate"] == 1 / 3
         assert out.loc[("events", "value"), "n_nulls"] == 1
         assert out.loc[("events", "props"), "n_nulls"] == 0
+
+
+class TestPmiBigrams:
+    def test_collocation_ranking(self, ray_session, tmp_path):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import q_pmi_bigrams_documents
+
+        # "x y" always together (5 times, exclusive) -> max PMI;
+        # "the cat" co-occurs 5 times but 'the' appears 10 more times
+        doc1 = " ".join(["x y"] * 5)
+        doc2 = " ".join(["the cat"] * 5 + ["the"] * 10)
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([doc1, doc2]),
+                "lang": pa.array(["en"] * 2),
+                "source": pa.array(["s"] * 2),
+                "n_chars": pa.array([len(doc1), len(doc2)], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_pmi_bigrams_documents(str(tmp_path)).to_pandas().set_index("bigram")
+        N = 10 + 10 + 10  # x/y 5 each, the 15, cat 5 = 35... compute from data
+        N = 5 * 2 + 5 * 2 + 10  # doc1 10 tokens + doc2 20 tokens = 30
+        want_xy = math.log(5.0 * N / (5 * 5))
+        want_thecat = math.log(5.0 * N / (15 * 5))
+        assert out.loc["x y", "pmi"] == want_xy
+        assert out.loc["the cat", "pmi"] == want_thecat
+        assert out.loc["x y", "pmi"] > out.loc["the cat", "pmi"]
+        assert out.loc["x y", "n_ab"] == 5 and out.loc["the cat", "n_a"] == 15
+
+
+class TestSignupToPurchaseDelay:
+    def test_first_signup_first_purchase_after(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from etl_warehouse_agnostic_ray.pipelines.queries import (
+            q_signup_to_purchase_delay,
+        )
+
+        t0 = pd.Timestamp("2024-01-01")
+        h = pd.Timedelta(hours=1)
+        rows = [
+            # user 1: purchase BEFORE signup ignored; delay = 2h
+            (1, t0 - h, "purchase"), (1, t0, "signup"), (1, t0 + 2 * h, "purchase"),
+            # user 2: delay = 1h (first purchase after first signup)
+            (2, t0, "signup"), (2, t0 + h, "purchase"), (2, t0 + 9 * h, "purchase"),
+            # user 3: never purchases -> excluded
+            (3, t0, "signup"),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = q_signup_to_purchase_delay(str(tmp_path)).to_pandas().set_index("q")
+        # delays = [1h, 2h] us -> p25 = rank ceil(.25*2)=1st -> 1h
+        assert out.loc[0.25, "value"] == 3_600_000_000.0
+        assert out.loc[0.9, "value"] == 7_200_000_000.0
